@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute); results are consumed
+with a count-style action so nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from distributed_mobility_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline subset: one per operator family, weighted toward shuffles/joins.
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_hourly_demand",
+    "agg_supply_demand_hourly",
+    "agg_driver_daily_summary",
+    "agg_top_k_per_group",
+    "agg_cube_revenue",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n.startswith("bench_") and n not in HEADLINE
+    ]
+    # warm the JVM + parquet footers once so timings measure the queries
+    qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Aggregate operators (SURVEY.md §2.5 A1-A16 + free extras).
+
+The reference's aggregate layer is gold_aggregates.py:41-84 (hourly
+demand, daily revenue, driver daily summary) plus the feature-engineering
+grains (feature_engineering.py:58-74, 185-197) and monitoring metrics.
+Everything here is a pure ``DataFrame -> DataFrame`` built from
+``groupBy().agg()`` — partial aggregation (map-side combine) and AQE
+partition coalescing come free, so these scale to 100 TB as long as the
+group-key cardinality fits the shuffle (they do: zone/hour grains).
+
+Cross-engine parity conventions (driver DuckDB oracle):
+- every computed column aliased identically in Spark and SQL;
+- float sums/avgs via functions.exact (decimal accumulate → double), so
+  results are bit-identical regardless of partitioning — no rounding;
+- timestamps surfaced as formatted strings or DATE-cast strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.functions.exact import dec, exact_avg, exact_sum
+
+
+def hourly_demand(events: DataFrame) -> DataFrame:
+    """Hourly event demand by type — A1/A4 transplanted to `events`.
+
+    Reference: gold_aggregates.py:41-44 (groupBy date/hour/zone count)
+    and feature_engineering.py:58-74 (date_trunc hour grain). This is a
+    tumbling window in batch form; the streaming twin is
+    streaming/events.py::hourly_counts.
+    """
+    return (
+        events.filter(F.col("value").isNotNull())
+        .withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour_ts", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            exact_avg("value").alias("avg_value"),
+        )
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "event_count",
+            "avg_value",
+        )
+    )
+
+
+def revenue_daily(lineitem: DataFrame) -> DataFrame:
+    """Daily revenue rollup — A2 (gold_aggregates.py:47-56) on lineitem.
+
+    completed-trips filter ≈ l_returnflag filter; fare ≈ discounted price.
+    """
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "N")
+        .groupBy(
+            F.to_date("l_shipdate").cast("string").alias("ship_date"),
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+            exact_avg("l_discount").alias("avg_discount"),
+            exact_avg("l_quantity").alias("avg_quantity"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def driver_daily_summary(orders: DataFrame) -> DataFrame:
+    """Per-entity daily rollup — A3 (gold_aggregates.py:59-67) on orders:
+    customer plays the driver role, order date the trip date."""
+    return (
+        orders.groupBy(
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+            F.col("o_custkey").alias("cust_key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            exact_sum("o_totalprice").alias("total_spend"),
+            exact_avg("o_totalprice").alias("avg_spend"),
+        )
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate (A2/A6 pattern at full width).
+
+    sum_charge chains two decimal products; the intermediate is rounded
+    back to scale 6 (exact here: 2-decimal price × 4-decimal discount has
+    ≤6 decimals) to stay inside decimal(38,12).
+    """
+    one = F.lit(1).cast("decimal(18,6)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price.cast("decimal(18,6)") * (one + dec("l_tax"))
+    return (
+        lineitem.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def supply_demand_hourly(events: DataFrame) -> DataFrame:
+    """Multi-metric agg with exact countDistinct — A6
+    (feature_engineering.py:185-197). The exact distinct is a second
+    shuffle; at 100 TB prefer `approx_supply_demand_hourly`."""
+    return (
+        events.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy(F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("active_users"),
+            exact_avg("value").alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+    )
+
+
+def approx_supply_demand_hourly(events: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """100 TB variant of A6: HyperLogLog++ distinct (single shuffle,
+    mergeable sketches). Rows-only check (approximate by design)."""
+    return (
+        events.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy(F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.approx_count_distinct("user_id", rsd).alias("approx_active_users"),
+        )
+    )
+
+
+def histogram(df: DataFrame, col: str, edges: list[float]) -> DataFrame:
+    """Fixed-edge histogram — A9 (model_monitoring.py:105-113) as a
+    chained-when bucketize + groupBy count. Buckets clamp: anything below
+    edges[1] is bucket 0, anything ≥ edges[-2] is the last bucket; nulls
+    are bucket -1. Edges are explicit so the oracle is deterministic
+    (approxQuantile-derived edges live in drift.py)."""
+    n = len(edges) - 1
+    bucket = F.when(F.col(col).isNull(), F.lit(-1))
+    for i in range(n - 1):
+        bucket = bucket.when(F.col(col) < F.lit(edges[i + 1]), F.lit(i))
+    bucket = bucket.otherwise(F.lit(n - 1))
+    return (
+        df.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def status_distribution(df: DataFrame, col: str) -> DataFrame:
+    """Share-of-total per category — A16 (generate_all.py:158) done
+    distributed: groupBy count + a window share, no collect."""
+    counts = df.groupBy(F.col(col).alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "status",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(total)).alias("share"),
+    )
+
+
+def top_k(df: DataFrame, order_col: str, k: int, *group_cols: str) -> DataFrame:
+    """Global or per-group top-k. Global compiles to
+    TakeOrderedAndProject (no full sort); per-group is the canonical
+    row_number window (SURVEY.md §2.7)."""
+    if not group_cols:
+        return df.orderBy(F.col(order_col).desc()).limit(k)
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def cube_revenue(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — grouping-sets surface the
+    reference lacks but the engine exposes (SURVEY.md §2.5 note)."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def rollup_revenue(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (year(shipdate), returnflag)."""
+    return (
+        lineitem.withColumn("ship_year", F.year("l_shipdate"))
+        .rollup("ship_year", "l_returnflag")
+        .agg(
+            exact_sum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def pivot_status(orders: DataFrame) -> DataFrame:
+    """groupBy().pivot() — wide status columns per priority."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )

@@ -1,0 +1,94 @@
+"""Readers (SURVEY.md §2.1 S1/S2/S7/S9).
+
+Re-expresses the reference's scan surface:
+- S1 CSV scan (bronze_loader.py:15-20) — but with an explicit schema; a
+  schema-inference pass over 100 TB of CSV is a full extra read.
+- S2 table scan (delta_utils.py:21-22) — parquet-first; Delta format when
+  delta-spark is on the classpath.
+- S9 JSONL API-log scan (model_monitoring.py:136-152 reads the log in
+  plain Python; here it is a schema'd distributed ``spark.read.json``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_mobility_data_pipeline_spark import schemas
+from distributed_mobility_data_pipeline_spark.session import has_delta
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan. Explicit schema by default; inference only as an opt-in
+    convenience (pass ``schema=None`` consciously on small data)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Managed-table scan: Delta when available, else parquet.
+
+    Equivalent capability to delta_utils.read_delta (delta_utils.py:21-22).
+    """
+    if has_delta():
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
+
+def read_json_log(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Schema'd JSONL scan (no inference; corrupt lines quarantined)."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the driver's `events` table, whose `ts` is a parquet
+    TIMESTAMP(NANOS) column that Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL). Read nanos as long, then floor-convert to a
+    microsecond TimestampType — same value DuckDB produces when casting
+    TIMESTAMP_NS → TIMESTAMP."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables from ``sf_dir`` and register each
+    as a temp view (so both DataFrame and ``spark.sql`` paths work)."""
+    out: dict[str, DataFrame] = {}
+    for name in tables or schemas.TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
