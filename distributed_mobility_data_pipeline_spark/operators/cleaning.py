@@ -1,0 +1,90 @@
+"""Cleaning operators — Silver-layer semantics (SURVEY.md §2.2).
+
+Re-expresses the reference's bronze→silver transform
+(bronze_to_silver.py:17-43) and schema-repair helpers
+(batch_scoring.py:50-63) as composable pure functions. All column
+expressions stay JVM-side (whole-stage codegen) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_categoricals(df: DataFrame, cols: list[str]) -> DataFrame:
+    """lower+trim string normalization (bronze_to_silver.py:19-20, P1)."""
+    for c in cols:
+        df = df.withColumn(c, F.lower(F.trim(F.col(c))))
+    return df
+
+
+def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
+    """Explicit type hardening (bronze_loader.py:22-26, P2)."""
+    for c, t in casts.items():
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast(t))
+    return df
+
+
+def null_out_when(df: DataFrame, target: str, cond: Column) -> DataFrame:
+    """Conditional null-out — P7: the reference nulls `completed_at` for
+    cancelled trips (bronze_to_silver.py:28-31)."""
+    df = df.withColumn(
+        target, F.when(cond, F.lit(None)).otherwise(F.col(target))
+    )
+    return df
+
+
+def require_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Conjunctive not-null filter (bronze_to_silver.py:33-38, P4)."""
+    pred = None
+    for c in cols:
+        p = F.col(c).isNotNull()
+        pred = p if pred is None else (pred & p)
+    return df.filter(pred) if pred is not None else df
+
+
+def drop_null_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """P8 — na.drop passthrough (feature_engineering.py:131 etc.)."""
+    return df.na.drop(subset=subset)
+
+
+def ensure_columns(df: DataFrame, defaults: Mapping[str, Column]) -> DataFrame:
+    """Default-column injection iff missing — P9 schema repair
+    (batch_scoring.py:50-63). Makes pipelines tolerant of upstream
+    schema drift without widening every operator's signature."""
+    for c, expr in defaults.items():
+        if c not in df.columns:
+            df = df.withColumn(c, expr)
+    return df
+
+
+def with_audit_columns(df: DataFrame, date_source: str | None = None) -> DataFrame:
+    """Bronze audit columns — P3 (bronze_loader.py:30-35):
+    ingestion timestamp, source file, partition date."""
+    df = df.withColumn("ingested_at", F.current_timestamp()).withColumn(
+        "source_file", F.input_file_name()
+    )
+    if date_source:
+        df = df.withColumn(f"{date_source}_date", F.to_date(F.col(date_source)))
+    return df
+
+
+def clean_events(events: DataFrame) -> DataFrame:
+    """The reference's silver clean transplanted to `events`:
+    normalize event_type, null-out error values, require key columns,
+    derive the partition date column (bronze_to_silver.py:17-43)."""
+    df = normalize_categoricals(events, ["event_type"])
+    df = null_out_when(df, "value", F.col("event_type").startswith("error"))
+    df = require_not_null(df, ["event_id", "ts", "user_id"])
+    return df.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").cast("string").alias("event_date"),
+    )
