@@ -22,8 +22,12 @@ from pyspark.sql import functions as F
 from distributed_mobility_data_pipeline_spark.operators import aggregates as agg_ops
 from distributed_mobility_data_pipeline_spark.operators import cleaning as clean_ops
 from distributed_mobility_data_pipeline_spark.operators import dedup as dedup_ops
+from distributed_mobility_data_pipeline_spark.operators import drift as drift_ops
+from distributed_mobility_data_pipeline_spark.operators import metrics as metric_ops
+from distributed_mobility_data_pipeline_spark.operators import quality as quality_ops
 from distributed_mobility_data_pipeline_spark.operators import setops as set_ops
 from distributed_mobility_data_pipeline_spark.operators import star as star_ops
+from distributed_mobility_data_pipeline_spark.operators import windows as win_ops
 from distributed_mobility_data_pipeline_spark.sources.readers import read_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -172,6 +176,142 @@ def queries() -> dict[str, QueryFn]:
         "set_except_nation_keys": lambda s, d: set_ops.except_distinct(
             _t(s, d, "customer").select(F.col("c_nationkey").cast("int").alias("nk")),
             _t(s, d, "supplier").select(F.col("s_nationkey").cast("int").alias("nk")),
+        ),
+        # §2.6 windows
+        "win_lag_demand": lambda s, d: win_ops.with_lags(
+            win_ops.daily_counts(_t(s, d, "events")),
+            ["event_type"],
+            "d",
+            "n",
+            [1, 7],
+            prefix="n_lag_",
+        ).select(
+            F.col("d").cast("string").alias("d"),
+            "event_type",
+            "n",
+            "sum_value",
+            "n_lag_1",
+            "n_lag_7",
+        ),
+        "win_rolling_rows": lambda s, d: win_ops.with_rolling_rows(
+            win_ops.daily_counts(_t(s, d, "events")),
+            ["event_type"],
+            "d",
+            "n",
+            7,
+            "7r",
+        ).select(
+            F.col("d").cast("string").alias("d"),
+            "event_type",
+            "n",
+            "avg_7r",
+            "std_7r",
+            "cnt_7r",
+        ),
+        "win_rolling_range_days": lambda s, d: win_ops.with_rolling_range_days(
+            win_ops.daily_counts(_t(s, d, "events")),
+            ["event_type"],
+            "d",
+            "n",
+            7,
+            "7d",
+        ).select(
+            F.col("d").cast("string").alias("d"),
+            "event_type",
+            "n",
+            "avg_7d",
+            "std_7d",
+            "cnt_7d",
+        ),
+        "win_running_total": lambda s, d: win_ops.running_total(
+            win_ops.daily_counts(_t(s, d, "events")),
+            ["event_type"],
+            "d",
+            "sum_value",
+        ).select(
+            F.col("d").cast("string").alias("d"),
+            "event_type",
+            "sum_value",
+            "running_total",
+        ),
+        "win_rank_customers": lambda s, d: win_ops.rank_within(
+            _t(s, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+            ["c_mktsegment"],
+            "c_acctbal",
+        ),
+        "win_churn_label": lambda s, d: win_ops.churn_label(
+            _t(s, d, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                F.to_date("o_orderdate").alias("od"),
+            ),
+            "o_custkey",
+            "od",
+            30,
+            tiebreak=["o_orderkey"],
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("od").cast("string").alias("od"),
+            F.col("next_date").cast("string").alias("next_date"),
+            "days_to_next",
+            "will_churn",
+        ),
+        # §2.5 quality / metrics / drift
+        "quality_null_report": lambda s, d: quality_ops.null_report(
+            clean_ops.null_out_when(
+                _t(s, d, "events"),
+                "value",
+                F.col("event_type").startswith("error"),
+            ),
+            ["event_id", "user_id", "value", "props"],
+        ),
+        "quality_negative_report": lambda s, d: quality_ops.negative_report(
+            _t(s, d, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+        ),
+        "quality_freshness": lambda s, d: quality_ops.freshness(
+            _t(s, d, "orders"), "o_orderdate"
+        ),
+        "quality_volume_check": lambda s, d: quality_ops.volume_check(
+            _t(s, d, "events"),
+            "ts",
+            "2024-01-01",
+            "2024-01-15",
+            "2024-01-15",
+            "2024-01-29",
+        ),
+        "metrics_regression": lambda s, d: metric_ops.regression_metrics(
+            metric_ops.naive_forecast_by_key(
+                _t(s, d, "events").filter(F.col("value").isNotNull()),
+                "event_type",
+                "value",
+            ),
+            "value",
+            "yhat",
+        ),
+        "drift_psi_fixed_bins": lambda s, d: drift_ops.psi_detail_fixed_bins(
+            _t(s, d, "events").filter(F.to_date("ts") < F.lit("2024-01-15")),
+            _t(s, d, "events").filter(F.to_date("ts") >= F.lit("2024-01-15")),
+            "value",
+            [0.0, 20.0, 40.0, 60.0, 80.0, 100.0],
+        ),
+        "drift_psi_quantile_bins": lambda s, d: drift_ops.psi_quantile_bins(
+            _t(s, d, "events").filter(F.to_date("ts") < F.lit("2024-01-15")),
+            _t(s, d, "events").filter(F.to_date("ts") >= F.lit("2024-01-15")),
+            "value",
+        ),
+        "drift_missing_rate_shift": lambda s, d: drift_ops.missing_rate_shift(
+            clean_ops.null_out_when(
+                _t(s, d, "events").filter(F.to_date("ts") < F.lit("2024-01-15")),
+                "value",
+                F.col("event_type").startswith("error"),
+            ),
+            clean_ops.null_out_when(
+                _t(s, d, "events").filter(F.to_date("ts") >= F.lit("2024-01-15")),
+                "value",
+                F.col("event_type").startswith("error"),
+            ),
+            ["value", "props"],
         ),
     }
 
@@ -419,5 +559,232 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_nationkey AS INT) AS nk FROM customer
             EXCEPT
             SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        """,
+        "win_lag_demand": """
+            WITH dc AS (
+              SELECT CAST(ts AS DATE) AS d, event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(d AS VARCHAR) AS d, event_type, n, sum_value,
+                   lag(n, 1) OVER w AS n_lag_1,
+                   lag(n, 7) OVER w AS n_lag_7
+            FROM dc WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        """,
+        "win_rolling_rows": """
+            WITH dc AS (
+              SELECT CAST(ts AS DATE) AS d, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), m AS (
+              SELECT d, event_type, n,
+                     CAST(sum(CAST(n AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+                     CAST(sum(CAST(n AS DECIMAL(18,6)) * CAST(n AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2,
+                     count(n) OVER w AS cnt
+              FROM dc
+              WINDOW w AS (PARTITION BY event_type ORDER BY d
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CAST(d AS VARCHAR) AS d, event_type, n,
+                   s1 / cnt AS avg_7r,
+                   CASE WHEN cnt > 1 THEN sqrt((s2 - s1*s1/cnt) / (cnt-1)) END AS std_7r,
+                   CAST(cnt AS BIGINT) AS cnt_7r
+            FROM m
+        """,
+        "win_rolling_range_days": """
+            WITH dc AS (
+              SELECT CAST(ts AS DATE) AS d, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), m AS (
+              SELECT d, event_type, n,
+                     CAST(sum(CAST(n AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+                     CAST(sum(CAST(n AS DECIMAL(18,6)) * CAST(n AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2,
+                     count(n) OVER w AS cnt
+              FROM (SELECT *, CAST(d - DATE '1970-01-01' AS BIGINT) AS ed FROM dc)
+              WINDOW w AS (PARTITION BY event_type ORDER BY ed
+                           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CAST(d AS VARCHAR) AS d, event_type, n,
+                   s1 / cnt AS avg_7d,
+                   CASE WHEN cnt > 1 THEN sqrt((s2 - s1*s1/cnt) / (cnt-1)) END AS std_7d,
+                   CAST(cnt AS BIGINT) AS cnt_7d
+            FROM m
+        """,
+        "win_running_total": """
+            WITH dc AS (
+              SELECT CAST(ts AS DATE) AS d, event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(d AS VARCHAR) AS d, event_type, sum_value,
+                   CAST(sum(CAST(sum_value AS DECIMAL(18,6))) OVER (
+                        PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM dc
+        """,
+        "win_rank_customers": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(rank() OVER w AS INT) AS rk,
+                   CAST(dense_rank() OVER w AS INT) AS drk
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+        """,
+        "win_churn_label": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(od AS VARCHAR) AS od,
+                   CAST(next_date AS VARCHAR) AS next_date,
+                   CAST(days_to_next AS INT) AS days_to_next,
+                   CASE WHEN days_to_next IS NULL OR days_to_next > 30
+                        THEN 1 ELSE 0 END AS will_churn
+            FROM (
+              SELECT o_orderkey, o_custkey, od,
+                     lead(od, 1) OVER w AS next_date,
+                     CAST(lead(od, 1) OVER w - od AS BIGINT) AS days_to_next
+              FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+                    FROM orders)
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+            )
+        """,
+        "quality_null_report": """
+            WITH e AS (
+              SELECT event_id, user_id, props,
+                     CASE WHEN event_type LIKE 'error%' THEN NULL ELSE value END AS value
+              FROM events
+            )
+            SELECT 'event_id' AS "column",
+                   CAST(count(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS null_count,
+                   CAST(count(*) AS BIGINT) AS total_rows,
+                   CAST(count(*) FILTER (WHERE event_id IS NULL) AS DOUBLE) / count(*) AS null_rate
+            FROM e
+            UNION ALL
+            SELECT 'user_id',
+                   CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE user_id IS NULL) AS DOUBLE) / count(*)
+            FROM e
+            UNION ALL
+            SELECT 'value',
+                   CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE value IS NULL) AS DOUBLE) / count(*)
+            FROM e
+            UNION ALL
+            SELECT 'props',
+                   CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE props IS NULL) AS DOUBLE) / count(*)
+            FROM e
+        """,
+        "quality_negative_report": """
+            SELECT 'l_quantity' AS "column",
+                   CAST(count(*) FILTER (WHERE l_quantity < 0) AS BIGINT) AS negative_count
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   CAST(count(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   CAST(count(*) FILTER (WHERE l_discount < 0) AS BIGINT)
+            FROM lineitem
+        """,
+        "quality_freshness": """
+            SELECT CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date,
+                   CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+                   CAST(count(*) AS BIGINT) AS row_count
+            FROM orders
+        """,
+        "quality_volume_check": """
+            SELECT CAST(count(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+                                           AND CAST(ts AS DATE) < DATE '2024-01-15') AS BIGINT) AS baseline_rows,
+                   CAST(count(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+                                           AND CAST(ts AS DATE) < DATE '2024-01-29') AS BIGINT) AS current_rows,
+                   CASE WHEN count(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+                                                AND CAST(ts AS DATE) < DATE '2024-01-15') > 0
+                        THEN CAST(count(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+                                                     AND CAST(ts AS DATE) < DATE '2024-01-29') AS DOUBLE)
+                             / count(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+                                                  AND CAST(ts AS DATE) < DATE '2024-01-15')
+                   END AS volume_ratio
+            FROM events
+        """,
+        "metrics_regression": """
+            WITH p AS (
+              SELECT value AS y,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+                     / count(value) OVER (PARTITION BY event_type) AS yhat
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT CAST(sum(CAST(abs(y - yhat) AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mae,
+                   sqrt(CAST(sum(CAST((y - yhat) * (y - yhat) AS DECIMAL(28,8))) AS DOUBLE) / count(*)) AS rmse,
+                   CAST(sum(CAST(CASE WHEN y != 0 THEN abs((y - yhat) / y) END AS DECIMAL(28,8))) AS DOUBLE)
+                   / count(CASE WHEN y != 0 THEN abs((y - yhat) / y) END) AS mape,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p
+        """,
+        "drift_psi_fixed_bins": """
+            WITH b AS (
+              SELECT CASE WHEN value IS NULL THEN -1
+                          WHEN value < 20.0 THEN 0
+                          WHEN value < 40.0 THEN 1
+                          WHEN value < 60.0 THEN 2
+                          WHEN value < 80.0 THEN 3
+                          ELSE 4 END AS bucket
+              FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'
+            ), c AS (
+              SELECT CASE WHEN value IS NULL THEN -1
+                          WHEN value < 20.0 THEN 0
+                          WHEN value < 40.0 THEN 1
+                          WHEN value < 60.0 THEN 2
+                          WHEN value < 80.0 THEN 3
+                          ELSE 4 END AS bucket
+              FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+            ), bg AS (SELECT bucket, count(*) AS b_n FROM b GROUP BY 1),
+               cg AS (SELECT bucket, count(*) AS c_n FROM c GROUP BY 1),
+               j AS (
+              SELECT COALESCE(bg.bucket, cg.bucket) AS bucket,
+                     COALESCE(b_n, 0) AS b_n, COALESCE(c_n, 0) AS c_n
+              FROM bg FULL JOIN cg ON bg.bucket = cg.bucket
+            ), pct AS (
+              SELECT bucket, b_n, c_n,
+                     CAST(b_n + 1 AS DOUBLE) / (sum(b_n) OVER () + 1) AS b_pct,
+                     CAST(c_n + 1 AS DOUBLE) / (sum(c_n) OVER () + 1) AS c_pct
+              FROM j
+            )
+            SELECT bucket,
+                   CAST(b_n AS BIGINT) AS baseline_n,
+                   CAST(c_n AS BIGINT) AS current_n,
+                   CAST(CAST((c_pct - b_pct) * ln(c_pct / b_pct) AS DECIMAL(28,8)) AS DOUBLE) AS psi_term
+            FROM pct
+        """,
+        "drift_missing_rate_shift": """
+            WITH base AS (
+              SELECT CASE WHEN event_type LIKE 'error%' THEN NULL ELSE value END AS value, props
+              FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'
+            ), cur AS (
+              SELECT CASE WHEN event_type LIKE 'error%' THEN NULL ELSE value END AS value, props
+              FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+            ), br AS (
+              SELECT 'value' AS "column",
+                     CAST(count(*) FILTER (WHERE value IS NULL) AS DOUBLE) / count(*) AS baseline_rate
+              FROM base
+              UNION ALL
+              SELECT 'props', CAST(count(*) FILTER (WHERE props IS NULL) AS DOUBLE) / count(*)
+              FROM base
+            ), cr AS (
+              SELECT 'value' AS "column",
+                     CAST(count(*) FILTER (WHERE value IS NULL) AS DOUBLE) / count(*) AS current_rate
+              FROM cur
+              UNION ALL
+              SELECT 'props', CAST(count(*) FILTER (WHERE props IS NULL) AS DOUBLE) / count(*)
+              FROM cur
+            )
+            SELECT br."column" AS "column", baseline_rate, current_rate,
+                   abs(current_rate - baseline_rate) AS shift
+            FROM br JOIN cr USING ("column")
         """,
     }

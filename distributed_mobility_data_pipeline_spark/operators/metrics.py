@@ -1,0 +1,44 @@
+"""Model-evaluation metrics (SURVEY.md §2.5 A8).
+
+MAE/RMSE/MAPE as one global aggregate pass
+(batch_scoring.py:188-227, model_monitoring.py:50-67), composed from
+exact decimal sums so the metrics are partition-order independent.
+The per-term doubles (|y-ŷ|, (y-ŷ)², |rel|) are rounded at decimal
+scale by the cast — deterministic and documented, not float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(c: Column, scale: int = 8) -> Column:
+    return c.cast(f"decimal(28,{scale})")
+
+
+def regression_metrics(df: DataFrame, y: str, yhat: str) -> DataFrame:
+    """One-row MAE/RMSE/MAPE/n over prediction pairs."""
+    err = F.col(y) - F.col(yhat)
+    abs_err = F.abs(err)
+    sq_err = err * err
+    rel_err = F.when(F.col(y) != 0, F.abs(err / F.col(y)))
+    n = F.count(F.lit(1))
+    n_nonzero = F.count(rel_err)
+    return df.agg(
+        (F.sum(_dec(abs_err)).cast("double") / n).alias("mae"),
+        F.sqrt(F.sum(_dec(sq_err)).cast("double") / n).alias("rmse"),
+        (F.sum(_dec(rel_err)).cast("double") / n_nonzero).alias("mape"),
+        n.alias("n"),
+    )
+
+
+def naive_forecast_by_key(df: DataFrame, key: str, y: str) -> DataFrame:
+    """Rule-based fallback predictor — F3 as pure column algebra
+    (batch_scoring.py:71-82): per-key mean as ŷ, computed with a window
+    so the frame stays one pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key)
+    yhat = F.sum(_dec(F.col(y), 6)).over(w).cast("double") / F.count(y).over(w)
+    return df.withColumn("yhat", yhat)

@@ -1,0 +1,102 @@
+"""Data-quality operators (SURVEY.md §2.5 A11-A14, utils/data_quality.py).
+
+The reference's DataQualityChecker (data_quality.py:36-95) collects
+per-column null counts to the driver and raises; here every check is a
+lazy ``DataFrame -> DataFrame`` that returns a *report table* — one scan
+computes all columns' metrics (conditional aggregation), nothing is
+collected, and callers decide whether to fail. That keeps the gate usable
+inline in a 100 TB pipeline (the reference's `collect` would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def null_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column null/missing census — A11 (data_quality.py:21-34,
+    model_monitoring.py:126-133). Single pass; long-format output."""
+    total = F.count(F.lit(1))
+    aggs = [total.alias("_total")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_n_{c}")
+        )
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', _n_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column, null_count)",
+        "_total as total_rows",
+    ).select(
+        "column",
+        F.col("null_count").cast("bigint").alias("null_count"),
+        F.col("total_rows").cast("bigint").alias("total_rows"),
+        (F.col("null_count").cast("double") / F.col("total_rows")).alias(
+            "null_rate"
+        ),
+    )
+
+
+def negative_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Non-negativity census — A12 (data_quality.py:59-67)."""
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(f"_n_{c}")
+        )
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', _n_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column, negative_count)"
+    ).select(
+        "column", F.col("negative_count").cast("bigint").alias("negative_count")
+    )
+
+
+def required_columns_report(df: DataFrame, required: list[str]) -> DataFrame:
+    """Schema-presence check (data_quality.py:22-24) as a table."""
+    spark = df.sparkSession
+    present = set(df.columns)
+    rows = [(c, c in present) for c in sorted(required)]
+    return spark.createDataFrame(rows, "column string, present boolean")
+
+
+def freshness(df: DataFrame, date_col: str) -> DataFrame:
+    """Max-date freshness probe — A14 (silver_dag.py:105-128,
+    aspirational in the reference)."""
+    return df.agg(
+        F.max(F.to_date(date_col)).cast("string").alias("max_date"),
+        F.min(F.to_date(date_col)).cast("string").alias("min_date"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+def volume_check(
+    df: DataFrame,
+    date_col: str,
+    baseline_start: str,
+    baseline_end: str,
+    current_start: str,
+    current_end: str,
+) -> DataFrame:
+    """Volume-drop monitor — A13 (model_monitoring.py:244-246, 311-312):
+    row counts in two date windows + ratio, one scan."""
+    d = F.to_date(date_col)
+    base = F.sum(
+        F.when((d >= F.lit(baseline_start)) & (d < F.lit(baseline_end)), 1).otherwise(0)
+    )
+    cur = F.sum(
+        F.when((d >= F.lit(current_start)) & (d < F.lit(current_end)), 1).otherwise(0)
+    )
+    return df.agg(
+        base.cast("bigint").alias("baseline_rows"),
+        cur.cast("bigint").alias("current_rows"),
+    ).select(
+        "baseline_rows",
+        "current_rows",
+        F.when(
+            F.col("baseline_rows") > 0,
+            F.col("current_rows").cast("double") / F.col("baseline_rows"),
+        ).alias("volume_ratio"),
+    )

@@ -1,0 +1,186 @@
+"""Window-function operators (SURVEY.md §2.6 W1-W5, M9 churn labeling).
+
+Re-expresses the reference's feature-engineering windows
+(feature_engineering.py:91-114, 222-245, 299-328): lag/lead features,
+rolling row-frame stats, and the gap-based churn label. Two upgrades
+over the reference:
+
+- deterministic ordering everywhere (explicit tie-break columns);
+- a time-correct ``rangeBetween`` variant — the reference's row frames
+  ("last 168 rows" ≈ "7 days", feature_engineering.py:103-109) are only
+  correct on a dense grid; the range frame is correct on sparse grids.
+
+Rolling stddev is computed from exact decimal sums
+(sqrt((Σx² − (Σx)²/n)/(n−1))) instead of the built-in ``stddev`` so the
+result is identical regardless of intra-frame accumulation order — same
+trick as functions/exact.py, applied per frame.
+
+Scale: every window here partitions by a key (zone/type/entity), so
+state is bounded per partition and Spark's window exec streams sorted
+runs — no driver collection, shuffles only on the partition keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.functions.exact import dec
+
+
+def daily_counts(events: DataFrame) -> DataFrame:
+    """Dense daily demand grain per event_type (the A4 grain at day
+    resolution) — input for lag/rolling features."""
+    return (
+        events.groupBy(
+            F.to_date("ts").alias("d"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def with_lags(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    lags: list[int],
+    prefix: str | None = None,
+) -> DataFrame:
+    """Lag features — W2 (feature_engineering.py:91-100: lag 1/7/14 of
+    trip_count over (zone, hour))."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    p = prefix or f"{value_col}_lag_"
+    for n in lags:
+        df = df.withColumn(f"{p}{n}", F.lag(value_col, n).over(w))
+    return df
+
+
+def _exact_rolling(
+    value_col: str, w: WindowSpec
+) -> tuple[Column, Column, Column]:
+    """(count, Σx, Σx²) over the frame, exactly (decimal accumulate)."""
+    x = dec(value_col)
+    cnt = F.count(value_col).over(w)
+    s1 = F.sum(x).over(w).cast("double")
+    s2 = F.sum(x * x).over(w).cast("double")
+    return cnt, s1, s2
+
+
+def _std_from_moments(cnt: Column, s1: Column, s2: Column) -> Column:
+    return F.when(
+        cnt > 1, F.sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))
+    ).otherwise(F.lit(None))
+
+
+def with_rolling_rows(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    n_rows: int,
+    suffix: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Trailing row-frame rolling stats — W4
+    (feature_engineering.py:103-114: rowsBetween(-168,-1) avg/stddev).
+    Frame = previous ``n_rows`` rows, excluding current."""
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-n_rows, -1)
+    )
+    cnt, s1, s2 = _exact_rolling(value_col, w)
+    return (
+        df.withColumn(f"avg_{suffix}", s1 / cnt)
+        .withColumn(f"std_{suffix}", _std_from_moments(cnt, s1, s2))
+        .withColumn(f"cnt_{suffix}", cnt)
+    )
+
+
+def with_rolling_range_days(
+    df: DataFrame,
+    keys: list[str],
+    date_col: str,
+    value_col: str,
+    n_days: int,
+    suffix: str,
+) -> DataFrame:
+    """Time-correct trailing window — the rangeBetween variant of W4
+    (SURVEY.md §2.6 note). Frame = previous ``n_days`` calendar days
+    (excluding today) keyed on epoch day, correct on sparse grids."""
+    epoch_day = F.datediff(F.col(date_col), F.lit("1970-01-01"))
+    df = df.withColumn("_epoch_day", epoch_day)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_epoch_day")
+        .rangeBetween(-n_days, -1)
+    )
+    cnt, s1, s2 = _exact_rolling(value_col, w)
+    return (
+        df.withColumn(f"avg_{suffix}", s1 / cnt)
+        .withColumn(f"std_{suffix}", _std_from_moments(cnt, s1, s2))
+        .withColumn(f"cnt_{suffix}", cnt)
+        .drop("_epoch_day")
+    )
+
+
+def running_total(
+    df: DataFrame, keys: list[str], order_col: str, value_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Cumulative sum per key (unboundedPreceding → current row)."""
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        "running_total", F.sum(dec(value_col)).over(w).cast("double")
+    )
+
+
+def rank_within(
+    df: DataFrame, keys: list[str], order_col: str, desc: bool = True
+) -> DataFrame:
+    """Ranking trio — W1 surface (row_number/rank/dense_rank)."""
+    oc = F.col(order_col).desc() if desc else F.col(order_col)
+    w = Window.partitionBy(*keys).orderBy(oc)
+    return (
+        df.withColumn("rk", F.rank().over(w))
+        .withColumn("drk", F.dense_rank().over(w))
+    )
+
+
+def churn_label(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    churn_gap_days: int = 30,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based churn labeling — W3/M9
+    (feature_engineering.py:319-328): lead(next activity date) per
+    entity; label 1 when the gap exceeds ``churn_gap_days`` or there is
+    no next activity. ``tiebreak`` makes lead deterministic when an
+    entity has several rows on the same date."""
+    order = [F.col(date_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    nxt = F.lead(F.col(date_col), 1).over(w)
+    return (
+        df.withColumn("next_date", nxt)
+        .withColumn("days_to_next", F.datediff(nxt, F.col(date_col)))
+        .withColumn(
+            "will_churn",
+            F.when(
+                F.col("days_to_next").isNull()
+                | (F.col("days_to_next") > churn_gap_days),
+                1,
+            ).otherwise(0),
+        )
+    )
