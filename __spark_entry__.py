@@ -22,13 +22,18 @@ from pyspark.sql import functions as F
 from distributed_mobility_data_pipeline_spark.operators import aggregates as agg_ops
 from distributed_mobility_data_pipeline_spark.operators import cleaning as clean_ops
 from distributed_mobility_data_pipeline_spark.operators import dedup as dedup_ops
+from distributed_mobility_data_pipeline_spark.operators import dedup_llm as ddllm_ops
 from distributed_mobility_data_pipeline_spark.operators import drift as drift_ops
+from distributed_mobility_data_pipeline_spark.operators import multimodal as mm_ops
+from distributed_mobility_data_pipeline_spark.operators import similarity as sim_ops
+from distributed_mobility_data_pipeline_spark.operators import text as text_ops
 from distributed_mobility_data_pipeline_spark.operators import metrics as metric_ops
 from distributed_mobility_data_pipeline_spark.operators import quality as quality_ops
 from distributed_mobility_data_pipeline_spark.operators import setops as set_ops
 from distributed_mobility_data_pipeline_spark.operators import star as star_ops
 from distributed_mobility_data_pipeline_spark.operators import windows as win_ops
 from distributed_mobility_data_pipeline_spark.sources.readers import read_events
+from distributed_mobility_data_pipeline_spark.streaming import events as stream_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -299,6 +304,86 @@ def queries() -> dict[str, QueryFn]:
             _t(s, d, "events").filter(F.to_date("ts") < F.lit("2024-01-15")),
             _t(s, d, "events").filter(F.to_date("ts") >= F.lit("2024-01-15")),
             "value",
+        ),
+        # North-star: text analysis over documents
+        "text_doc_stats": lambda s, d: text_ops.doc_stats(_t(s, d, "documents")),
+        "text_token_frequencies": lambda s, d: text_ops.token_frequencies(
+            _t(s, d, "documents")
+        ),
+        "text_language_id": lambda s, d: text_ops.language_id(
+            _t(s, d, "documents")
+        ),
+        "text_quality_score": lambda s, d: text_ops.quality_score(
+            _t(s, d, "documents")
+        ),
+        "text_fingerprint": lambda s, d: text_ops.fingerprint(
+            _t(s, d, "documents")
+        ),
+        "text_token_count_bpe": lambda s, d: text_ops.token_count_bpe_ish(
+            _t(s, d, "documents")
+        ),
+        # North-star: document dedup (exact + near)
+        "dedup_docs_exact": lambda s, d: ddllm_ops.exact_dedup(
+            ddllm_ops.with_exact_copies(_t(s, d, "documents"))
+        ),
+        "dedup_docs_jaccard_pairs": lambda s, d: ddllm_ops.ngram_jaccard_pairs(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents")), 3, 0.5
+        ),
+        "dedup_docs_minhash_sig": lambda s, d: ddllm_ops.minhash_signatures(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
+        ),
+        "dedup_docs_minhash_lsh": lambda s, d: ddllm_ops.minhash_lsh_pairs(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
+        ),
+        "dedup_docs_simhash": lambda s, d: ddllm_ops.simhash(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
+        ),
+        "dedup_docs_simhash_hamming": lambda s, d: ddllm_ops.simhash_hamming_known_pairs(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
+        ),
+        # North-star: embedding similarity search
+        "sim_cosine_topk": lambda s, d: sim_ops.cosine_topk(
+            _t(s, d, "embeddings"), [0, 1, 2, 3, 4], 3
+        ),
+        "sim_knn_label_agreement": lambda s, d: sim_ops.knn_label_agreement(
+            _t(s, d, "embeddings")
+        ),
+        "sim_pairs_above_threshold": lambda s, d: sim_ops.pairs_above_threshold(
+            _t(s, d, "embeddings"), 100, 0.25
+        ),
+        "sim_lsh_bucketed_ann": lambda s, d: sim_ops.lsh_bucketed_ann(
+            _t(s, d, "embeddings"), [0, 1, 2, 3, 4]
+        ),
+        "sim_mllib_lsh": lambda s, d: sim_ops.mllib_lsh_neighbors(
+            _t(s, d, "embeddings"), [0, 1, 2]
+        ),
+        # §2.10 streaming twins, run in batch mode (same function bodies
+        # serve readStream inputs — tests/test_streaming.py proves
+        # batch≡stream equivalence on the real file source)
+        "stream_tumbling_hourly": lambda s, d: stream_ops.tumbling_hourly_counts(
+            _t(s, d, "events")
+        ),
+        "stream_sliding_counts": lambda s, d: stream_ops.sliding_counts(
+            _t(s, d, "events")
+        ),
+        "stream_sessionize": lambda s, d: stream_ops.sessionize_batch(
+            _t(s, d, "events"), 30
+        ),
+        "stream_dedup": lambda s, d: stream_ops.streaming_dedup(
+            _t(s, d, "events")
+        ).select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+        ),
+        # North-star: multimodal plumbing
+        "mm_media_metadata": lambda s, d: mm_ops.media_metadata(
+            mm_ops.media_from_documents(_t(s, d, "documents"))
+        ),
+        "mm_extract_features": lambda s, d: mm_ops.extract_features(
+            mm_ops.media_from_documents(_t(s, d, "documents"))
         ),
         "drift_missing_rate_shift": lambda s, d: drift_ops.missing_rate_shift(
             clean_ops.null_out_when(
@@ -760,6 +845,391 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_n AS BIGINT) AS current_n,
                    CAST(CAST((c_pct - b_pct) * ln(c_pct / b_pct) AS DECIMAL(28,8)) AS DOUBLE) AS psi_term
             FROM pct
+        """,
+        "text_doc_stats": """
+            WITH t AS (SELECT *, string_split(trim(text), ' ') AS toks FROM documents)
+            SELECT doc_id, lang,
+                   CAST(length(text) AS INT) AS n_chars_actual,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+                   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / len(toks) AS mean_token_len
+            FROM t
+        """,
+        "text_token_frequencies": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                         FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY 1
+        """,
+        "text_language_id": """
+            WITH t AS (SELECT *, string_split(trim(text), ' ') AS toks FROM documents),
+            s AS (
+              SELECT doc_id, lang AS lang_label,
+                CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS INT) AS score_en,
+                CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','del','las'))) AS INT) AS score_es,
+                CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','du','que'))) AS INT) AS score_fr,
+                CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','von','zu','den','mit','ist','im'))) AS INT) AS score_de
+              FROM t
+            )
+            SELECT doc_id, lang_label, score_en, score_es, score_fr, score_de,
+                   CASE WHEN greatest(score_en, score_es, score_fr, score_de) <= 0 THEN 'unknown'
+                        WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+                        WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+                        WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+                        ELSE 'de' END AS lang_pred
+            FROM s
+        """,
+        "text_quality_score": """
+            WITH t AS (SELECT *, string_split(trim(text), ' ') AS toks FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS INT) AS n_tokens,
+                     CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+                     least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+                     CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE)
+                     / len(toks) AS str_ratio
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   ttr AS type_token_ratio,
+                   len_score AS length_score,
+                   str_ratio AS short_token_ratio,
+                   0.4 * ttr + 0.4 * len_score + 0.2 * (1.0 - str_ratio) AS quality_score,
+                   CAST(0.4 * ttr + 0.4 * len_score + 0.2 * (1.0 - str_ratio) >= 0.5 AS INT) AS keep
+            FROM c
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "text_token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS INT) AS n_pieces,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS DOUBLE)
+                   / length(text) AS pieces_per_char
+            FROM documents
+        """,
+        "dedup_docs_exact": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000, text FROM documents
+            )
+            SELECT sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint,
+                   min(doc_id) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM all_docs GROUP BY 1
+        """,
+        "dedup_docs_jaccard_pairs": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ),
+            norm AS (SELECT doc_id,
+                            string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+                     FROM base),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(len(toks) - 2),
+                                           i -> array_to_string(toks[i+1:i+3], ' '))
+                       ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM norm
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, common,
+                   CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+                   CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+        """,
+        "dedup_docs_minhash_sig": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ),
+            norm AS (SELECT doc_id,
+                            string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+                     FROM base),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(len(toks) - 2),
+                                           i -> array_to_string(toks[i+1:i+3], ' '))
+                       ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM norm
+            )
+            SELECT doc_id,
+                   min(md5('0_' || shingle)) AS mh_0,  min(md5('1_' || shingle)) AS mh_1,
+                   min(md5('2_' || shingle)) AS mh_2,  min(md5('3_' || shingle)) AS mh_3,
+                   min(md5('4_' || shingle)) AS mh_4,  min(md5('5_' || shingle)) AS mh_5,
+                   min(md5('6_' || shingle)) AS mh_6,  min(md5('7_' || shingle)) AS mh_7,
+                   min(md5('8_' || shingle)) AS mh_8,  min(md5('9_' || shingle)) AS mh_9,
+                   min(md5('10_' || shingle)) AS mh_10, min(md5('11_' || shingle)) AS mh_11,
+                   min(md5('12_' || shingle)) AS mh_12, min(md5('13_' || shingle)) AS mh_13,
+                   min(md5('14_' || shingle)) AS mh_14, min(md5('15_' || shingle)) AS mh_15
+            FROM sh GROUP BY doc_id
+        """,
+        "dedup_docs_minhash_lsh": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ),
+            norm AS (SELECT doc_id,
+                            string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+                     FROM base),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(len(toks) - 2),
+                                           i -> array_to_string(toks[i+1:i+3], ' '))
+                       ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM norm
+            ),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('0_' || shingle)) AS mh_0,  min(md5('1_' || shingle)) AS mh_1,
+                     min(md5('2_' || shingle)) AS mh_2,  min(md5('3_' || shingle)) AS mh_3,
+                     min(md5('4_' || shingle)) AS mh_4,  min(md5('5_' || shingle)) AS mh_5,
+                     min(md5('6_' || shingle)) AS mh_6,  min(md5('7_' || shingle)) AS mh_7,
+                     min(md5('8_' || shingle)) AS mh_8,  min(md5('9_' || shingle)) AS mh_9,
+                     min(md5('10_' || shingle)) AS mh_10, min(md5('11_' || shingle)) AS mh_11,
+                     min(md5('12_' || shingle)) AS mh_12, min(md5('13_' || shingle)) AS mh_13,
+                     min(md5('14_' || shingle)) AS mh_14, min(md5('15_' || shingle)) AS mh_15
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band, sha256(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3) AS bhash FROM sig
+              UNION ALL
+              SELECT doc_id, 1, sha256(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7) FROM sig
+              UNION ALL
+              SELECT doc_id, 2, sha256(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11) FROM sig
+              UNION ALL
+              SELECT doc_id, 3, sha256(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15) FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jac AS (
+              SELECT doc_a, doc_b,
+                     CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            )
+            SELECT cand.doc_a, cand.doc_b,
+                   COALESCE(jaccard, 0.0) AS jaccard,
+                   CAST(COALESCE(jaccard, 0.0) >= 0.5 AS INT) AS is_dup
+            FROM cand LEFT JOIN jac ON cand.doc_a = jac.doc_a AND cand.doc_b = jac.doc_b
+        """,
+        "dedup_docs_simhash": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ),
+            tok AS (SELECT doc_id,
+                           unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS token
+                    FROM base),
+            bits AS (
+              SELECT doc_id, j.j AS j,
+                     ascii(substr(sha256(token), j.j + 1, 1)) % 2 AS bit
+              FROM tok CROSS JOIN (SELECT unnest(range(64)) AS j) j
+            ),
+            maj AS (SELECT doc_id, j, sum(bit * 2 - 1) AS balance FROM bits GROUP BY 1, 2)
+            SELECT doc_id,
+                   string_agg(CASE WHEN balance > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+            FROM maj GROUP BY doc_id
+        """,
+        "dedup_docs_simhash_hamming": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ),
+            tok AS (SELECT doc_id,
+                           unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS token
+                    FROM base),
+            bits AS (
+              SELECT doc_id, j.j AS j,
+                     ascii(substr(sha256(token), j.j + 1, 1)) % 2 AS bit
+              FROM tok CROSS JOIN (SELECT unnest(range(64)) AS j) j
+            ),
+            maj AS (SELECT doc_id, j, sum(bit * 2 - 1) AS balance FROM bits GROUP BY 1, 2),
+            sims AS (
+              SELECT doc_id,
+                     string_agg(CASE WHEN balance > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+              FROM maj GROUP BY doc_id
+            )
+            SELECT o.doc_id, o.simhash, d.simhash AS simhash_dup,
+                   CAST(len(list_filter(range(64),
+                        j -> substr(o.simhash, j + 1, 1) != substr(d.simhash, j + 1, 1)))
+                        AS INT) AS hamming
+            FROM sims o JOIN sims d ON d.doc_id = o.doc_id + 100000
+            WHERE o.doc_id < 100000
+        """,
+        "sim_cosine_topk": """
+            WITH n2 AS (
+              SELECT vec_id, embedding, label,
+                     CAST(list_sum(list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+                          AS DOUBLE) AS nrm2
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS qid, c.vec_id AS vid, c.label AS c_label,
+                     CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                          z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                          AS DOUBLE)
+                     / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos_sim
+              FROM n2 q JOIN n2 c ON q.vec_id != c.vec_id
+              WHERE q.vec_id IN (0, 1, 2, 3, 4)
+            )
+            SELECT qid, vid, CAST(rank AS INT) AS rank, cos_sim, c_label
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_sim DESC, vid) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "sim_knn_label_agreement": """
+            WITH n2 AS (
+              SELECT vec_id, embedding, label,
+                     CAST(list_sum(list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+                          AS DOUBLE) AS nrm2
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS qid, q.label AS q_label,
+                     c.vec_id AS vid, c.label AS c_label,
+                     CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                          z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                          AS DOUBLE)
+                     / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos_sim
+              FROM n2 q JOIN n2 c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 50
+            )
+            SELECT qid, vid, cos_sim, q_label, c_label,
+                   CAST(q_label = c_label AS INT) AS label_match
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_sim DESC, vid) AS rank
+              FROM scored
+            ) WHERE rank = 1
+        """,
+        "sim_pairs_above_threshold": """
+            WITH n2 AS (
+              SELECT vec_id, embedding,
+                     CAST(list_sum(list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+                          AS DOUBLE) AS nrm2
+              FROM embeddings WHERE vec_id < 100
+            )
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                          AS DOUBLE)
+                     / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos_sim
+              FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.25
+        """,
+        "stream_tumbling_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS event_count,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "stream_sliding_counts": """
+            WITH panes AS (
+              SELECT event_type,
+                     unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                               - INTERVAL '30 minutes']) AS win_start
+              FROM events
+            )
+            SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+                   strftime(win_start + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS win_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS event_count
+            FROM panes
+            GROUP BY 1, 2, 3
+        """,
+        "stream_sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                     lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            ), flagged AS (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+                             ELSE 0 END AS is_new
+              FROM o
+            ), sess AS (
+              SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+            FROM sess GROUP BY 1, 2
+        """,
+        "stream_dedup": """
+            SELECT event_id,
+                   strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   user_id, event_type, value
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_id
+                                           ORDER BY CAST(ts AS TIMESTAMP)) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "mm_media_metadata": """
+            SELECT doc_id AS media_id,
+                   'text' AS kind,
+                   'text/plain' AS mime,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   sha256(text) AS payload_sha256
+            FROM documents
         """,
         "drift_missing_rate_shift": """
             WITH base AS (

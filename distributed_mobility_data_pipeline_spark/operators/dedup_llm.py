@@ -1,0 +1,259 @@
+"""Large-scale document deduplication (north-star extension,
+BASELINE.json: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Design for 100 TB:
+- exact dedup = hash-groupBy on a content fingerprint (one shuffle on
+  the 32-byte key, not the document);
+- near-dedup avoids the O(n²) pairwise scan: MinHash signatures are a
+  fixed-width per-doc aggregate, LSH banding turns candidate generation
+  into an equi-join on (band, hash) — only candidates pay the Jaccard
+  verification join;
+- SimHash is a per-doc 64-bit aggregate; candidate pairs come from
+  banding or a known-key join, never a cross join.
+
+Cross-engine determinism: MinHash permutations are *lexicographic min
+over md5(seed || shingle) hex strings* — md5 hex is identical in Spark
+and DuckDB, and string min is order-free, so signatures (and therefore
+bands, candidates, and Jaccard numbers) hash-match the oracle exactly.
+SimHash bits come from sha2-hex character parity, same reasoning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.operators.text import normalize_text
+
+N_PERM = 16  # minhash permutations
+BAND_SIZE = 4  # rows per LSH band → 4 bands
+
+
+def with_mutated_copies(docs: DataFrame, id_offset: int = 100_000) -> DataFrame:
+    """Test-fixture helper (FIXTURES.md §4): union the corpus with a
+    near-duplicate copy of itself (last token dropped, shifted ids) so
+    dedup operators have true positives to find on the driver's
+    duplicate-free synthetic corpus."""
+    mutated = docs.select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - instr(reverse(text), ' '))").alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(mutated)
+
+
+def with_exact_copies(docs: DataFrame, id_offset: int = 200_000) -> DataFrame:
+    """Fixture helper: union with byte-identical copies (shifted ids) —
+    true positives for exact dedup."""
+    dup = docs.select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(dup)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: min doc_id survives per normalized-content
+    fingerprint. One shuffle on the sha2 key."""
+    fp = docs.select("doc_id", F.sha2(normalize_text(), 256).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (exploded long format —
+    the scalable representation; no per-row arrays survive the shuffle)."""
+    toks = F.split(normalize_text(), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))  # short doc → whole text
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle equi-join (no cross join):
+    pairs sharing ≥1 shingle get |A∩B| from the join, |A|,|B| from
+    per-doc counts; jaccard = common/(|A|+|B|−common)."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            "n_a",
+            "n_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, n_perm: int = N_PERM) -> DataFrame:
+    """MinHash signature per doc: for permutation i, the lexicographic
+    min of md5(i || '_' || shingle). Wide per-doc row, one groupBy."""
+    sh = shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    n_perm: int = N_PERM,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dedup:
+    signature → bands (hash of ``band_size`` consecutive minhashes) →
+    candidates = pairs sharing any band bucket (equi-join) → exact
+    Jaccard verification on candidates only. The full LSH pipeline a
+    100 TB dedup would run; every step is a DataFrame op."""
+    sig = minhash_signatures(docs, n, n_perm)
+    n_bands = n_perm // band_size
+    band_cols = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.sha2(F.concat_ws("|", *cols), 256).alias("bhash"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, n, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return candidates.join(verified, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        (F.coalesce("jaccard", F.lit(0.0)) >= threshold).cast("int").alias("is_dup"),
+    )
+
+
+def simhash(docs: DataFrame, n_bits: int = 64) -> DataFrame:
+    """SimHash fingerprint as an ``n_bits``-char bitstring.
+
+    Bit j of a token's hash = parity of the j-th hex char of
+    sha2(token); the doc bit is the weighted majority over tokens.
+    Exploding (doc × token × bit) keeps everything in long format —
+    the per-doc aggregate is one groupBy."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(), " ")).alias("token")
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("j"),
+        F.col("token"),
+    ).select(
+        "doc_id",
+        "j",
+        (
+            F.ascii(F.substring(F.sha2(F.col("token"), 256), F.col("j") + 1, 1)) % 2
+        ).alias("bit"),
+    )
+    maj = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("balance")
+    )
+    return maj.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("j"),
+                            F.when(F.col("balance") > 0, F.lit("1"))
+                            .otherwise(F.lit("0"))
+                            .alias("b"),
+                        )
+                    )
+                ),
+                lambda s: s["b"],
+            ),
+        ).alias("simhash")
+    )
+
+
+def simhash_hamming_known_pairs(
+    docs_with_dups: DataFrame, id_offset: int = 100_000
+) -> DataFrame:
+    """Hamming distance between each original and its mutated copy —
+    the SimHash verification join on known candidate keys."""
+    sh = simhash(docs_with_dups)
+    orig = sh.filter(F.col("doc_id") < id_offset).alias("o")
+    dup = sh.select(
+        (F.col("doc_id") - id_offset).alias("doc_id"),
+        F.col("simhash").alias("simhash_dup"),
+    ).filter(F.col("doc_id") >= 0).alias("d")
+    joined = orig.join(dup, "doc_id")
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("simhash"), ""),
+                F.split(F.col("simhash_dup"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    return joined.select(
+        "doc_id", "simhash", "simhash_dup", ham.alias("hamming")
+    )

@@ -1,0 +1,227 @@
+"""Embedding similarity search (north-star extension, BASELINE.json:
+brute-force cosine top-k baseline + LSH/IVF-bucketed scale path).
+
+The dot products fold per-element products into DECIMAL so the result
+is accumulation-order independent and bit-matches the DuckDB oracle
+(same trick as functions/exact.py). Element casts float→double are
+exact, so both engines see identical products.
+
+Scale posture: brute-force is O(|Q|·|C|·d) — correct baseline and fine
+for |Q| small (probe queries). The scale path buckets candidates with
+random-hyperplane LSH so each query only scores its bucket; at 100 TB
+the bucketed join replaces the cross join entirely. MLlib's
+BucketedRandomProjectionLSH (seeded) is also exposed for parity with
+the stock API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,12)"
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Order-free exact-ish dot product: per-element double products
+    (exact), decimal fold (associative)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC)
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(DEC),
+        lambda acc, v: (acc + v).cast(DEC),
+    ).cast("double")
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+) -> DataFrame:
+    """Brute-force cosine top-k: probe vectors (small, broadcast) vs the
+    full corpus. Ties broken by candidate id for determinism."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            "c_label",
+            (
+                _dot(F.col("qe"), F.col("ce"))
+                / (_norm(F.col("qe")) * _norm(F.col("ce")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "cos_sim", "c_label")
+    )
+
+
+def knn_label_agreement(embeddings: DataFrame, k: int = 1) -> DataFrame:
+    """1-NN label agreement over a probe set: for the first 50 vectors,
+    does the nearest neighbor share the label? (The classic embedding
+    sanity metric, fully oracle-checkable.)"""
+    probes = list(range(50))
+    top1 = cosine_topk(embeddings, probes, k)
+    labels = embeddings.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("q_label")
+    )
+    per_q = top1.filter(F.col("rank") == 1).join(F.broadcast(labels), "qid")
+    return per_q.select(
+        "qid",
+        "vid",
+        "cos_sim",
+        "q_label",
+        "c_label",
+        (F.col("q_label") == F.col("c_label")).cast("int").alias("label_match"),
+    )
+
+
+def pairs_above_threshold(
+    embeddings: DataFrame, max_id: int, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs among vec_id < max_id: block-
+    bounded all-pairs (id-ordered to halve work), cosine ≥ threshold.
+    The exact-verification stage of an embedding dedup."""
+    a = embeddings.filter(F.col("vec_id") < max_id).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.filter(F.col("vec_id") < max_id).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb")))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplane_sign(e: Column, plane_seed: str, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane side: weight for element i
+    is ±1 from the parity of a sha2 hex char of (seed, i). Cheap,
+    seedable, reproducible across engines and runs."""
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.ascii(
+                F.substring(
+                    F.sha2(F.concat(F.lit(plane_seed + "_"), i.cast("string")), 256),
+                    1,
+                    1,
+                )
+            )
+            % 2
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(
+        F.zip_with(e, signs, lambda x, s: (x.cast("double") * s).cast(DEC)),
+        F.lit(0).cast(DEC),
+        lambda acc, v: (acc + v).cast(DEC),
+    ).cast("double")
+    return (proj >= 0).cast("int")
+
+
+def lsh_bucketed_ann(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    n_planes: int = 8,
+    dim: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucket key (n_planes sign
+    bits), equi-join queries to their bucket, exact cosine within the
+    bucket only. Recall < 1 by design (approximate) but each query
+    scores ~|C|/2^n_planes candidates instead of |C|."""
+    sig = embeddings.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.concat_ws(
+            "",
+            *[
+                _hyperplane_sign(F.col("embedding"), f"plane_{p}", dim).cast("string")
+                for p in range(n_planes)
+            ],
+        ).alias("bucket"),
+    )
+    q = sig.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(sig, "bucket")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            (
+                _dot(F.col("qe"), F.col("embedding"))
+                / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "cos_sim")
+    )
+
+
+def mllib_lsh_neighbors(
+    embeddings: DataFrame, query_ids: list[int], k: int = 3
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH variant (seeded) — the stock
+    API path; rows-only check (hash family differs from the oracle)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(vecs)
+    q = vecs.filter(F.col("vec_id").isin(query_ids))
+    joined = model.approxSimilarityJoin(q, vecs, 2.0, distCol="dist").filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("vid"))
+    return (
+        joined.select(
+            F.col("datasetA.vec_id").alias("qid"),
+            F.col("datasetB.vec_id").alias("vid"),
+            F.col("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,149 @@
+"""Text-analysis operators for LLM training-data pipelines (north-star
+extension, BASELINE.json: "text analysis" over `documents`).
+
+All operators are pure column algebra over ``split``/``filter``/
+``transform`` array expressions — no Python UDFs, so they stay inside
+whole-stage codegen and scale linearly with no shuffle except the
+explicitly-agg'd ones. Token model: whitespace tokens (the driver's
+documents are space-separated); a BPE-ish regex variant is provided for
+natural text.
+
+Cross-engine notes: token ops use single-space split so Spark and the
+DuckDB oracle agree byte-for-byte; ratios divide exact longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Public common-word lists, truncated.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"],
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), " ")
+
+
+def normalize_text(col: str = "text") -> Column:
+    """Canonical form for fingerprinting: lower + trim + collapse
+    internal whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), " +", " ")
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens,
+    type-token ratio, mean token length."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tok).alias("type_token_ratio"),
+        (total_tok_chars.cast("double") / n_tok).alias("mean_token_len"),
+    )
+
+
+def token_frequencies(docs: DataFrame) -> DataFrame:
+    """Corpus token frequency table: explode → count → doc frequency."""
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic family).
+
+    Scores each language by stopword hits in the token stream; argmax
+    with a fixed preference order (en > es > fr > de) and 'unknown' when
+    every score is zero. Deterministic by construction, so it is
+    oracle-checkable even on synthetic text where the true label is
+    unrecoverable."""
+    toks = _tokens()
+    scored = docs
+    for lang, words in STOPWORDS.items():
+        in_list = F.array([F.lit(w) for w in words])
+        scored = scored.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(toks, lambda t: F.array_contains(in_list, t))),
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in STOPWORDS:  # insertion order = preference order on ties
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[F.col(f"score_{lang}") for lang in STOPWORDS],
+        pred.alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality score (length / repetition / lexical
+    diversity), the LLM-data "quality scoring" filter. Components are
+    ratios of exact counts; the blend is fixed-weight column algebra."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    len_score = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    short_tok_ratio = (
+        F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / n_tok
+    )
+    score = (
+        F.lit(0.4) * ttr + F.lit(0.4) * len_score + F.lit(0.2) * (1.0 - short_tok_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        len_score.alias("length_score"),
+        short_tok_ratio.alias("short_token_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.5).cast("int").alias("keep"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: sha2-256 of the normalized text (the exact-
+    dedup key; rolling-hash document fingerprinting family)."""
+    return docs.select(
+        "doc_id",
+        F.sha2(normalize_text(), 256).alias("fingerprint"),
+    )
+
+
+def token_count_bpe_ish(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish regex (word pieces + digits +
+    punctuation runs) — the natural-text variant of n_tokens. Regex kept
+    to a class both Java and RE2 interpret identically."""
+    pieces = F.expr(
+        r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        (F.size(pieces).cast("double") / F.length("text")).alias(
+            "pieces_per_char"
+        ),
+    )

@@ -1,0 +1,170 @@
+"""Structured Streaming operators (SURVEY.md §2.10).
+
+The reference has no true streaming — its "real-time" path is a FastAPI
+row loop (app.py:269-378) and its hourly grain is a batch
+``date_trunc`` (feature_engineering.py:58-74). These are the streaming
+twins the capability contract asks for: watermarked tumbling / sliding /
+session windows and streaming keep-first dedup over an `events`-shaped
+stream.
+
+Every transformation is defined on a plain DataFrame, so the SAME
+function body serves batch and streaming (Spark's unified API); tests
+run them both ways and check batch≡stream equivalence. File source
+here; on a cluster the source swaps to Kafka with no operator change.
+
+Watermarks bound state: at 100 TB/day the tumbling-count state is
+(#keys × #open-windows) rows, evicted as the watermark passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.schemas import EVENTS
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of events (parquet dir). The driver's
+    events.parquet has ns timestamps; the streaming reader gets the same
+    nanosAsLong treatment as the batch reader."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    if path.endswith(".parquet"):
+        # the file stream source needs a directory or glob, not one file
+        path = path[: -len("t")] + "*"
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of aggregates.hourly_demand: 1h tumbling window
+    counts per event_type with late-data watermark."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "event_count",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide panes)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows: a session closes after ``gap`` of
+    inactivity (session_window, the streaming sessionization operator)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming D1: dropDuplicates keyed on event_id within the
+    watermark horizon (the bounded-state streaming dedup)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["event_id"])
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization via lag + cumulative session ids (the
+    window-function equivalent of session_window, SURVEY §2.10 /
+    'Sessionization' pattern) — oracle-checkable in plain SQL."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000  # exact integer µs: no float/floor ambiguity
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us),
+        1,
+    ).otherwise(0)
+    df = events.withColumn("_new", new_sess).withColumn(
+        "session_seq",
+        F.sum("_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        df.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming aggregate to completion against the file
+    source (test/local harness): memory sink + processAllAvailable."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
