@@ -31,6 +31,9 @@ from distributed_mobility_data_pipeline_spark.operators import metrics as metric
 from distributed_mobility_data_pipeline_spark.operators import quality as quality_ops
 from distributed_mobility_data_pipeline_spark.operators import setops as set_ops
 from distributed_mobility_data_pipeline_spark.operators import star as star_ops
+from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
+from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
+from distributed_mobility_data_pipeline_spark.ml import training as mltrain
 from distributed_mobility_data_pipeline_spark.operators import windows as win_ops
 from distributed_mobility_data_pipeline_spark.sources.readers import read_events
 from distributed_mobility_data_pipeline_spark.streaming import events as stream_ops
@@ -377,6 +380,28 @@ def queries() -> dict[str, QueryFn]:
             "user_id",
             "event_type",
             "value",
+        ),
+        # §2.12 ML layer
+        "ml_demand_features": lambda s, d: mlfeat.demand_features(
+            _t(s, d, "events")
+        ),
+        "ml_churn_features": lambda s, d: mlfeat.churn_features(
+            _t(s, d, "orders")
+        ),
+        "ml_score_pandas_udf": lambda s, d: mlscore.score_demand_pandas_udf(
+            mlfeat.demand_features(_t(s, d, "events"))
+        ).select("d", "event_type", "n", "predicted_demand"),
+        "ml_score_expression": lambda s, d: mlscore.score_demand_expression(
+            mlfeat.demand_features(_t(s, d, "events"))
+        ).select("d", "event_type", "n", "predicted_demand"),
+        "ml_score_surge": lambda s, d: mlscore.score_surge_expression(
+            mlfeat.demand_features(_t(s, d, "events"))
+        ).select("d", "event_type", "n", "predicted_surge"),
+        "ml_train_demand_models": lambda s, d: mltrain.train_demand_models(
+            mlfeat.demand_features(_t(s, d, "events"))
+        ),
+        "ml_train_classifier": lambda s, d: mltrain.train_category_classifier(
+            _t(s, d, "events")
         ),
         # North-star: multimodal plumbing
         "mm_media_metadata": lambda s, d: mm_ops.media_metadata(
@@ -1167,6 +1192,117 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos_sim
               FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.25
+        """,
+        "ml_demand_features": """
+            WITH dc AS (
+              SELECT CAST(ts AS DATE) AS d, event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2
+            ), feat AS (
+              SELECT *, lag(n, 1) OVER w AS n_lag_1, lag(n, 7) OVER w AS n_lag_7,
+                     CAST(sum(CAST(n AS DECIMAL(18,6))) OVER wf AS DOUBLE) AS s1,
+                     CAST(sum(CAST(n AS DECIMAL(18,6)) * CAST(n AS DECIMAL(18,6))) OVER wf AS DOUBLE) AS s2,
+                     count(n) OVER wf AS cnt
+              FROM dc
+              WINDOW w AS (PARTITION BY event_type ORDER BY d),
+                     wf AS (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CAST(d AS VARCHAR) AS d, event_type, n, sum_value,
+                   n_lag_1, n_lag_7,
+                   s1 / cnt AS avg_7r,
+                   CASE WHEN cnt > 1 THEN sqrt((s2 - s1*s1/cnt) / (cnt-1)) END AS std_7r,
+                   CAST(cnt AS BIGINT) AS cnt_7r,
+                   CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+                   CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,
+                   CASE WHEN s1 / cnt IS NOT NULL AND n > (s1 / cnt) * 1.5
+                        THEN 1 ELSE 0 END AS is_spike
+            FROM feat
+        """,
+        "ml_churn_features": """
+            WITH base AS (
+              SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+              FROM orders
+            ), lab AS (
+              SELECT *, lead(od, 1) OVER w AS next_date,
+                     CAST(lead(od, 1) OVER w - od AS INT) AS days_to_next,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER wf AS DOUBLE) AS s1,
+                     count(o_totalprice) OVER wf AS cnt
+              FROM base
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey),
+                     wf AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT o_orderkey, o_custkey, CAST(od AS VARCHAR) AS od, o_totalprice,
+                   days_to_next,
+                   CASE WHEN days_to_next IS NULL OR days_to_next > 30
+                        THEN 1 ELSE 0 END AS will_churn,
+                   s1 / cnt AS avg_3o,
+                   CAST(cnt AS BIGINT) AS cnt_3o
+            FROM lab
+        """,
+        "ml_score_pandas_udf": """
+            WITH dc AS (
+              SELECT CAST(ts AS DATE) AS d, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), feat AS (
+              SELECT *, lag(n, 1) OVER w AS n_lag_1, lag(n, 7) OVER w AS n_lag_7,
+                     CAST(sum(CAST(n AS DECIMAL(18,6))) OVER wf AS DOUBLE) AS s1,
+                     count(n) OVER wf AS cnt
+              FROM dc
+              WINDOW w AS (PARTITION BY event_type ORDER BY d),
+                     wf AS (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CAST(d AS VARCHAR) AS d, event_type, n,
+                   round(0.5 * COALESCE(CAST(n_lag_1 AS DOUBLE), 0)
+                         + 0.3 * COALESCE(CAST(n_lag_7 AS DOUBLE), 0)
+                         + 0.2 * COALESCE(s1 / cnt, 0.0)
+                         + 1.0, 3) AS predicted_demand
+            FROM feat
+        """,
+        "ml_score_expression": """
+            WITH dc AS (
+              SELECT CAST(ts AS DATE) AS d, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), feat AS (
+              SELECT *, lag(n, 1) OVER w AS n_lag_1, lag(n, 7) OVER w AS n_lag_7,
+                     CAST(sum(CAST(n AS DECIMAL(18,6))) OVER wf AS DOUBLE) AS s1,
+                     count(n) OVER wf AS cnt
+              FROM dc
+              WINDOW w AS (PARTITION BY event_type ORDER BY d),
+                     wf AS (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CAST(d AS VARCHAR) AS d, event_type, n,
+                   round(0.5 * COALESCE(CAST(n_lag_1 AS DOUBLE), 0)
+                         + 0.3 * COALESCE(CAST(n_lag_7 AS DOUBLE), 0)
+                         + 0.2 * COALESCE(s1 / cnt, 0.0)
+                         + 1.0, 3) AS predicted_demand
+            FROM feat
+        """,
+        "ml_score_surge": """
+            WITH dc AS (
+              SELECT CAST(ts AS DATE) AS d, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), feat AS (
+              SELECT *, CAST(sum(CAST(n AS DECIMAL(18,6))) OVER wf AS DOUBLE) AS s1,
+                     count(n) OVER wf AS cnt
+              FROM dc
+              WINDOW wf AS (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CAST(d AS VARCHAR) AS d, event_type, n,
+                   round(least(greatest(
+                     1.0
+                     + COALESCE(CAST(n AS DOUBLE) / nullif(s1 / cnt, 0.0), 1.0) * 0.25
+                     + CASE WHEN dayofweek(d) IN (0, 6) THEN 1.0 ELSE 0.0 END * 0.1,
+                     1.0), 3.0), 3) AS predicted_surge
+            FROM feat
         """,
         "stream_tumbling_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,

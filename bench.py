@@ -31,6 +31,15 @@ HEADLINE = [
     "agg_driver_daily_summary",
     "agg_top_k_per_group",
     "agg_cube_revenue",
+    "star_trips_fact",
+    "join_ri_check",
+    "dedup_keep_latest",
+    "win_rolling_rows",
+    "ml_demand_features",
+    "stream_sessionize",
+    "text_doc_stats",
+    "dedup_docs_minhash_lsh",
+    "sim_cosine_topk",
 ]
 
 

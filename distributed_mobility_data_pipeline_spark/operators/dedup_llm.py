@@ -126,15 +126,18 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, n_perm: int = N_PERM) -> DataFrame:
-    """MinHash signature per doc: for permutation i, the lexicographic
-    min of md5(i || '_' || shingle). Wide per-doc row, one groupBy."""
-    sh = shingles(docs, n)
+def _minhash_signatures_from_shingles(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(n_perm)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, n_perm: int = N_PERM) -> DataFrame:
+    """MinHash signature per doc: for permutation i, the lexicographic
+    min of md5(i || '_' || shingle). Wide per-doc row, one groupBy."""
+    return _minhash_signatures_from_shingles(shingles(docs, n), n_perm)
 
 
 def minhash_lsh_pairs(
@@ -148,8 +151,15 @@ def minhash_lsh_pairs(
     signature → bands (hash of ``band_size`` consecutive minhashes) →
     candidates = pairs sharing any band bucket (equi-join) → exact
     Jaccard verification on candidates only. The full LSH pipeline a
-    100 TB dedup would run; every step is a DataFrame op."""
-    sig = minhash_signatures(docs, n, n_perm)
+    100 TB dedup would run; every step is a DataFrame op.
+
+    The shingle table feeds four consumers (signatures, both sides of
+    the verification join, sizes); persist it once instead of
+    recomputing the normalize→shingle→explode lineage each time — at
+    scale this is the materialized intermediate a production dedup
+    would checkpoint."""
+    sh = shingles(docs, n).persist()
+    sig = _minhash_signatures_from_shingles(sh, n_perm)
     n_bands = n_perm // band_size
     band_cols = []
     for b in range(n_bands):
@@ -177,14 +187,46 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, n, threshold=0.0).select(
-        "doc_a", "doc_b", "jaccard"
+    # Exact Jaccard on CANDIDATES ONLY — this is the whole point of LSH:
+    # the all-pairs shingle join never happens; each candidate pair joins
+    # its two (small) shingle sets.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    common = (
+        candidates.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    return candidates.join(verified, ["doc_a", "doc_b"], "left").select(
+    verified = (
+        candidates.join(common, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce("common", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("common", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.select(
         "doc_a",
         "doc_b",
-        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
-        (F.coalesce("jaccard", F.lit(0.0)) >= threshold).cast("int").alias("is_dup"),
+        "jaccard",
+        (F.col("jaccard") >= threshold).cast("int").alias("is_dup"),
     )
 
 

@@ -1,0 +1,74 @@
+"""End-to-end medallion pipeline on the trips fixture — mirrors the
+reference's test invariants (SURVEY.md §5: required columns, dedup,
+no-null keys, non-negative fares, min table sizes)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_mobility_data_pipeline_spark.plans import medallion
+from tests.fixtures import trips_pdf
+
+
+@pytest.fixture(scope="module")
+def layers(spark):
+    raw = spark.createDataFrame(trips_pdf())
+    b = medallion.bronze(raw, "fixture")
+    s = medallion.silver(b)
+    return {"raw": raw, "bronze": b, "silver": s, **medallion.gold(s)}
+
+
+def test_bronze_audit_columns(layers):
+    for c in ("ingested_at", "source_file", "requested_date"):
+        assert c in layers["bronze"].columns
+    assert layers["bronze"].count() == 2050  # fixture injects 50 dups
+
+
+def test_silver_dedup_and_invariants(layers):
+    s = layers["silver"]
+    assert s.count() == 2000  # dups collapsed
+    assert s.filter(F.col("trip_id").isNull()).count() == 0
+    assert s.filter(F.col("fare_amount") < 0).count() == 0
+    # normalization: payment_method lowercased + trimmed
+    vals = {r[0] for r in s.select("payment_method").distinct().collect()}
+    assert vals == {"card", "wallet", "cash"}
+    # cancelled trips have completed_at nulled
+    assert (
+        s.filter(
+            F.col("status").startswith("cancelled")
+            & F.col("completed_at").isNotNull()
+        ).count()
+        == 0
+    )
+
+
+def test_gold_star_schema(layers):
+    tf = layers["trips_fact"]
+    assert tf.count() == 2000
+    # surrogate keys resolve for every fact row (RI holds)
+    assert tf.filter(F.col("user_key").isNull()).count() == 0
+    assert tf.filter(F.col("pickup_location_id").isNull()).count() == 0
+    assert layers["dim_users"].count() <= 500
+    assert layers["payments_fact"].count() == 2000
+
+
+def test_gold_aggregates_consistency(layers):
+    rev = layers["revenue_daily_by_pickup_zone"]
+    total = rev.agg(F.sum("completed_trips")).collect()[0][0]
+    completed = layers["silver"].filter(F.col("status") == "completed").count()
+    assert total == completed
+    assert rev.filter(F.col("total_revenue") < 0).count() == 0
+
+
+def test_medallion_persist_roundtrip(spark, tmp_path):
+    raw = spark.createDataFrame(trips_pdf(300))
+    out = medallion.run_medallion(raw, str(tmp_path / "lake"))
+    back = spark.read.parquet(str(tmp_path / "lake" / "silver"))
+    assert back.count() == out["silver"].count()
+    # partition pruning works on the persisted layout
+    one_day = back.select("requested_date").distinct().limit(1).collect()[0][0]
+    pruned = spark.read.parquet(str(tmp_path / "lake" / "silver")).filter(
+        F.col("requested_date") == F.lit(one_day)
+    )
+    assert 0 < pruned.count() < back.count()

@@ -1,0 +1,57 @@
+"""Write-path semantics (SURVEY.md §2.1 S3-S5): overwrite, append, and
+MERGE idempotency — re-running the same upsert must not duplicate rows
+(the property batch_scoring.py:151-186 relies on)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from distributed_mobility_data_pipeline_spark.sources import writers
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, ds string, v double")
+
+
+def test_overwrite_and_append(spark, tmp_path):
+    p = str(tmp_path / "t1")
+    writers.write_overwrite(_df(spark, [(1, "a", 1.0)]), p)
+    writers.write_append(_df(spark, [(2, "a", 2.0)]), p)
+    assert spark.read.parquet(p).count() == 2
+    writers.write_overwrite(_df(spark, [(9, "b", 9.0)]), p)
+    assert spark.read.parquet(p).count() == 1
+
+
+def test_partitioned_write(spark, tmp_path):
+    p = str(tmp_path / "t2")
+    writers.write_overwrite(
+        _df(spark, [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)]),
+        p,
+        partition_by=["ds"],
+    )
+    df = spark.read.parquet(p)
+    assert df.filter(F.col("ds") == "2024-01-01").count() == 1
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t3")
+    writers.merge_upsert(
+        spark, _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), p, keys=["k"]
+    )
+    # update k=2, insert k=3
+    src = _df(spark, [(2, "a", 20.0), (3, "b", 3.0)])
+    writers.merge_upsert(spark, src, p, keys=["k"])
+    out = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
+    assert out == {(1, 1.0), (2, 20.0), (3, 3.0)}
+    # idempotency: same merge again → same table
+    writers.merge_upsert(spark, src, p, keys=["k"])
+    out2 = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
+    assert out2 == out
+
+
+def test_merge_creates_when_missing(spark, tmp_path):
+    p = str(tmp_path / "t4")
+    assert not writers.table_exists(spark, p)
+    writers.merge_upsert(spark, _df(spark, [(1, "a", 1.0)]), p, keys=["k"])
+    assert writers.table_exists(spark, p)
+    assert spark.read.parquet(p).count() == 1
