@@ -31,6 +31,7 @@ from distributed_mobility_data_pipeline_spark.operators import metrics as metric
 from distributed_mobility_data_pipeline_spark.operators import quality as quality_ops
 from distributed_mobility_data_pipeline_spark.operators import setops as set_ops
 from distributed_mobility_data_pipeline_spark.operators import star as star_ops
+from distributed_mobility_data_pipeline_spark.operators import asof as asof_ops
 from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
 from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
 from distributed_mobility_data_pipeline_spark.ml import training as mltrain
@@ -381,6 +382,77 @@ def queries() -> dict[str, QueryFn]:
             "event_type",
             "value",
         ),
+        # unpivot/melt + explicit grouping sets (relational extras)
+        "agg_unpivot_measures": lambda s, d: _t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        ),
+        "agg_grouping_sets": lambda s, d: (
+            _t(s, d, "lineitem").createOrReplaceTempView("_li_gs")
+            or s.sql(
+                """
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                       count(*) AS n
+                FROM _li_gs
+                GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                """
+            )
+        ),
+        # extended join surface: as-of (point-in-time) join
+        "join_asof_orders_events": lambda s, d: asof_ops.asof_join(
+            _t(s, d, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_orderdate").alias("order_ts"),
+                "o_totalprice",
+            ),
+            _t(s, d, "events"),
+            "o_custkey",
+            "user_id",
+            "order_ts",
+            "ts",
+            ["event_type", "value"],
+            "event_id",
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("order_ts", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            F.col("asof_event_type").alias("last_event_type"),
+            F.col("asof_value").alias("last_event_value"),
+        ),
+        # §2.9 extension: JSON scalar functions over props
+        "json_extract_props": lambda s, d: _t(s, d, "events").select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        ),
+        "json_props_agg": lambda s, d: _t(s, d, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("decimal(18,6)")).cast("double").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        ),
+        # exact quantiles (A10's exact twin; approx variant in drift ops)
+        "agg_exact_quantiles": lambda s, d: _t(s, d, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q"))
+        .select(
+            "event_type",
+            F.element_at("q", 1).alias("p25"),
+            F.element_at("q", 2).alias("p50"),
+            F.element_at("q", 3).alias("p75"),
+        ),
         # §2.12 ML layer
         "ml_demand_features": lambda s, d: mlfeat.demand_features(
             _t(s, d, "events")
@@ -429,6 +501,21 @@ def queries() -> dict[str, QueryFn]:
 # ---------------------------------------------------------------------------
 # oracle_sql() — DuckDB-runnable ANSI SQL twins
 # ---------------------------------------------------------------------------
+
+
+from distributed_mobility_data_pipeline_spark.operators.dedup_llm import (  # noqa: E402
+    MINHASH_P,
+    MINHASH_PARAMS,
+)
+
+# DuckDB twin of the Spark minhash: same md5-prefix base hash, same
+# affine permutation constants → identical signatures.
+_MH_COLS = ",\n                   ".join(
+    f"min((CAST({a} AS BIGINT)"
+    f" * CAST(('0x' || substr(md5(shingle),1,8)) AS BIGINT)"
+    f" + {b}) % {MINHASH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(MINHASH_PARAMS)
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1003,14 +1090,7 @@ def oracle_sql() -> dict[str, str]:
               FROM norm
             )
             SELECT doc_id,
-                   min(md5('0_' || shingle)) AS mh_0,  min(md5('1_' || shingle)) AS mh_1,
-                   min(md5('2_' || shingle)) AS mh_2,  min(md5('3_' || shingle)) AS mh_3,
-                   min(md5('4_' || shingle)) AS mh_4,  min(md5('5_' || shingle)) AS mh_5,
-                   min(md5('6_' || shingle)) AS mh_6,  min(md5('7_' || shingle)) AS mh_7,
-                   min(md5('8_' || shingle)) AS mh_8,  min(md5('9_' || shingle)) AS mh_9,
-                   min(md5('10_' || shingle)) AS mh_10, min(md5('11_' || shingle)) AS mh_11,
-                   min(md5('12_' || shingle)) AS mh_12, min(md5('13_' || shingle)) AS mh_13,
-                   min(md5('14_' || shingle)) AS mh_14, min(md5('15_' || shingle)) AS mh_15
+                   """ + _MH_COLS + """
             FROM sh GROUP BY doc_id
         """,
         "dedup_docs_minhash_lsh": """
@@ -1034,24 +1114,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             sig AS (
               SELECT doc_id,
-                     min(md5('0_' || shingle)) AS mh_0,  min(md5('1_' || shingle)) AS mh_1,
-                     min(md5('2_' || shingle)) AS mh_2,  min(md5('3_' || shingle)) AS mh_3,
-                     min(md5('4_' || shingle)) AS mh_4,  min(md5('5_' || shingle)) AS mh_5,
-                     min(md5('6_' || shingle)) AS mh_6,  min(md5('7_' || shingle)) AS mh_7,
-                     min(md5('8_' || shingle)) AS mh_8,  min(md5('9_' || shingle)) AS mh_9,
-                     min(md5('10_' || shingle)) AS mh_10, min(md5('11_' || shingle)) AS mh_11,
-                     min(md5('12_' || shingle)) AS mh_12, min(md5('13_' || shingle)) AS mh_13,
-                     min(md5('14_' || shingle)) AS mh_14, min(md5('15_' || shingle)) AS mh_15
+                   """ + _MH_COLS + """
               FROM sh GROUP BY doc_id
             ),
             bands AS (
-              SELECT doc_id, 0 AS band, sha256(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3) AS bhash FROM sig
+              SELECT doc_id, 0 AS band,
+                     sha256(mh_0::VARCHAR || '|' || mh_1::VARCHAR || '|' || mh_2::VARCHAR || '|' || mh_3::VARCHAR) AS bhash FROM sig
               UNION ALL
-              SELECT doc_id, 1, sha256(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7) FROM sig
+              SELECT doc_id, 1,
+                     sha256(mh_4::VARCHAR || '|' || mh_5::VARCHAR || '|' || mh_6::VARCHAR || '|' || mh_7::VARCHAR) FROM sig
               UNION ALL
-              SELECT doc_id, 2, sha256(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11) FROM sig
+              SELECT doc_id, 2,
+                     sha256(mh_8::VARCHAR || '|' || mh_9::VARCHAR || '|' || mh_10::VARCHAR || '|' || mh_11::VARCHAR) FROM sig
               UNION ALL
-              SELECT doc_id, 3, sha256(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15) FROM sig
+              SELECT doc_id, 3,
+                     sha256(mh_12::VARCHAR || '|' || mh_13::VARCHAR || '|' || mh_14::VARCHAR || '|' || mh_15::VARCHAR) FROM sig
             ),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1192,6 +1269,70 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos_sim
               FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.25
+        """,
+        "agg_unpivot_measures": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        """,
+        "agg_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "join_asof_orders_events": """
+            WITH r AS (
+              SELECT user_id AS _k, CAST(ts AS TIMESTAMP) AS _t, 0 AS _is_left,
+                     event_id AS _tb, event_type AS v_et, value AS v_val,
+                     NULL::BIGINT AS o_orderkey, NULL::BIGINT AS o_custkey,
+                     NULL::TIMESTAMP AS order_ts, NULL::DOUBLE AS o_totalprice
+              FROM events
+            ), l AS (
+              SELECT o_custkey AS _k, CAST(o_orderdate AS TIMESTAMP) AS _t, 1 AS _is_left,
+                     NULL::BIGINT AS _tb, NULL::VARCHAR AS v_et, NULL::DOUBLE AS v_val,
+                     o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+                     o_totalprice
+              FROM orders
+            ), u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+            carried AS (
+              SELECT *,
+                     last_value(v_et IGNORE NULLS) OVER w AS last_event_type,
+                     last_value(v_val IGNORE NULLS) OVER w AS last_event_value
+              FROM u
+              WINDOW w AS (PARTITION BY _k
+                           ORDER BY _t, _is_left, _tb ASC NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT o_orderkey, o_custkey,
+                   strftime(order_ts, '%Y-%m-%d') AS order_date,
+                   o_totalprice, last_event_type, last_event_value
+            FROM carried WHERE _is_left = 1
+        """,
+        "json_extract_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        """,
+        "json_props_agg": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS sum_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+            FROM events GROUP BY 1
+        """,
+        "agg_exact_quantiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.75) AS p75
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
         """,
         "ml_demand_features": """
             WITH dc AS (

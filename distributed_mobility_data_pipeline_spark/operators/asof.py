@@ -1,0 +1,69 @@
+"""As-of (point-in-time) join — a capability Spark lacks natively
+(pyspark guide: 'As-of / range join').
+
+Implemented with the union-tag + last-non-null-window technique: tag
+right rows 0 and left rows 1, union on a common shape, sort within each
+key by (time, tag, tiebreak), and carry the right columns forward with
+``last(ignorenulls=True)``. One shuffle on the key, no range cross-join,
+fully deterministic — and identical SQL runs on DuckDB for the oracle.
+
+At 100 TB this beats the naive theta-join (which Spark would execute as
+BroadcastNestedLoop or a huge range join): state per key is one sort,
+and skewed keys fall to AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_time <= left_time on the same key. Right rows at equal
+    (time, tiebreak) resolve by the highest tiebreak — deterministic."""
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.col(tiebreak).alias("_tb"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+        ],
+    )
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    u = r.unionByName(l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"asof_{c}") for c in value_cols],
+    )

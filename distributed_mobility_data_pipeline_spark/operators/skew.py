@@ -1,0 +1,53 @@
+"""Skew mitigation (SURVEY.md §4c: "salting helper for skewed zone keys
+at 100 TB; AQE skew-join handles most cases").
+
+AQE's skew-join splitting (on by default in session.py) is the first
+line of defense. Salting is for the cases AQE can't fix: skewed
+*aggregations* and skewed broadcast-ineligible joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    unique_col: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key fix: the large side gets a
+    deterministic salt (hash of its unique column), the small side is
+    replicated n_salts times, and the join key becomes (key, salt) — a
+    single hot key now spreads over ``n_salts`` reducers.
+
+    Deterministic (salt = xxhash of ``unique_col``), so results are
+    reproducible and equal to the unsalted join (tested)."""
+    salted_large = large.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts))
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")
+    ).alias("_salt")
+    salted_small = small.select("*", salts)
+    out = salted_large.join(salted_small, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_count(
+    df: DataFrame, key: str, unique_col: str, n_salts: int = 8
+) -> DataFrame:
+    """Two-phase aggregation for skewed groupBy keys: partial count per
+    (key, salt), then final combine per key. Spark's hash aggregate
+    already does map-side partial combine, so this only matters when a
+    single key overflows one reducer's partition — the 100 TB case."""
+    partial = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)))
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return partial.groupBy(key).agg(F.sum("_n").alias("n"))

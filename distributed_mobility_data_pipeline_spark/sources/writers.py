@@ -56,6 +56,47 @@ def table_exists(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_cols: list[str], n_buckets: int = 16
+) -> None:
+    """Bucketed managed table: joins/aggs on ``bucket_cols`` between
+    co-bucketed tables skip the shuffle entirely (pyspark guide:
+    'Bucketing'). The 100 TB answer for repeatedly-joined fact tables."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
+def optimize_layout(
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str],
+    target_partitions: int | None = None,
+) -> None:
+    """Data-layout maintenance — S11 (gold_dag.py:194-212 calls a
+    nonexistent ``delta.optimize_table(zorder_by=...)``; working here).
+
+    Delta path: OPTIMIZE ... ZORDER BY. Parquet path: the poor-man's
+    Z-order — range-repartition + in-partition sort on the locality
+    columns, so min/max row-group stats prune on those columns."""
+    if has_delta():
+        cols = ", ".join(f"`{c}`" for c in zorder_by)
+        spark.sql(f"OPTIMIZE delta.`{path}` ZORDER BY ({cols})")
+        return
+    df = spark.read.parquet(path)
+    n = target_partitions or max(df.rdd.getNumPartitions() // 4, 1)
+    out = (
+        df.repartitionByRange(n, *zorder_by)
+        .sortWithinPartitions(*zorder_by)
+        .localCheckpoint(eager=True)
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
 def merge_upsert(
     spark: SparkSession,
     source: DataFrame,

@@ -13,8 +13,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        "tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()
 

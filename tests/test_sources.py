@@ -1,0 +1,56 @@
+"""Reader/maintenance coverage (SURVEY.md §2.1 S1/S9/S11): CSV with
+explicit schema, schema'd JSONL scan, layout optimize."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from distributed_mobility_data_pipeline_spark.sources import readers, writers
+
+
+def test_csv_reader_explicit_schema(spark, tmp_path):
+    p = tmp_path / "trips.csv"
+    p.write_text("trip_id,fare\n1,10.5\n2,20.0\n")
+    schema = T.StructType(
+        [
+            T.StructField("trip_id", T.LongType()),
+            T.StructField("fare", T.DoubleType()),
+        ]
+    )
+    df = readers.read_csv(spark, str(p), schema)
+    assert df.schema == schema
+    assert df.agg(F.sum("fare")).collect()[0][0] == 30.5
+
+
+def test_jsonl_log_reader(spark, tmp_path):
+    p = tmp_path / "api_log.jsonl"
+    rows = [
+        {"endpoint": "/predict/demand", "latency_ms": 12.5, "status": 200},
+        {"endpoint": "/predict/surge", "latency_ms": 40.0, "status": 200},
+        {"endpoint": "/predict/demand", "latency_ms": 9.1, "status": 500},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("endpoint", T.StringType()),
+            T.StructField("latency_ms", T.DoubleType()),
+            T.StructField("status", T.IntegerType()),
+        ]
+    )
+    df = readers.read_json_log(spark, str(p), schema)
+    assert df.count() == 3
+    ok = df.filter(F.col("status") == 200).agg(F.avg("latency_ms")).collect()[0][0]
+    assert abs(ok - 26.25) < 1e-9
+
+
+def test_optimize_layout_parquet(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    df.repartition(8).write.parquet(p)
+    writers.optimize_layout(spark, p, ["k", "id"], target_partitions=2)
+    back = spark.read.parquet(p)
+    assert back.count() == 1000
+    assert back.select(F.sum("id")).collect()[0][0] == 499500
