@@ -508,6 +508,26 @@ from distributed_mobility_data_pipeline_spark.operators.dedup_llm import (  # no
     MINHASH_PARAMS,
 )
 
+# DuckDB twins of the fixed-point embedding kernels in
+# operators/similarity.py: floor products to 1e-12 longs, sum exactly.
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) "
+        f"* 1000000000000) AS BIGINT))) AS DOUBLE) "
+        f"/ CAST(1000000000000 AS DOUBLE))"
+    )
+
+
+def _norm2_sql(e: str) -> str:
+    return (
+        f"(CAST(list_sum(list_transform({e}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) "
+        f"* 1000000000000) AS BIGINT))) AS DOUBLE) "
+        f"/ CAST(1000000000000 AS DOUBLE))"
+    )
+
+
 # DuckDB twin of the Spark minhash: same md5-prefix base hash, same
 # affine permutation constants → identical signatures.
 _MH_COLS = ",\n                   ".join(
@@ -1203,19 +1223,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sims o JOIN sims d ON d.doc_id = o.doc_id + 100000
             WHERE o.doc_id < 100000
         """,
-        "sim_cosine_topk": """
+        "sim_cosine_topk": f"""
             WITH n2 AS (
               SELECT vec_id, embedding, label,
-                     CAST(list_sum(list_transform(embedding,
-                          x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
-                          AS DOUBLE) AS nrm2
+                     {_norm2_sql("embedding")} AS nrm2
               FROM embeddings
             ),
             scored AS (
               SELECT q.vec_id AS qid, c.vec_id AS vid, c.label AS c_label,
-                     CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-                          z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-                          AS DOUBLE)
+                     {_dot_sql("q.embedding", "c.embedding")}
                      / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos_sim
               FROM n2 q JOIN n2 c ON q.vec_id != c.vec_id
               WHERE q.vec_id IN (0, 1, 2, 3, 4)
@@ -1227,20 +1243,16 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 3
         """,
-        "sim_knn_label_agreement": """
+        "sim_knn_label_agreement": f"""
             WITH n2 AS (
               SELECT vec_id, embedding, label,
-                     CAST(list_sum(list_transform(embedding,
-                          x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
-                          AS DOUBLE) AS nrm2
+                     {_norm2_sql("embedding")} AS nrm2
               FROM embeddings
             ),
             scored AS (
               SELECT q.vec_id AS qid, q.label AS q_label,
                      c.vec_id AS vid, c.label AS c_label,
-                     CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-                          z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-                          AS DOUBLE)
+                     {_dot_sql("q.embedding", "c.embedding")}
                      / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos_sim
               FROM n2 q JOIN n2 c ON q.vec_id != c.vec_id
               WHERE q.vec_id < 50
@@ -1253,19 +1265,15 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank = 1
         """,
-        "sim_pairs_above_threshold": """
+        "sim_pairs_above_threshold": f"""
             WITH n2 AS (
               SELECT vec_id, embedding,
-                     CAST(list_sum(list_transform(embedding,
-                          x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
-                          AS DOUBLE) AS nrm2
+                     {_norm2_sql("embedding")} AS nrm2
               FROM embeddings WHERE vec_id < 100
             )
             SELECT * FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                          z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-                          AS DOUBLE)
+                     {_dot_sql("a.embedding", "b.embedding")}
                      / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos_sim
               FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.25

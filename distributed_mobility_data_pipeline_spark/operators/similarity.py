@@ -20,19 +20,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEC = "decimal(28,12)"
+_SCALE = 1_000_000_000_000  # fixed-point 1e-12 quantization
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Order-free exact-ish dot product: per-element double products
-    (exact), decimal fold (associative)."""
+    """Order-free dot product in fixed-point: per-element double
+    products (exact) floored to 1e-12 longs, folded as primitive int64
+    (associative, no BigDecimal churn), surfaced as double. Quantization
+    error < 64e-12 — far below float32 input noise — and identical in
+    the DuckDB oracle by construction."""
     prods = F.zip_with(
-        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC)
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * _SCALE).cast(
+            "long"
+        ),
     )
-    return F.aggregate(
-        prods,
-        F.lit(0).cast(DEC),
-        lambda acc, v: (acc + v).cast(DEC),
-    ).cast("double")
+    total = F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return total.cast("double") / F.lit(float(_SCALE))
 
 
 def _norm(a: Column) -> Column:
@@ -46,13 +53,18 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: probe vectors (small, broadcast) vs the
     full corpus. Ties broken by candidate id for determinism."""
+    # Norms are per-vector: compute once per side, not once per pair —
+    # cuts the per-pair array work to a single dot product.
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     c = embeddings.select(
         F.col("vec_id").alias("vid"),
         F.col("embedding").alias("ce"),
         F.col("label").alias("c_label"),
+        _norm(F.col("embedding")).alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -62,10 +74,9 @@ def cosine_topk(
             "qid",
             "vid",
             "c_label",
-            (
-                _dot(F.col("qe"), F.col("ce"))
-                / (_norm(F.col("qe")) * _norm(F.col("ce")))
-            ).alias("cos_sim"),
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
@@ -103,20 +114,23 @@ def pairs_above_threshold(
     bounded all-pairs (id-ordered to halve work), cosine ≥ threshold.
     The exact-verification stage of an embedding dedup."""
     a = embeddings.filter(F.col("vec_id") < max_id).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
     )
     b = embeddings.filter(F.col("vec_id") < max_id).select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            (
-                _dot(F.col("ea"), F.col("eb"))
-                / (_norm(F.col("ea")) * _norm(F.col("eb")))
-            ).alias("cos_sim"),
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
