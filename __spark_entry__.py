@@ -382,6 +382,26 @@ def queries() -> dict[str, QueryFn]:
             "event_type",
             "value",
         ),
+        # multi-way shuffle-join analytics (TPC-H Q3/Q5 shapes)
+        "agg_shipping_priority": lambda s, d: agg_ops.shipping_priority(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            "BUILDING",
+        ),
+        "agg_local_supplier_volume": lambda s, d: agg_ops.local_supplier_volume(
+            _t(s, d, "region"),
+            _t(s, d, "nation"),
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+            "ASIA",
+        ),
+        # North-star: IVF ANN (k-means coarse quantizer)
+        "sim_ivf_ann": lambda s, d: sim_ops.ivf_ann(
+            _t(s, d, "embeddings"), [0, 1, 2, 3, 4]
+        ),
         # unpivot/melt + explicit grouping sets (relational extras)
         "agg_unpivot_measures": lambda s, d: _t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
@@ -1277,6 +1297,38 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos_sim
               FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.25
+        """,
+        "agg_shipping_priority": """
+            SELECT l.l_orderkey,
+                   CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+                   o.o_orderpriority,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                            * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+              AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "agg_local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                            * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY 1
         """,
         "agg_unpivot_measures": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val

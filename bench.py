@@ -32,6 +32,9 @@ HEADLINE = [
     "agg_top_k_per_group",
     "agg_cube_revenue",
     "star_trips_fact",
+    "agg_shipping_priority",
+    "agg_local_supplier_volume",
+    "join_asof_orders_events",
     "join_ri_check",
     "dedup_keep_latest",
     "win_rolling_rows",

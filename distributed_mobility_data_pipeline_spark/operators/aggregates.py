@@ -213,6 +213,70 @@ def rollup_revenue(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, segment: str
+) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective filters on both sides,
+    revenue aggregate, top-10. customer is broadcast; orders⨝lineitem is
+    the real shuffle join — the multi-table pattern the star layer's
+    broadcast path doesn't cover."""
+    one = F.lit(1).cast("decimal(18,6)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.to_date("o_orderdate") < F.lit("1995-03-15")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.to_date("l_shipdate") > F.lit("1995-03-15")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str,
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (two broadcast dims + shuffle chain)
+    where customer and supplier must share a nation; revenue per nation."""
+    one = F.lit(1).cast("decimal(18,6)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nations), supplier.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
 def pivot_status(orders: DataFrame) -> DataFrame:
     """groupBy().pivot() — wide status columns per priority."""
     return (

@@ -210,6 +210,76 @@ def lsh_bucketed_ann(
     )
 
 
+def ivf_ann(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: a seeded k-means coarse quantizer assigns every
+    vector to a cell; each query scores only the ``n_probe`` cells whose
+    centroids are nearest to it. The standard inverted-file layout — at
+    100 TB the cell assignment is a partition column and each probe is a
+    partition-pruned scan. Rows-only check (k-means isn't SQL)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_clusters, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+
+    centroids = model.clusterCenters()
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    # rank cells per query by centroid distance, keep n_probe
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            "qid",
+            "qe",
+            "cell",
+            _dot(F.col("qe").cast("array<double>"), F.col("centroid")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select("qid", "qe", "cell")
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            (
+                _dot(F.col("qe"), F.col("embedding"))
+                / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+            ).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "cos_sim")
+    )
+
+
 def mllib_lsh_neighbors(
     embeddings: DataFrame, query_ids: list[int], k: int = 3
 ) -> DataFrame:

@@ -1,0 +1,58 @@
+"""Monitoring composition: run record shape, threshold alerts, and
+distributed latency stats."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from distributed_mobility_data_pipeline_spark.ml import monitoring
+from distributed_mobility_data_pipeline_spark.ml.features import demand_features
+from distributed_mobility_data_pipeline_spark.ml.scoring import score_demand_expression
+from distributed_mobility_data_pipeline_spark.sources.readers import read_events, read_json_log
+
+
+def test_monitoring_record_and_alerts(spark, sf_dir):
+    scored = score_demand_expression(
+        demand_features(read_events(spark, f"{sf_dir}/events.parquet"))
+    ).withColumn("y", F.col("n").cast("double"))
+    rec = monitoring.monitoring_record(
+        scored,
+        date_col="d",
+        y="y",
+        yhat="predicted_demand",
+        feature_col="n_lag_1",
+        split_date="2024-01-15",
+        start_date="2024-01-01",
+        end_date="2024-01-29",
+        psi_edges=[0.0, 5.0, 10.0, 20.0, 40.0],
+    )
+    row = rec.collect()[0]
+    assert row.baseline_n > 0 and row.current_n > 0
+    assert row.baseline_rmse >= 0 and row.current_rmse >= 0
+    al = monitoring.alerts(rec, "n_lag_1")
+    got = {r.check: r.status for r in al.collect()}
+    assert set(got) == {"psi", "missing_rate", "volume"}
+    assert all(s in ("ok", "warn", "critical") for s in got.values())
+
+
+def test_latency_stats_distributed(spark, tmp_path):
+    p = tmp_path / "api.jsonl"
+    rows = [
+        {"endpoint": "/predict/demand", "latency_ms": float(i), "status": 200}
+        for i in range(100)
+    ] + [{"endpoint": "/predict/demand", "latency_ms": 500.0, "status": 503}]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("endpoint", T.StringType()),
+            T.StructField("latency_ms", T.DoubleType()),
+            T.StructField("status", T.IntegerType()),
+        ]
+    )
+    out = monitoring.latency_stats(read_json_log(spark, str(p), schema)).collect()[0]
+    assert out.n_requests == 101
+    assert out.n_errors == 1
+    assert out.p50_ms <= out.p95_ms <= out.p99_ms
