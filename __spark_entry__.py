@@ -32,6 +32,7 @@ from distributed_mobility_data_pipeline_spark.operators import quality as qualit
 from distributed_mobility_data_pipeline_spark.operators import setops as set_ops
 from distributed_mobility_data_pipeline_spark.operators import star as star_ops
 from distributed_mobility_data_pipeline_spark.operators import asof as asof_ops
+from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
 from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
 from distributed_mobility_data_pipeline_spark.ml import training as mltrain
@@ -445,6 +446,52 @@ def queries() -> dict[str, QueryFn]:
             "o_totalprice",
             F.col("asof_event_type").alias("last_event_type"),
             F.col("asof_value").alias("last_event_value"),
+        ),
+        # correlated scalar subquery (Catalyst decorrelates to a join)
+        "agg_small_quantity_orders": lambda s, d: (
+            _t(s, d, "lineitem").createOrReplaceTempView("_li_sq")
+            or s.sql(
+                """
+                SELECT l_partkey,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_revenue,
+                       count(*) AS n_small_lines
+                FROM _li_sq outer_li
+                WHERE l_quantity < (
+                    SELECT 0.5 * avg(l_quantity) FROM _li_sq
+                    WHERE l_partkey = outer_li.l_partkey
+                )
+                GROUP BY l_partkey
+                """
+            )
+        ),
+        # array functions over the embedding column
+        "array_functions_embeddings": lambda s, d: _t(s, d, "embeddings").select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.array_max("embedding").cast("double").alias("emb_max"),
+            F.array_min("embedding").cast("double").alias("emb_min"),
+            F.element_at("embedding", 1).cast("double").alias("first_elem"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+            F.slice(F.array_sort("embedding"), 1, 3)
+            .cast("array<double>")
+            .alias("smallest3"),
+        ),
+        # §2.9 scalar function families
+        "scalar_string_functions": lambda s, d: scalar_ops.string_functions(
+            _t(s, d, "part")
+        ),
+        "scalar_date_functions": lambda s, d: scalar_ops.date_functions(
+            _t(s, d, "orders")
+        ),
+        "scalar_math_functions": lambda s, d: scalar_ops.math_functions(
+            _t(s, d, "lineitem")
+        ),
+        "win_distribution_functions": lambda s, d: scalar_ops.distribution_windows(
+            _t(s, d, "customer")
+        ),
+        "json_from_json_struct": lambda s, d: _t(s, d, "events").select(
+            "event_id",
+            F.from_json("props", "k INT").getField("k").alias("k"),
         ),
         # §2.9 extension: JSON scalar functions over props
         "json_extract_props": lambda s, d: _t(s, d, "events").select(
@@ -1372,6 +1419,89 @@ def oracle_sql() -> dict[str, str]:
                    strftime(order_ts, '%Y-%m-%d') AS order_date,
                    o_totalprice, last_event_type, last_event_value
             FROM carried WHERE _is_left = 1
+        """,
+        "agg_small_quantity_orders": """
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_revenue,
+                   CAST(count(*) AS BIGINT) AS n_small_lines
+            FROM lineitem outer_li
+            WHERE l_quantity < (
+                SELECT 0.5 * avg(l_quantity) FROM lineitem
+                WHERE l_partkey = outer_li.l_partkey
+            )
+            GROUP BY l_partkey
+        """,
+        "array_functions_embeddings": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS dim,
+                   CAST(list_max(embedding) AS DOUBLE) AS emb_max,
+                   CAST(list_min(embedding) AS DOUBLE) AS emb_min,
+                   CAST(embedding[1] AS DOUBLE) AS first_elem,
+                   CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+                   CAST(list_sort(embedding)[1:3] AS DOUBLE[]) AS smallest3
+            FROM embeddings
+        """,
+        "scalar_string_functions": """
+            SELECT p_partkey,
+                   upper(p_name) AS name_upper,
+                   substring(p_name, 1, 8) AS name_prefix,
+                   CAST(length(p_name) AS INT) AS name_len,
+                   reverse(p_name) AS name_rev,
+                   lpad(p_brand, 12, '*') AS brand_padded,
+                   concat_ws('::', p_brand, p_type) AS brand_type,
+                   CAST(instr(p_type, 'a') AS INT) AS first_a,
+                   string_split(p_type, ' ')[1] AS type_first_word,
+                   replace(p_brand, '#', '_') AS brand_clean,
+                   trim(lower(p_type)) AS type_norm
+            FROM part
+        """,
+        "scalar_date_functions": """
+            SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od,
+                   CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3_months,
+                   CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30_days,
+                   CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+                   CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS VARCHAR) AS month_start,
+                   CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y,
+                   CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
+                   CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS m,
+                   CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS dom,
+                   CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy,
+                   CAST(DATE '2000-01-01' - CAST(o_orderdate AS DATE) AS INT) AS days_to_y2k
+            FROM orders
+        """,
+        "scalar_math_functions": """
+            SELECT l_orderkey, l_linenumber,
+                   abs(l_extendedprice - 1000.0) AS abs_delta,
+                   sqrt(l_extendedprice) AS sqrt_price,
+                   CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+                   greatest(l_discount, 0.05) AS disc_floor,
+                   least(l_discount, 0.05) AS disc_cap,
+                   CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+                   round(l_extendedprice, 1) AS price_1dp,
+                   CAST(CAST(ln(l_extendedprice) AS DECIMAL(28,8)) AS DOUBLE) AS ln_price,
+                   fmod(l_extendedprice, 97.0) AS price_mod
+            FROM lineitem
+        """,
+        "win_distribution_functions": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
+                   first_value(c_acctbal) OVER wf AS seg_max_bal,
+                   last_value(c_acctbal) OVER wf AS seg_min_bal
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey),
+                   wf AS (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            """,
+        "json_from_json_struct": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
         """,
         "json_extract_props": """
             SELECT event_id,
