@@ -1449,8 +1449,9 @@ def oracle_sql() -> dict[str, str]:
                    reverse(p_name) AS name_rev,
                    lpad(p_brand, 12, '*') AS brand_padded,
                    concat_ws('::', p_brand, p_type) AS brand_type,
-                   CAST(instr(p_type, 'a') AS INT) AS first_a,
-                   string_split(p_type, ' ')[1] AS type_first_word,
+                   CAST(instr(p_name, 'a') AS INT) AS first_a,
+                   string_split(p_name, ' ')[1] AS name_first_word,
+                   string_split(p_name, ' ')[-1] AS name_last_word,
                    replace(p_brand, '#', '_') AS brand_clean,
                    trim(lower(p_type)) AS type_norm
             FROM part

@@ -22,8 +22,11 @@ def string_functions(part: DataFrame) -> DataFrame:
         F.reverse("p_name").alias("name_rev"),
         F.lpad(F.col("p_brand"), 12, "*").alias("brand_padded"),
         F.concat_ws("::", "p_brand", "p_type").alias("brand_type"),
-        F.instr(F.col("p_type"), "a").alias("first_a"),
-        F.element_at(F.split("p_type", " "), 1).alias("type_first_word"),
+        # p_name is lowercase multi-word — these actually exercise the
+        # found-position and multi-element paths (review finding)
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.element_at(F.split("p_name", " "), 1).alias("name_first_word"),
+        F.element_at(F.split("p_name", " "), -1).alias("name_last_word"),
         F.translate("p_brand", "#", "_").alias("brand_clean"),
         F.trim(F.lower("p_type")).alias("type_norm"),
     )
