@@ -32,6 +32,7 @@ from distributed_mobility_data_pipeline_spark.operators import quality as qualit
 from distributed_mobility_data_pipeline_spark.operators import setops as set_ops
 from distributed_mobility_data_pipeline_spark.operators import star as star_ops
 from distributed_mobility_data_pipeline_spark.operators import asof as asof_ops
+from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
 from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
@@ -446,6 +447,22 @@ def queries() -> dict[str, QueryFn]:
             "o_totalprice",
             F.col("asof_event_type").alias("last_event_type"),
             F.col("asof_value").alias("last_event_value"),
+        ),
+        # sampling & data mixing (hash-based variants are layout-
+        # independent → oracle-checked; RNG variants rows-only)
+        "sample_hash_docs": lambda s, d: sample_ops.hash_sample(
+            _t(s, d, "documents"), "doc_id", 0.25
+        ),
+        "sample_hash_split_train": lambda s, d: sample_ops.hash_split(
+            _t(s, d, "orders").select("o_orderkey", "o_custkey"), "o_orderkey", 0.8
+        )[0],
+        "sample_mix_sources": lambda s, d: sample_ops.mix_sources(
+            _t(s, d, "documents"),
+            "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        ),
+        "sample_bernoulli": lambda s, d: sample_ops.sample_fraction(
+            _t(s, d, "documents"), 0.3
         ),
         # correlated scalar subquery (Catalyst decorrelates to a join)
         "agg_small_quantity_orders": lambda s, d: (
@@ -1419,6 +1436,27 @@ def oracle_sql() -> dict[str, str]:
                    strftime(order_ts, '%Y-%m-%d') AS order_date,
                    o_totalprice, last_event_type, last_event_value
             FROM carried WHERE _is_left = 1
+        """,
+        "sample_hash_docs": """
+            SELECT * FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 8)) AS BIGINT)
+                  % 1000000 < 250000
+        """,
+        "sample_hash_split_train": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'split'), 1, 8)) AS BIGINT)
+                  % 1000000 < 800000
+        """,
+        "sample_mix_sources": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *,
+                     CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                 WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                                 ELSE 0.0 END AS _rate,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT)
+                     % 1000000 AS _bucket
+              FROM documents
+            ) WHERE _bucket < CAST(_rate * 1000000 AS BIGINT)
         """,
         "agg_small_quantity_orders": """
             SELECT l_partkey,

@@ -1,0 +1,85 @@
+"""Sampling & data-mixing operators (LLM training-data pipeline
+surface: corpus subsampling, stratified source mixing, split hygiene).
+
+Spark's `sample`/`sampleBy`/`randomSplit` are seeded but PARTITIONING-
+dependent (per-partition RNG streams) — fine for training pipelines,
+not stable across cluster layouts. Where reproducibility across layouts
+matters, use the hash-based variants below: membership is a pure
+function of a row's key (md5-prefix bucket, same rule the DuckDB oracle
+evaluates), so the same rows are selected on any cluster at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _key_bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 1e6): integer value of the first 8 hex
+    chars of md5(key||salt) mod 1e6. Engine-portable (md5 hex is
+    identical everywhere) and layout-independent."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
+def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Seeded Bernoulli sample — the stock path (partitioning-dependent;
+    rows-only checkable)."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Per-stratum fractions — `sampleBy` (reference-style class
+    rebalancing; partitioning-dependent)."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Layout-independent sample: keep rows whose salted key hash lands
+    under the fraction — the reproducible corpus-snapshot sample."""
+    return df.filter(
+        _key_bucket(F.col(key_col), salt) < int(fraction * _BUCKETS)
+    )
+
+
+def hash_split(
+    df: DataFrame, key_col: str, train_fraction: float = 0.8, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, leakage-free train/test split: a key is always on
+    the same side regardless of layout or re-runs (randomSplit O4's
+    reproducible twin)."""
+    bucket = _key_bucket(F.col(key_col), salt)
+    thresh = int(train_fraction * _BUCKETS)
+    return df.filter(bucket < thresh), df.filter(bucket >= thresh)
+
+
+def mix_sources(
+    docs: DataFrame, source_col: str, weights: dict[str, float], salt: str = "mix"
+) -> DataFrame:
+    """Weighted corpus mixing: per-source keep-rates applied with the
+    layout-independent hash rule — the 'data mixture' step of an LLM
+    pipeline as one filter (no shuffle, no drift between runs).
+    Weights are keep-fractions per source; unlisted sources drop."""
+    rate = None
+    for src, w in weights.items():
+        if rate is None:
+            rate = F.when(F.col(source_col) == src, F.lit(w))
+        else:
+            rate = rate.when(F.col(source_col) == src, F.lit(w))
+    rate = rate.otherwise(F.lit(0.0))
+    bucket = _key_bucket(F.col("doc_id"), salt)
+    return (
+        docs.withColumn("_rate", rate)
+        .filter(bucket < (F.col("_rate") * _BUCKETS).cast("long"))
+        .drop("_rate")
+    )
