@@ -277,6 +277,12 @@ def queries() -> dict[str, QueryFn]:
             ),
             ["event_id", "user_id", "value", "props"],
         ),
+        "quality_full_report": lambda s, d: quality_ops.generate_quality_report(
+            _t(s, d, "lineitem"),
+            required_cols=["l_orderkey", "l_quantity", "no_such_col"],
+            not_null_cols=["l_orderkey", "l_shipdate"],
+            non_negative_cols=["l_quantity", "l_extendedprice"],
+        ),
         "quality_negative_report": lambda s, d: quality_ops.negative_report(
             _t(s, d, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
         ),
@@ -340,6 +346,12 @@ def queries() -> dict[str, QueryFn]:
         ),
         "dedup_docs_minhash_lsh": lambda s, d: ddllm_ops.minhash_lsh_pairs(
             ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
+        ),
+        "dedup_docs_clusters": lambda s, d: ddllm_ops.dup_clusters(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
+            ddllm_ops.ngram_jaccard_pairs(
+                ddllm_ops.with_mutated_copies(_t(s, d, "documents")), 3, 0.5
+            ),
         ),
         "dedup_docs_simhash": lambda s, d: ddllm_ops.simhash(
             ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
@@ -980,6 +992,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE props IS NULL) AS DOUBLE) / count(*)
             FROM e
         """,
+        "quality_full_report": """
+            SELECT 'required_column' AS "check", 'l_orderkey' AS "column",
+                   CAST(1.0 AS DOUBLE) AS value, true AS passed
+            UNION ALL
+            SELECT 'required_column', 'l_quantity', 1.0, true
+            UNION ALL
+            SELECT 'required_column', 'no_such_col', 0.0, false
+            UNION ALL
+            SELECT 'null_rate', 'l_orderkey',
+                   count(*) FILTER (WHERE l_orderkey IS NULL) / CAST(count(*) AS DOUBLE),
+                   count(*) FILTER (WHERE l_orderkey IS NULL) / CAST(count(*) AS DOUBLE) <= 0.001
+            FROM lineitem
+            UNION ALL
+            SELECT 'null_rate', 'l_shipdate',
+                   count(*) FILTER (WHERE l_shipdate IS NULL) / CAST(count(*) AS DOUBLE),
+                   count(*) FILTER (WHERE l_shipdate IS NULL) / CAST(count(*) AS DOUBLE) <= 0.001
+            FROM lineitem
+            UNION ALL
+            SELECT 'non_negative', 'l_quantity',
+                   CAST(count(*) FILTER (WHERE l_quantity < 0) AS DOUBLE),
+                   count(*) FILTER (WHERE l_quantity < 0) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'non_negative', 'l_extendedprice',
+                   CAST(count(*) FILTER (WHERE l_extendedprice < 0) AS DOUBLE),
+                   count(*) FILTER (WHERE l_extendedprice < 0) = 0
+            FROM lineitem
+        """,
         "quality_negative_report": """
             SELECT 'l_quantity' AS "column",
                    CAST(count(*) FILTER (WHERE l_quantity < 0) AS BIGINT) AS negative_count
@@ -1173,6 +1213,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+        """,
+        "dedup_docs_clusters": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ),
+            norm AS (SELECT doc_id,
+                            string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+                     FROM base),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(len(toks) - 2),
+                                           i -> array_to_string(toks[i+1:i+3], ' '))
+                       ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM norm
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jac AS (
+              SELECT doc_a, doc_b
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM jac
+              UNION
+              SELECT doc_b, doc_a FROM jac
+            ),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS r FROM base
+              UNION
+              SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+            ),
+            comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS cluster_size,
+                   min(node) AS keep_doc_id
+            FROM comp GROUP BY cluster_id
         """,
         "dedup_docs_minhash_sig": """
             WITH base AS (

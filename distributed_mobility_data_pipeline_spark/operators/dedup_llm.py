@@ -254,6 +254,63 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    candidate-pair graph by iterative min-label propagation, then one
+    canonical doc per cluster (min doc_id).
+
+    Each iteration is two equi-joins + a groupBy-min; iterations needed
+    = graph diameter (dedup graphs are shallow — chains of near-dups).
+    Convergence is checked with a count of changed labels; the loop is
+    driver-side control flow over distributed steps, never a collect of
+    data. This is the 'keep one per duplicate cluster' step that follows
+    MinHash/SimHash candidate generation at corpus scale."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select(
+            "doc_id", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)  # truncate the iterative lineage
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .select(
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            "keep_doc_id",
+        )
+    )
+
+
 def simhash(docs: DataFrame, n_bits: int = 64) -> DataFrame:
     """SimHash fingerprint as an ``n_bits``-char bitstring.
 

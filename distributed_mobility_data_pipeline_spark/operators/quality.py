@@ -72,6 +72,52 @@ def freshness(df: DataFrame, date_col: str) -> DataFrame:
     )
 
 
+def generate_quality_report(
+    df: DataFrame,
+    required_cols: list[str],
+    not_null_cols: list[str],
+    non_negative_cols: list[str],
+    max_null_rate: float = 0.001,
+) -> DataFrame:
+    """Composed quality report — the reference's aspirational
+    DataQualityChecker.generate_quality_report (silver_dag.py:12,
+    gold_dag.py:166; the class never existed) as one long table:
+    (check, column, value, passed). One scan for all numeric checks."""
+    spark = df.sparkSession
+    present = set(df.columns)
+    rows = [
+        ("required_column", c, 1.0 if c in present else 0.0, c in present)
+        for c in required_cols
+    ]
+    schema = "check string, column string, value double, passed boolean"
+    presence = spark.createDataFrame(rows, schema)
+
+    checkable_nn = [c for c in not_null_cols if c in present]
+    checkable_neg = [c for c in non_negative_cols if c in present]
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in checkable_nn:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+        )
+    for c in checkable_neg:
+        aggs.append(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(f"_neg_{c}"))
+    wide = df.agg(*aggs)
+    parts = []
+    for c in checkable_nn:
+        parts.append(
+            f"'null_rate', '{c}', _null_{c} / CAST(_total AS DOUBLE), "
+            f"_null_{c} / CAST(_total AS DOUBLE) <= {max_null_rate}"
+        )
+    for c in checkable_neg:
+        parts.append(f"'non_negative', '{c}', CAST(_neg_{c} AS DOUBLE), _neg_{c} = 0")
+    if not parts:
+        return presence
+    stacked = wide.selectExpr(
+        f"stack({len(parts)}, {', '.join(parts)}) as (check, column, value, passed)"
+    )
+    return presence.unionByName(stacked)
+
+
 def volume_check(
     df: DataFrame,
     date_col: str,

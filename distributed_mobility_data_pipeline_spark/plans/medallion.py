@@ -142,6 +142,26 @@ def gold(silver_df: DataFrame) -> dict[str, DataFrame]:
             F.avg("duration_min").alias("avg_trip_duration_min"),
         )
     )
+    # location_metrics — aspirational in the reference (gold_dag.py:
+    # 123-160 imports a class that doesn't exist); working here:
+    # zone × weekend grain, five metrics, ranked by volume.
+    location_metrics = (
+        silver_df.withColumn(
+            "is_weekend",
+            F.when(F.dayofweek("requested_at").isin(1, 7), 1).otherwise(0),
+        )
+        .groupBy("pickup_zone_id", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("total_trips"),
+            F.sum(F.col("fare_amount").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_revenue"),
+            F.avg("distance_km").alias("avg_distance_km"),
+            F.avg("duration_min").alias("avg_duration_min"),
+            F.countDistinct("driver_id").alias("active_drivers"),
+        )
+        .orderBy(F.col("total_trips").desc())
+    )
     return {
         "dim_time": dim_time,
         "dim_users": dim_users,
@@ -152,6 +172,7 @@ def gold(silver_df: DataFrame) -> dict[str, DataFrame]:
         "demand_hourly_by_pickup_zone": demand_hourly,
         "revenue_daily_by_pickup_zone": revenue_daily,
         "driver_daily_summary": driver_daily,
+        "location_metrics": location_metrics,
     }
 
 

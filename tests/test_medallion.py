@@ -53,6 +53,21 @@ def test_gold_star_schema(layers):
     assert layers["payments_fact"].count() == 2000
 
 
+def test_location_metrics(layers):
+    lm = layers["location_metrics"]
+    assert set(lm.columns) == {
+        "pickup_zone_id",
+        "is_weekend",
+        "total_trips",
+        "total_revenue",
+        "avg_distance_km",
+        "avg_duration_min",
+        "active_drivers",
+    }
+    total = lm.agg(F.sum("total_trips")).collect()[0][0]
+    assert total == layers["silver"].count()
+
+
 def test_gold_aggregates_consistency(layers):
     rev = layers["revenue_daily_by_pickup_zone"]
     total = rev.agg(F.sum("completed_trips")).collect()[0][0]
