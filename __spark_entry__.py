@@ -522,6 +522,26 @@ def queries() -> dict[str, QueryFn]:
             "event_id",
             F.from_json("props", "k INT").getField("k").alias("k"),
         ),
+        "join_range_bucketed": lambda s, d: asof_ops.range_join_bucketed(
+            _t(s, d, "orders").select(
+                "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("od")
+            ),
+            _t(s, d, "events").select(
+                "event_id", "user_id", F.to_date("ts").alias("ed"), "event_type"
+            ),
+            "o_custkey",
+            "user_id",
+            "od",
+            "ed",
+            2,
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("od").cast("string").alias("od"),
+            "event_id",
+            F.col("ed").cast("string").alias("ed"),
+            "event_type",
+        ),
         # §2.9 extension: JSON scalar functions over props
         "json_extract_props": lambda s, d: _t(s, d, "events").select(
             "event_id",
@@ -1629,6 +1649,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events
+        """,
+        "join_range_bucketed": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS od,
+                   e.event_id,
+                   CAST(CAST(e.ts AS DATE) AS VARCHAR) AS ed,
+                   e.event_type
+            FROM orders o
+            JOIN events e
+              ON e.user_id = o.o_custkey
+             AND abs(CAST(e.ts AS DATE) - CAST(o.o_orderdate AS DATE)) <= 2
         """,
         "json_extract_props": """
             SELECT event_id,

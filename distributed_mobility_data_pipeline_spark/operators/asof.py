@@ -18,6 +18,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    max_days: int,
+) -> DataFrame:
+    """Range join (|right_time − left_time| ≤ max_days on the same key)
+    via bucketization: both sides get a day-bucket column, the left side
+    explodes its ±1 candidate buckets, and the range predicate becomes
+    an equi-join on (key, bucket) + a cheap filter. Catalyst would
+    otherwise plan the raw inequality as a nested-loop join — this form
+    is a hash join, the 100 TB-safe shape (bucket width = range width
+    so each row lands in ≤3 buckets)."""
+    width = max_days  # bucket width in days == range radius
+    lb = F.floor(
+        F.datediff(F.col(left_time), F.lit("1970-01-01")) / F.lit(width)
+    )
+    rb = F.floor(
+        F.datediff(F.col(right_time), F.lit("1970-01-01")) / F.lit(width)
+    )
+    l = left.withColumn(
+        "_b", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r = right.withColumn("_b", rb)
+    joined = l.join(
+        r,
+        (l["_b"] == r["_b"]) & (l[left_key] == r[right_key]),
+    ).drop("_b")
+    dist = F.abs(F.datediff(F.col(left_time), F.col(right_time)))
+    return joined.filter(dist <= max_days)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
