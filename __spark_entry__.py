@@ -387,8 +387,11 @@ def queries() -> dict[str, QueryFn]:
         "stream_sessionize": lambda s, d: stream_ops.sessionize_batch(
             _t(s, d, "events"), 30
         ),
-        "stream_dedup": lambda s, d: stream_ops.streaming_dedup(
-            _t(s, d, "events")
+        # batch twin uses keep_first (earliest ts) — streaming
+        # dropDuplicates keeps first *arrival*, which batch mode can't
+        # reproduce deterministically if event_id ever repeats
+        "stream_dedup": lambda s, d: dedup_ops.keep_first(
+            _t(s, d, "events"), ["event_id"], "ts", ["user_id"]
         ).select(
             "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
@@ -437,12 +440,18 @@ def queries() -> dict[str, QueryFn]:
                 """
             )
         ),
-        # extended join surface: as-of (point-in-time) join
+        # extended join surface: as-of (point-in-time) join. Orders are
+        # 1995-2001 while events are 2024 — remap order dates into the
+        # events month (deterministically) so the join has real matches
+        # and the oracle check is non-vacuous.
         "join_asof_orders_events": lambda s, d: asof_ops.asof_join(
             _t(s, d, "orders").select(
                 "o_orderkey",
                 "o_custkey",
-                F.col("o_orderdate").alias("order_ts"),
+                F.expr(
+                    "timestamp(date_add(date'2024-01-01', "
+                    "int(datediff(to_date(o_orderdate), date'1995-01-01') % 28)))"
+                ).alias("order_ts"),
                 "o_totalprice",
             ),
             _t(s, d, "events"),
@@ -524,7 +533,12 @@ def queries() -> dict[str, QueryFn]:
         ),
         "join_range_bucketed": lambda s, d: asof_ops.range_join_bucketed(
             _t(s, d, "orders").select(
-                "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("od")
+                "o_orderkey",
+                "o_custkey",
+                F.expr(
+                    "date_add(date'2024-01-01', "
+                    "int(datediff(to_date(o_orderdate), date'1995-01-01') % 28))"
+                ).alias("od"),
             ),
             _t(s, d, "events").select(
                 "event_id", "user_id", F.to_date("ts").alias("ed"), "event_type"
@@ -1525,9 +1539,16 @@ def oracle_sql() -> dict[str, str]:
                      NULL::TIMESTAMP AS order_ts, NULL::DOUBLE AS o_totalprice
               FROM events
             ), l AS (
-              SELECT o_custkey AS _k, CAST(o_orderdate AS TIMESTAMP) AS _t, 1 AS _is_left,
+              SELECT o_custkey AS _k,
+                     CAST(DATE '2024-01-01'
+                          + CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) % 28 AS INT)
+                          AS TIMESTAMP) AS _t,
+                     1 AS _is_left,
                      NULL::BIGINT AS _tb, NULL::VARCHAR AS v_et, NULL::DOUBLE AS v_val,
-                     o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+                     o_orderkey, o_custkey,
+                     CAST(DATE '2024-01-01'
+                          + CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) % 28 AS INT)
+                          AS TIMESTAMP) AS order_ts,
                      o_totalprice
               FROM orders
             ), u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
@@ -1564,7 +1585,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT)
                      % 1000000 AS _bucket
               FROM documents
-            ) WHERE _bucket < CAST(_rate * 1000000 AS BIGINT)
+            ) WHERE _bucket < CAST(floor(_rate * 1000000) AS BIGINT)
         """,
         "agg_small_quantity_orders": """
             SELECT l_partkey,
@@ -1651,15 +1672,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "join_range_bucketed": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     DATE '2024-01-01'
+                     + CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) % 28 AS INT) AS od
+              FROM orders
+            )
             SELECT o.o_orderkey, o.o_custkey,
-                   CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS od,
+                   CAST(o.od AS VARCHAR) AS od,
                    e.event_id,
                    CAST(CAST(e.ts AS DATE) AS VARCHAR) AS ed,
                    e.event_type
-            FROM orders o
+            FROM o
             JOIN events e
               ON e.user_id = o.o_custkey
-             AND abs(CAST(e.ts AS DATE) - CAST(o.o_orderdate AS DATE)) <= 2
+             AND abs(CAST(e.ts AS DATE) - o.od) <= 2
         """,
         "json_extract_props": """
             SELECT event_id,
@@ -1844,7 +1871,7 @@ def oracle_sql() -> dict[str, str]:
                    user_id, event_type, value
             FROM (
               SELECT *, row_number() OVER (PARTITION BY event_id
-                                           ORDER BY CAST(ts AS TIMESTAMP)) AS rn
+                                           ORDER BY CAST(ts AS TIMESTAMP), user_id) AS rn
               FROM events
             ) WHERE rn = 1
         """,

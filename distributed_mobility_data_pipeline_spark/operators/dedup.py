@@ -35,6 +35,26 @@ def keep_latest(
     )
 
 
+def keep_first(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the EARLIEST record per key — the deterministic batch twin
+    of streaming dropDuplicates (which keeps first *arrival*, an
+    ordering batch mode cannot reproduce)."""
+    order = [F.col(order_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def distinct_projection(df: DataFrame, cols: list[str]) -> DataFrame:
     """Distinct key-set extraction — D2 (silver_to_gold.py:28-76:
     dropDuplicates on narrow projections for dim building)."""

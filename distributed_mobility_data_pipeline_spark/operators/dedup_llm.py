@@ -181,7 +181,9 @@ def minhash_lsh_pairs(
     the verification join, sizes); persist it once instead of
     recomputing the normalize→shingle→explode lineage each time — at
     scale this is the materialized intermediate a production dedup
-    would checkpoint."""
+    would checkpoint. The cached blocks are reclaimed by Spark's
+    ContextCleaner once the returned DataFrame is unreferenced (the
+    lazy API has no safe point to unpersist explicitly)."""
     sh = shingles(docs, n).persist()
     sig = _minhash_signatures_from_shingles(sh, n_perm)
     n_bands = n_perm // band_size

@@ -78,8 +78,11 @@ def mix_sources(
             rate = rate.when(F.col(source_col) == src, F.lit(w))
     rate = rate.otherwise(F.lit(0.0))
     bucket = _key_bucket(F.col("doc_id"), salt)
+    # explicit floor: a bare long cast truncates in Spark but CAST
+    # rounds in DuckDB — floor() agrees everywhere, so weights like 0.3
+    # (not exactly representable) can't diverge by one bucket
     return (
         docs.withColumn("_rate", rate)
-        .filter(bucket < (F.col("_rate") * _BUCKETS).cast("long"))
+        .filter(bucket < F.floor(F.col("_rate") * _BUCKETS).cast("long"))
         .drop("_rate")
     )

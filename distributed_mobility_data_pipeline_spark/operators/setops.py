@@ -24,8 +24,9 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
 
 
-def except_all_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
-    return a.exceptAll(b).distinct()
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): occurrences subtract."""
+    return a.exceptAll(b)
 
 
 def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:

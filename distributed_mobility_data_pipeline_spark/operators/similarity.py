@@ -187,19 +187,22 @@ def lsh_bucketed_ann(
         ).alias("bucket"),
     )
     q = sig.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+        "bucket",
     )
+    cand = sig.withColumn("cn", _norm(F.col("embedding")))
     scored = (
         F.broadcast(q)
-        .join(sig, "bucket")
+        .join(cand, "bucket")
         .filter(F.col("qid") != F.col("vec_id"))
         .select(
             "qid",
             F.col("vec_id").alias("vid"),
-            (
-                _dot(F.col("qe"), F.col("embedding"))
-                / (_norm(F.col("qe")) * _norm(F.col("embedding")))
-            ).alias("cos_sim"),
+            (_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
@@ -241,35 +244,46 @@ def ivf_ann(
         "cell int, centroid array<double>",
     )
     q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    # rank cells per query by centroid distance, keep n_probe
+    # rank cells per query by EUCLIDEAN distance — the same metric
+    # KMeans assigns with, so the query's own cell always ranks first:
+    # argmin ||q−c||² = argmax(q·c − ||c||²/2), NOT argmax(q·c)
+    cent_scored = cent_df.select(
+        "cell", "centroid", _dot(F.col("centroid"), F.col("centroid")).alias("cc")
+    )
     qc = (
         F.broadcast(q)
-        .crossJoin(F.broadcast(cent_df))
+        .crossJoin(F.broadcast(cent_scored))
         .select(
             "qid",
             "qe",
+            "qn",
             "cell",
-            _dot(F.col("qe").cast("array<double>"), F.col("centroid")).alias("score"),
+            (
+                _dot(F.col("qe").cast("array<double>"), F.col("centroid"))
+                - F.col("cc") / 2
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cell"))
     probes = (
         qc.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= n_probe)
-        .select("qid", "qe", "cell")
+        .select("qid", "qe", "qn", "cell")
     )
+    cand = assigned.withColumn("cn", _norm(F.col("embedding")))
     scored = (
-        probes.join(assigned, "cell")
+        probes.join(cand, "cell")
         .filter(F.col("qid") != F.col("vec_id"))
         .select(
             "qid",
             F.col("vec_id").alias("vid"),
-            (
-                _dot(F.col("qe"), F.col("embedding"))
-                / (_norm(F.col("qe")) * _norm(F.col("embedding")))
-            ).alias("cos_sim"),
+            (_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))

@@ -26,7 +26,14 @@ def salted_join(
     single hot key now spreads over ``n_salts`` reducers.
 
     Deterministic (salt = xxhash of ``unique_col``), so results are
-    reproducible and equal to the unsalted join (tested)."""
+    reproducible and equal to the unsalted join (tested).
+
+    Only inner/left are supported: replicating the small side would
+    duplicate its unmatched rows under right/full semantics."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got how={how!r}"
+        )
     salted_large = large.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts))
     )

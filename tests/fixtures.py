@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 
 
-def trips_pdf(n: int = 2000, seed: int = 7) -> pd.DataFrame:
+def trips_pdf(n: int = 2000, seed: int = 7, n_dups: int = 50) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     base = dt.datetime(2024, 3, 1)
     requested = [
@@ -57,7 +57,7 @@ def trips_pdf(n: int = 2000, seed: int = 7) -> pd.DataFrame:
     pdf["completed_at"] = pdf["started_at"] + pd.to_timedelta(
         duration, unit="m"
     )
-    # duplicate the first 50 trips (later re-ingestion versions)
-    dups = pdf.head(50).copy()
+    # duplicate the first n_dups trips (later re-ingestion versions)
+    dups = pdf.head(n_dups).copy()
     dups["fare_amount"] = (dups["fare_amount"] + 1.0).round(2)
     return pd.concat([pdf, dups], ignore_index=True)

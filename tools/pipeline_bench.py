@@ -29,8 +29,9 @@ from fixtures import trips_pdf
 def main() -> None:
     spark = get_spark("pipeline_bench")
     n = int(os.environ.get("PIPELINE_BENCH_TRIPS", "450000"))
+    n_dups = n // 9  # ~50k duplicate re-ingestions at the default scale
     t0 = time.time()
-    pdf = trips_pdf(n)
+    pdf = trips_pdf(n, n_dups=n_dups)
     gen_s = round(time.time() - t0, 2)
 
     t0 = time.time()
@@ -59,7 +60,7 @@ def main() -> None:
         "",
         "## Reference-scale pipeline run (tools/pipeline_bench.py)",
         "",
-        f"{len(pdf):,} trips (450k + 50k duplicate re-ingestions) through the full",
+        f"{len(pdf):,} rows ({n:,} trips + {n_dups:,} duplicate re-ingestions) through the full",
         "medallion composition — bronze audit cols → silver normalize/null-out/",
         "keep-latest dedup → gold star schema (4 dims, 2 facts) + 4 aggregates —",
         f"every table materialized: **{exec_s}s** on local[32]",
