@@ -1,0 +1,56 @@
+"""ANN quality on clustered synthetic embeddings: with well-separated
+clusters, IVF (and brute force) must achieve perfect recall@1 — the
+structural guarantee that the coarse quantizer probes the right cell
+(regression test for ranking cells by Euclidean distance, not raw dot)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distributed_mobility_data_pipeline_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 10, size=(3, 16))
+    rows = []
+    vid = 0
+    for label, c in enumerate(centers):
+        for _ in range(30):
+            v = c + rng.normal(0, 0.1, size=16)
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_brute_force_top1_stays_in_cluster(clustered):
+    out = similarity.cosine_topk(clustered, [0, 30, 60], 1).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.c_label == r.qid // 30  # nearest neighbor shares the cluster
+
+
+def test_ivf_recall_at_1_on_separated_clusters(clustered):
+    truth = {
+        r.qid: r.vid
+        for r in similarity.cosine_topk(clustered, [0, 30, 60], 1).collect()
+    }
+    approx = {
+        r.qid: r.vid
+        for r in similarity.ivf_ann(
+            clustered, [0, 30, 60], n_clusters=3, n_probe=1, k=1
+        ).collect()
+    }
+    # n_probe=1 forces reliance on correct cell ranking: the query's own
+    # (Euclidean-nearest) cell must be the one probed
+    assert approx == truth
+
+
+def test_ivf_results_are_valid_cosines(clustered):
+    out = similarity.ivf_ann(clustered, [0, 30, 60], n_clusters=3).collect()
+    assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in out)
+    assert all(r.rank <= 3 for r in out)
