@@ -1875,6 +1875,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE rn = 1
         """,
+        "mm_extract_features": """
+            SELECT doc_id AS media_id,
+                   'text' AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS payload_sha256,
+                   CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) / 255.0 AS feat_0,
+                   CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) / 255.0 AS feat_1,
+                   CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) / 255.0 AS feat_2,
+                   CAST(('0x' || substr(sha256(text), 7, 2)) AS INT) / 255.0 AS feat_3
+            FROM documents
+        """,
         "mm_media_metadata": """
             SELECT doc_id AS media_id,
                    'text' AS kind,
