@@ -399,6 +399,58 @@ def queries() -> dict[str, QueryFn]:
             "event_type",
             "value",
         ),
+        # classic filter-agg / conditional-agg / ratio shapes (Q6/Q12/Q14)
+        "agg_forecast_revenue_change": lambda s, d: _t(s, d, "lineitem")
+        .filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,6)")
+                 * F.col("l_discount").cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        ),
+        "agg_priority_shipping": lambda s, d: _t(s, d, "lineitem")
+        .join(_t(s, d, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("high_line_count"),
+            F.sum(
+                F.when(
+                    ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("low_line_count"),
+        ),
+        "agg_promo_revenue_pct": lambda s, d: _t(s, d, "lineitem")
+        .join(_t(s, d, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(
+                        F.col("p_type").startswith("ECO"),
+                        F.col("l_extendedprice").cast("decimal(18,6)")
+                        * (F.lit(1).cast("decimal(18,6)")
+                           - F.col("l_discount").cast("decimal(18,6)")),
+                    ).otherwise(F.lit(0).cast("decimal(37,12)"))
+                ).cast("double")
+                / F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1).cast("decimal(18,6)")
+                       - F.col("l_discount").cast("decimal(18,6)"))
+                ).cast("double")
+            ).alias("promo_pct"),
+        ),
         # multi-way shuffle-join analytics (TPC-H Q3/Q5 shapes)
         "agg_shipping_priority": lambda s, d: agg_ops.shipping_priority(
             _t(s, d, "customer"),
@@ -1483,6 +1535,35 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos_sim
               FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.25
+        """,
+        "agg_forecast_revenue_change": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                            * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue_delta,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.05
+              AND l_quantity < 24
+        """,
+        "agg_priority_shipping": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "agg_promo_revenue_pct": """
+            SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'ECO%'
+                                 THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                                      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                                 ELSE CAST(0 AS DECIMAL(37,12)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+                   AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
         """,
         "agg_shipping_priority": """
             SELECT l.l_orderkey,
