@@ -53,6 +53,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # split size cap: at 100 TB this bounds per-task input so scan
+        # partitions fit executor memory; AQE coalesces the small tail
+        .config("spark.sql.files.maxPartitionBytes", "268435456")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
