@@ -467,6 +467,29 @@ def queries() -> dict[str, QueryFn]:
             _t(s, d, "supplier"),
             "ASIA",
         ),
+        "agg_order_priority_checks": lambda s, d: agg_ops.order_priority_checks(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "agg_returned_item_losses": lambda s, d: agg_ops.returned_item_losses(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "nation"),
+        ),
+        "agg_customer_order_distribution": lambda s, d: (
+            agg_ops.customer_order_distribution(
+                _t(s, d, "customer"), _t(s, d, "orders")
+            )
+        ),
+        "agg_supplier_counts_by_part": lambda s, d: agg_ops.supplier_counts_by_part(
+            _t(s, d, "part"), _t(s, d, "lineitem"), _t(s, d, "supplier")
+        ),
+        "agg_large_volume_customers": lambda s, d: agg_ops.large_volume_customers(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "agg_dormant_customers": lambda s, d: agg_ops.dormant_high_value_customers(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
         # North-star: IVF ANN (k-means coarse quantizer)
         "sim_ivf_ann": lambda s, d: sim_ops.ivf_ann(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4]
@@ -1595,6 +1618,83 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "agg_order_priority_checks": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY 1
+        """,
+        "agg_returned_item_losses": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                            * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND CAST(o.o_orderdate AS DATE) >= DATE '1995-07-01'
+              AND CAST(o.o_orderdate AS DATE) < DATE '1995-10-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "agg_customer_order_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY 1
+            )
+            GROUP BY 1
+        """,
+        "agg_supplier_counts_by_part": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size IN (10, 20, 30, 40)
+              AND l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "agg_large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+                FROM lineitem
+                GROUP BY 1
+                HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300.0
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+                   o.o_totalprice, big.sum_qty
+            FROM orders o
+            JOIN big ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "agg_dormant_customers": """
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                           / count(c_acctbal)
+                    FROM customer WHERE c_acctbal > 0.0)
+              AND c_custkey NOT IN (
+                    SELECT o_custkey FROM orders
+                    WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
             GROUP BY 1
         """,
         "agg_unpivot_measures": """

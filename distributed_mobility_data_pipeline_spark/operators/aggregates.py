@@ -291,3 +291,161 @@ def pivot_status(orders: DataFrame) -> DataFrame:
             F.col("P").alias("n_p"),
         )
     )
+
+
+def order_priority_checks(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join, count by priority.
+
+    The EXISTS becomes a LEFT SEMI shuffle join on orderkey; the quarter
+    filter prunes orders before the shuffle and the returnflag filter is
+    pushed into the lineitem scan, so at 100 TB both sides shrink before
+    any network movement. (Adapted: no l_commitdate in this dataset, so
+    the inner predicate is l_returnflag = 'R'.)
+    """
+    ords = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_orderpriority")
+    flagged = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(flagged, ords.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def returned_item_losses(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+
+    lineitem(R-flag) ⨝ orders(one quarter) is the big shuffle join;
+    customer joins on custkey and nation is broadcast. Top-20 via
+    orderBy+limit → TakeOrderedAndProject, no full sort at scale.
+    """
+    one = F.lit(1).cast("decimal(18,6)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    ords = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-07-01"))
+        & (F.to_date("o_orderdate") < F.lit("1995-10-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(customer, ords.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed N orders.
+
+    LEFT OUTER join with an extra join-side predicate (priority filter
+    lives in the ON clause, not WHERE — outer-join semantics differ!),
+    then a two-level aggregate. Both groupBys are on low-cardinality
+    keys after the first shuffle; AQE coalesces the second.
+    """
+    ords = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            ords,
+            (F.col("c_custkey") == ords.o_custkey)
+            & (ords.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def supplier_counts_by_part(
+    part: DataFrame, lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute, with a
+    NOT-IN exclusion list.
+
+    (Adapted: no partsupp table — supplier↔part pairs come from lineitem;
+    the excluded set is suppliers with negative balance.) The NOT IN is a
+    broadcast anti-join (exclusion list is tiny); count(DISTINCT) expands
+    to a two-phase aggregate, both shuffles on the same grouping keys.
+    """
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+        .join(
+            part.filter(F.col("p_size").isin(10, 20, 30, 40)).select(
+                "p_partkey", "p_brand", "p_type", "p_size"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer. HAVING on an exact decimal sum (bit-identical
+    across partitionings), then the tiny survivor set joins back
+    broadcast — at 100 TB the only full shuffle is the first groupBy.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def dormant_high_value_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by nation.
+
+    The scalar AVG subquery is computed distributed and crossJoin-
+    broadcast (never collected to the driver); the NOT EXISTS is a
+    left-anti shuffle join against the recent-orders keyset.
+    """
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(exact_avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = orders.filter(
+        F.to_date("o_orderdate") >= F.lit("2001-01-01")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
