@@ -177,36 +177,44 @@ def minhash_lsh_pairs(
     Jaccard verification on candidates only. The full LSH pipeline a
     100 TB dedup would run; every step is a DataFrame op.
 
-    The shingle table feeds four consumers (signatures, both sides of
-    the verification join, sizes); persist it once instead of
-    recomputing the normalize→shingle→explode lineage each time — at
-    scale this is the materialized intermediate a production dedup
-    would checkpoint. The cached blocks are reclaimed by Spark's
-    ContextCleaner once the returned DataFrame is unreferenced (the
-    lazy API has no safe point to unpersist explicitly)."""
+    The shingle table feeds two consumers (signatures and the per-doc
+    shingle-set arrays); persist it once instead of recomputing the
+    normalize→shingle→explode lineage each time — at scale this is the
+    materialized intermediate a production dedup would checkpoint. The
+    cached blocks are reclaimed by Spark's ContextCleaner once the
+    returned DataFrame is unreferenced (the lazy API has no safe point
+    to unpersist explicitly).
+
+    Two deliberate physical choices:
+    - the band bucket key is the RAW struct of ``band_size`` minhash
+      values, not a hash of them — equality on 4 bigints is the same
+      partition as equality on sha256(concat) but skips the string
+      concat + crypto hash per band and shuffles 32 bytes instead of a
+      64-char string;
+    - exact-Jaccard verification carries each doc's (distinct) shingle
+      set as a sorted array into the candidate pair and intersects
+      JVM-side with ``array_intersect`` — two doc_id equi-joins replace
+      a shuffle of the whole shingle table on shingle value. Per-doc
+      shingle sets are bounded (doc length), so the arrays stay small.
+    """
     sh = shingles(docs, n).persist()
     sig = _minhash_signatures_from_shingles(sh, n_perm)
     n_bands = n_perm // band_size
-    band_cols = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.sha2(F.concat_ws("|", *cols), 256).alias("bhash"),
-            )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"mh_{b * band_size + j}").alias(f"v{j}")
+                for j in range(band_size)
+            ],
         )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+        for b in range(n_bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bkey"))
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash")),
-        )
+        a.join(b, F.col("a.bkey") == F.col("b.bkey"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -214,37 +222,31 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact Jaccard on CANDIDATES ONLY — this is the whole point of LSH:
-    # the all-pairs shingle join never happens; each candidate pair joins
-    # its two (small) shingle sets.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    common = (
-        candidates.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    # the all-pairs shingle join never happens; each candidate pair
+    # intersects its two (small) shingle-set arrays.
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
     verified = (
-        candidates.join(common, ["doc_a", "doc_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+        candidates.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")),
             "doc_b",
         )
         .select(
             "doc_a",
             "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
             (
-                F.coalesce("common", F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.coalesce("common", F.lit(0)))
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
             ).alias("jaccard"),
         )
     )
