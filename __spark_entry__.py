@@ -490,6 +490,31 @@ def queries() -> dict[str, QueryFn]:
         "agg_dormant_customers": lambda s, d: agg_ops.dormant_high_value_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
+        "agg_nation_trade_volume": lambda s, d: agg_ops.nation_trade_volume(
+            _t(s, d, "lineitem"),
+            _t(s, d, "orders"),
+            _t(s, d, "customer"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+            "NATION_1",
+            "NATION_2",
+        ),
+        "agg_top_revenue_suppliers": lambda s, d: agg_ops.top_revenue_suppliers(
+            _t(s, d, "lineitem"), _t(s, d, "supplier")
+        ),
+        "agg_brand_promo_revenue": lambda s, d: agg_ops.brand_promo_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "agg_sole_return_suppliers": lambda s, d: agg_ops.sole_return_suppliers(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "supplier")
+        ),
+        "agg_important_part_values": lambda s, d: agg_ops.important_part_values(
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+            "NATION_3",
+            0.001,
+        ),
         # North-star: IVF ANN (k-means coarse quantizer)
         "sim_ivf_ann": lambda s, d: sim_ops.ivf_ann(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4]
@@ -1619,6 +1644,89 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY 1
+        """,
+        "agg_nation_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                            * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND year(CAST(l.l_shipdate AS DATE)) IN (1995, 1996)
+            GROUP BY 1, 2, 3
+        """,
+        "agg_top_revenue_suppliers": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                            AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, rev.total_revenue
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "agg_brand_promo_revenue": """
+            SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                            * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))))
+                        AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "agg_sole_return_suppliers": """
+            WITH culprit AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_returnflag = 'R'
+            )
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM culprit l1
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                         AND o.o_orderstatus = 'F'
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "agg_important_part_values": """
+            WITH vals AS (
+                SELECT l.l_partkey,
+                       sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                           * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS value_dec
+                FROM lineitem l
+                WHERE l.l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_3')
+                GROUP BY 1
+            )
+            SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+            FROM vals
+            WHERE CAST(value_dec AS DOUBLE) >
+                  CAST((SELECT sum(value_dec) FROM vals) AS DOUBLE) * 0.001
         """,
         "agg_order_priority_checks": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

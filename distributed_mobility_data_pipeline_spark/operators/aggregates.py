@@ -449,3 +449,195 @@ def dormant_high_value_customers(customer: DataFrame, orders: DataFrame) -> Data
             exact_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str,
+    nation_b: str,
+) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations, either
+    direction, by shipping year. The nation dim is broadcast twice in
+    role-playing positions (supplier's vs customer's nation) and the
+    pair condition is a disjunction across both aliases — the shape
+    Catalyst can't reduce to a single equi-key, so it rides on the
+    fact-side joins and filters after."""
+    one = F.lit(1).cast("decimal(18,6)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = lineitem.filter(F.year(F.to_date("l_shipdate")).isin(1995, 1996))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("int").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def top_revenue_suppliers(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    global max. The max is a distributed scalar (single-row aggregate)
+    broadcast back over the revenue table — never collected to the
+    driver, and the revenue table is computed once and reused through
+    the self-reference (Spark plans it as two scans of the same
+    aggregate; at scale, persist it)."""
+    one = F.lit(1).cast("decimal(18,6)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    rev = (
+        lineitem.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def brand_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates. The OR-of-ANDs can't prune the part scan to one brand,
+    but the common p_size lower bound and the quantity envelope still
+    push down; everything else evaluates post-join in one codegen
+    stage."""
+    one = F.lit(1).cast("decimal(18,6)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    j = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def sole_return_suppliers(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape: for finished orders with ≥2 suppliers, the
+    supplier who is the ONLY one whose lines were returned — the
+    classic EXISTS + NOT EXISTS double-correlated subquery.
+
+    Implemented as the aggregate decorrelation a distributed engine
+    would pick: one pass over lineitem computes per-order distinct
+    supplier counts (all lines / returned lines); the EXISTS becomes
+    ``n_supp >= 2`` and the NOT EXISTS becomes ``n_ret_supp == 1`` —
+    two shuffles total instead of two correlated re-scans of lineitem.
+    (Adapted: no l_commitdate/l_receiptdate in this dataset, so "kept
+    waiting" is l_returnflag = 'R'.)"""
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    culprit = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    fords = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        culprit.join(fords, culprit.l_orderkey == fords.o_orderkey, "left_semi")
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str,
+    fraction: float,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supply value (from one nation's
+    suppliers) exceeds a fraction of the global total — HAVING against
+    a scalar subquery over the same aggregate.
+
+    The nation's suppliers are a broadcast filter; part values need one
+    shuffle; the global total is the same aggregate re-reduced to a
+    scalar and broadcast back, so the comparison never serializes
+    through the driver. (Adapted: supplier↔part pairs come from
+    lineitem — no partsupp table.)"""
+    one = F.lit(1).cast("decimal(18,6)")
+    value = dec("l_extendedprice") * (one - dec("l_discount"))
+    nkey = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    supps = supplier.join(
+        F.broadcast(nkey), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey")
+    vals = (
+        lineitem.join(F.broadcast(supps), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    total = vals.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * F.lit(fraction)
+        )
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+    )
