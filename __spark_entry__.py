@@ -65,7 +65,102 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Round-1's driver CORRECTNESS artifact covered exactly the first 50 keys of
+# queries(). Round 2 front-loads the 61 entries that have no driver-green row
+# yet (TPC-H shapes, dedup/similarity/text north-star, streaming, scalars,
+# JSON, ML); the already-green round-1 queries follow. Rotate per round so
+# every query eventually earns a driver-green CORRECTNESS row.
+_DRIVER_FIRST: list[str] = [
+    # North-star dedup / similarity
+    "dedup_docs_exact",
+    "dedup_docs_jaccard_pairs",
+    "dedup_docs_minhash_sig",
+    "dedup_docs_minhash_lsh",
+    "dedup_docs_clusters",
+    "dedup_docs_clusters_jaccard",
+    "dedup_docs_simhash",
+    "dedup_docs_simhash_hamming",
+    "sim_cosine_topk",
+    "sim_knn_label_agreement",
+    "sim_pairs_above_threshold",
+    # Streaming batch-twins
+    "stream_tumbling_hourly",
+    "stream_sliding_counts",
+    "stream_sessionize",
+    "stream_dedup",
+    # TPC-H-shape analytics
+    "agg_forecast_revenue_change",
+    "agg_priority_shipping",
+    "agg_promo_revenue_pct",
+    "agg_shipping_priority",
+    "agg_local_supplier_volume",
+    "agg_order_priority_checks",
+    "agg_returned_item_losses",
+    "agg_customer_order_distribution",
+    "agg_supplier_counts_by_part",
+    "agg_large_volume_customers",
+    "agg_dormant_customers",
+    "agg_nation_trade_volume",
+    "agg_top_revenue_suppliers",
+    "agg_brand_promo_revenue",
+    "agg_sole_return_suppliers",
+    "agg_important_part_values",
+    "agg_small_quantity_orders",
+    # Grouping extensions / quantiles
+    "agg_unpivot_measures",
+    "agg_grouping_sets",
+    "agg_exact_quantiles",
+    # Joins (as-of / range)
+    "join_asof_orders_events",
+    "join_range_bucketed",
+    # Sampling / mixing
+    "sample_hash_docs",
+    "sample_hash_split_train",
+    "sample_mix_sources",
+    # Scalar families / arrays / JSON
+    "array_functions_embeddings",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "win_distribution_functions",
+    "json_from_json_struct",
+    "json_extract_props",
+    "json_props_agg",
+    # ML features / scoring / training
+    "ml_demand_features",
+    "ml_churn_features",
+    "ml_score_pandas_udf",
+    "ml_score_expression",
+    "ml_score_surge",
+    # Multimodal plumbing
+    "mm_media_metadata",
+    "mm_extract_features",
+    # Drift
+    "drift_missing_rate_shift",
+    # Rows-only entries (approximate / RNG / ML training — no SQL oracle by
+    # design) come after the oracle-backed set, so a driver cap of 50 spends
+    # every slot on a full rows+schema+hash row.
+    "sim_lsh_bucketed_ann",
+    "sim_ivf_ann",
+    "sim_mllib_lsh",
+    "sample_bernoulli",
+    "ml_train_demand_models",
+    "ml_train_classifier",
+    "stream_stateful_counts",
+]
+
+
+def _driver_order(q: dict) -> dict:
+    head = {k: q[k] for k in _DRIVER_FIRST if k in q}
+    tail = {k: v for k, v in q.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, QueryFn]:
+    return _driver_order(_all_queries())
+
+
+def _all_queries() -> dict[str, QueryFn]:
     return {
         # §2.5 aggregates
         "agg_hourly_demand": lambda s, d: agg_ops.hourly_demand(_t(s, d, "events")),
@@ -769,6 +864,12 @@ _MH_COLS = ",\n                   ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    # Same driver-facing order as queries(), in case the driver iterates this
+    # dict instead (it compares per-name, but order determines any cap).
+    return _driver_order(_all_oracle_sql())
+
+
+def _all_oracle_sql() -> dict[str, str]:
     return {
         "agg_hourly_demand": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
