@@ -187,6 +187,7 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "orders").select("o_orderkey", "o_totalprice"),
             "o_totalprice",
             10,
+            tiebreak="o_orderkey",
         ),
         "agg_top_k_per_group": lambda s, d: agg_ops.top_k(
             _t(s, d, "orders").select(
@@ -195,6 +196,7 @@ def _all_queries() -> dict[str, QueryFn]:
             "o_totalprice",
             3,
             "o_orderpriority",
+            tiebreak="o_orderkey",
         ),
         "agg_cube_revenue": lambda s, d: agg_ops.cube_revenue(_t(s, d, "lineitem")),
         "agg_rollup_revenue": lambda s, d: agg_ops.rollup_revenue(
@@ -952,14 +954,14 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "agg_top_k_global": """
             SELECT o_orderkey, o_totalprice
-            FROM orders ORDER BY o_totalprice DESC LIMIT 10
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "agg_top_k_per_group": """
             SELECT o_orderkey, o_orderpriority, o_totalprice
             FROM (
               SELECT o_orderkey, o_orderpriority, o_totalprice,
                      row_number() OVER (PARTITION BY o_orderpriority
-                                        ORDER BY o_totalprice DESC) AS rk
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
               FROM orders
             ) WHERE rk <= 3
         """,
@@ -1295,8 +1297,8 @@ def _all_oracle_sql() -> dict[str, str]:
                      / count(value) OVER (PARTITION BY event_type) AS yhat
               FROM events WHERE value IS NOT NULL
             )
-            SELECT CAST(sum(CAST(abs(y - yhat) AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mae,
-                   sqrt(CAST(sum(CAST((y - yhat) * (y - yhat) AS DECIMAL(28,8))) AS DOUBLE) / count(*)) AS rmse,
+            SELECT CAST(sum(CAST(abs(y - yhat) AS DECIMAL(28,8))) AS DOUBLE) / count(y - yhat) AS mae,
+                   sqrt(CAST(sum(CAST((y - yhat) * (y - yhat) AS DECIMAL(28,8))) AS DOUBLE) / count(y - yhat)) AS rmse,
                    CAST(sum(CAST(CASE WHEN y != 0 THEN abs((y - yhat) / y) END AS DECIMAL(28,8))) AS DOUBLE)
                    / count(CASE WHEN y != 0 THEN abs((y - yhat) / y) END) AS mape,
                    CAST(count(*) AS BIGINT) AS n
@@ -1924,7 +1926,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "join_asof_orders_events": """
             WITH r AS (
               SELECT user_id AS _k, CAST(ts AS TIMESTAMP) AS _t, 0 AS _is_left,
-                     event_id AS _tb, event_type AS v_et, value AS v_val,
+                     event_id AS _tb,
+                     struct_pack(et := event_type, val := value) AS _v,
                      NULL::BIGINT AS o_orderkey, NULL::BIGINT AS o_custkey,
                      NULL::TIMESTAMP AS order_ts, NULL::DOUBLE AS o_totalprice
               FROM events
@@ -1934,7 +1937,8 @@ def _all_oracle_sql() -> dict[str, str]:
                           + CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) % 28 AS INT)
                           AS TIMESTAMP) AS _t,
                      1 AS _is_left,
-                     NULL::BIGINT AS _tb, NULL::VARCHAR AS v_et, NULL::DOUBLE AS v_val,
+                     NULL::BIGINT AS _tb,
+                     NULL::STRUCT(et VARCHAR, val DOUBLE) AS _v,
                      o_orderkey, o_custkey,
                      CAST(DATE '2024-01-01'
                           + CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) % 28 AS INT)
@@ -1944,8 +1948,8 @@ def _all_oracle_sql() -> dict[str, str]:
             ), u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
             carried AS (
               SELECT *,
-                     last_value(v_et IGNORE NULLS) OVER w AS last_event_type,
-                     last_value(v_val IGNORE NULLS) OVER w AS last_event_value
+                     struct_extract(last_value(_v IGNORE NULLS) OVER w, 'et') AS last_event_type,
+                     struct_extract(last_value(_v IGNORE NULLS) OVER w, 'val') AS last_event_value
               FROM u
               WINDOW w AS (PARTITION BY _k
                            ORDER BY _t, _is_left, _tb ASC NULLS FIRST

@@ -175,13 +175,24 @@ def status_distribution(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def top_k(df: DataFrame, order_col: str, k: int, *group_cols: str) -> DataFrame:
+def top_k(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    *group_cols: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
     """Global or per-group top-k. Global compiles to
     TakeOrderedAndProject (no full sort); per-group is the canonical
-    row_number window (SURVEY.md §2.7)."""
+    row_number window (SURVEY.md §2.7). ``tiebreak`` makes rows at the
+    k boundary deterministic regardless of partitioning/layout — pass a
+    unique key column whenever the order column can tie."""
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
     if not group_cols:
-        return df.orderBy(F.col(order_col).desc()).limit(k)
-    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).desc())
+        return df.orderBy(*order).limit(k)
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

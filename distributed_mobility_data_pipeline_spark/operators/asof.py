@@ -65,13 +65,23 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right_time <= left_time on the same key. Right rows at equal
-    (time, tiebreak) resolve by the highest tiebreak — deterministic."""
+    (time, tiebreak) resolve by the highest tiebreak — deterministic.
+
+    All value columns travel as ONE struct and the forward-fill is
+    ``last(ignorenulls)`` over that struct, so every ``asof_*`` output
+    column comes from the same right row — per-column fill could stitch
+    together fields of different rows when a value column is NULL."""
+    from pyspark.sql import types as T
+
+    v_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     r = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
         F.col(tiebreak).alias("_tb"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_v"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
             for c in left.columns
@@ -82,7 +92,7 @@ def asof_join(
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(v_type).alias("_v"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     u = r.unionByName(l)
@@ -92,13 +102,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_v", ignorenulls=True).over(w).alias("_asof")
     )
     return carried.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"asof_{c}") for c in value_cols],
+        *[F.col("_asof").getField(c).alias(f"asof_{c}") for c in value_cols],
     )

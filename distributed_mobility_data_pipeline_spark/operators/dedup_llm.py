@@ -11,11 +11,13 @@ Design for 100 TB:
 - SimHash is a per-doc 64-bit aggregate; candidate pairs come from
   banding or a known-key join, never a cross join.
 
-Cross-engine determinism: MinHash permutations are *lexicographic min
-over md5(seed || shingle) hex strings* — md5 hex is identical in Spark
-and DuckDB, and string min is order-free, so signatures (and therefore
-bands, candidates, and Jaccard numbers) hash-match the oracle exactly.
-SimHash bits come from sha2-hex character parity, same reasoning.
+Cross-engine determinism: each MinHash permutation is an *affine map
+(a·h + b) mod P of the md5-prefix integer* h = int(md5(shingle)[:8], 16)
+— md5 hex is identical in Spark and DuckDB, min is order-free, and the
+(a, b) constants are fixed in MINHASH_PARAMS, so signatures (and
+therefore bands, candidates, and Jaccard numbers) hash-match the oracle
+exactly. SimHash bits come from sha2-hex character parity, same
+reasoning.
 """
 
 from __future__ import annotations
@@ -192,10 +194,11 @@ def minhash_lsh_pairs(
       concat + crypto hash per band and shuffles 32 bytes instead of a
       64-char string;
     - exact-Jaccard verification carries each doc's (distinct) shingle
-      set as a sorted array into the candidate pair and intersects
-      JVM-side with ``array_intersect`` — two doc_id equi-joins replace
-      a shuffle of the whole shingle table on shingle value. Per-doc
-      shingle sets are bounded (doc length), so the arrays stay small.
+      set as an array (collect_list; element order is irrelevant to
+      ``array_intersect``) into the candidate pair and intersects
+      JVM-side — two doc_id equi-joins replace a shuffle of the whole
+      shingle table on shingle value. Per-doc shingle sets are bounded
+      (doc length), so the arrays stay small.
     """
     sh = shingles(docs, n).persist()
     sig = _minhash_signatures_from_shingles(sh, n_perm)

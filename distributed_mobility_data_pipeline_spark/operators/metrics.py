@@ -18,16 +18,21 @@ def _dec(c: Column, scale: int = 8) -> Column:
 
 
 def regression_metrics(df: DataFrame, y: str, yhat: str) -> DataFrame:
-    """One-row MAE/RMSE/MAPE/n over prediction pairs."""
+    """One-row MAE/RMSE/MAPE/n over prediction pairs.
+
+    MAE/RMSE divide by the count of non-null error terms, so rows with
+    NULL y or ŷ are excluded rather than diluting the averages; ``n``
+    reports total rows seen so callers can spot the gap."""
     err = F.col(y) - F.col(yhat)
     abs_err = F.abs(err)
     sq_err = err * err
     rel_err = F.when(F.col(y) != 0, F.abs(err / F.col(y)))
     n = F.count(F.lit(1))
+    n_scored = F.count(abs_err)
     n_nonzero = F.count(rel_err)
     return df.agg(
-        (F.sum(_dec(abs_err)).cast("double") / n).alias("mae"),
-        F.sqrt(F.sum(_dec(sq_err)).cast("double") / n).alias("rmse"),
+        (F.sum(_dec(abs_err)).cast("double") / n_scored).alias("mae"),
+        F.sqrt(F.sum(_dec(sq_err)).cast("double") / n_scored).alias("rmse"),
         (F.sum(_dec(rel_err)).cast("double") / n_nonzero).alias("mape"),
         n.alias("n"),
     )

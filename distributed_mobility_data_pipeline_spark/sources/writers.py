@@ -11,13 +11,42 @@ keys, which is the property batch_scoring.py:161-186 relies on.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from distributed_mobility_data_pipeline_spark.session import has_delta
 
 
 def _fmt() -> str:
     return "delta" if has_delta() else "parquet"
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _atomic_replace(spark: SparkSession, tmp_path: str, path: str) -> None:
+    """Replace the table at ``path`` with the one at ``tmp_path`` via
+    filesystem renames (Hadoop FileSystem API, so it works for any
+    supported scheme). A crash before the first rename leaves the old
+    table untouched; the `.bak` copy survives until the swap completes,
+    so the worst post-crash state is a recoverable backup — never a
+    half-rewritten table (parquet rewrites used to overwrite in place)."""
+    dst = _hadoop_path(spark, path)
+    tmp = _hadoop_path(spark, tmp_path)
+    bak = _hadoop_path(spark, path + "._bak")
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    if not fs.rename(dst, bak):
+        raise IOError(f"atomic replace: could not move {path} aside")
+    if not fs.rename(tmp, dst):
+        fs.rename(bak, dst)  # roll back
+        raise IOError(f"atomic replace: could not promote {tmp_path}")
+    fs.delete(bak, True)
 
 
 def write_overwrite(
@@ -89,12 +118,17 @@ def optimize_layout(
         return
     df = spark.read.parquet(path)
     n = target_partitions or max(df.rdd.getNumPartitions() // 4, 1)
-    out = (
+    # Write the re-clustered copy beside the table, then swap atomically:
+    # reading `path` while writing a different path needs no lineage break,
+    # and a mid-rewrite crash can't lose the original.
+    tmp = path + "._tmp_optimize"
+    (
         df.repartitionByRange(n, *zorder_by)
         .sortWithinPartitions(*zorder_by)
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .parquet(tmp)
     )
-    out.write.mode("overwrite").parquet(path)
+    _atomic_replace(spark, tmp, path)
 
 
 def merge_upsert(
@@ -138,9 +172,25 @@ def merge_upsert(
         write_overwrite(source, path, partition_by)
         return
     target = spark.read.parquet(path)
-    kept = target.join(source.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+    # Null-safe key comparison (<=>) matches the Delta MERGE condition
+    # above: rows with NULL merge keys replace their NULL-keyed match
+    # instead of duplicating on every re-run.
+    src_keys = source.select(*keys).dropDuplicates(keys).alias("_mrg_s")
+    tgt = target.alias("_mrg_t")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_mrg_t.`{k}`").eqNullSafe(F.col(f"_mrg_s.`{k}`"))
+            for k in keys
+        ],
+    )
+    kept = tgt.join(src_keys, on=cond, how="left_anti")
     merged = kept.unionByName(source, allowMissingColumns=True)
-    # Parquet overwrite of the path we are also reading: break the lineage
-    # by materializing to a local checkpoint before rewriting.
-    merged = merged.localCheckpoint(eager=True)
-    write_overwrite(merged, path, partition_by)
+    # Write the merged table to a sibling temp path, then swap atomically
+    # — no lineage break needed, and a crash mid-write keeps the old table.
+    tmp = path + "._tmp_merge"
+    writer = merged.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
+    _atomic_replace(spark, tmp, path)

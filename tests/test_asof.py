@@ -44,6 +44,22 @@ def test_asof_tiebreak_highest_wins(spark):
     assert out.collect()[0].asof_tag == "high"
 
 
+def test_asof_null_value_col_stays_one_row(spark):
+    # The matched right row has tag=NULL; both output columns must still
+    # come from that row — per-column forward-fill would borrow the tag
+    # from the older row while taking uid from the newer one.
+    left = spark.createDataFrame([(1, "2024-01-10 00:00:00")], "k long, lt string")
+    left = left.withColumn("lt", F.to_timestamp("lt"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5, "old"), (1, "2024-01-05 00:00:00", 9, None)],
+        "k long, rt string, uid long, tag string",
+    ).withColumn("rt", F.to_timestamp("rt"))
+    out = asof.asof_join(
+        left, right, "k", "k", "lt", "rt", ["uid", "tag"], "uid"
+    ).collect()[0]
+    assert (out.asof_uid, out.asof_tag) == (9, None)
+
+
 def test_range_join_boundaries_and_bucket_edges(spark):
     left = spark.createDataFrame([(1, "2024-01-10")], "k long, ld string")
     left = left.withColumn("ld", F.to_date("ld"))

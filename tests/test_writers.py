@@ -55,3 +55,44 @@ def test_merge_creates_when_missing(spark, tmp_path):
     writers.merge_upsert(spark, _df(spark, [(1, "a", 1.0)]), p, keys=["k"])
     assert writers.table_exists(spark, p)
     assert spark.read.parquet(p).count() == 1
+
+
+def test_merge_null_key_idempotent(spark, tmp_path):
+    # NULL merge keys must match null-safely (<=>, like the Delta MERGE
+    # condition) — a re-run may not duplicate the NULL-keyed row.
+    p = str(tmp_path / "t5")
+    src = _df(spark, [(None, "a", 1.0), (2, "a", 2.0)])
+    writers.merge_upsert(spark, src, p, keys=["k"])
+    writers.merge_upsert(spark, src, p, keys=["k"])
+    rows = spark.read.parquet(p).collect()
+    assert len(rows) == 2
+    writers.merge_upsert(spark, _df(spark, [(None, "b", 9.0)]), p, keys=["k"])
+    out = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
+    assert out == {(None, 9.0), (2, 2.0)}
+
+
+def test_optimize_layout_crash_safe(spark, tmp_path, monkeypatch):
+    # A failure before the atomic swap must leave the original table
+    # fully readable (the old code rewrote the path in place).
+    p = str(tmp_path / "t6")
+    writers.write_overwrite(_df(spark, [(i, "a", float(i)) for i in range(10)]), p)
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before swap")
+
+    monkeypatch.setattr(writers, "_atomic_replace", boom)
+    try:
+        writers.optimize_layout(spark, p, zorder_by=["k"])
+    except RuntimeError:
+        pass
+    assert spark.read.parquet(p).count() == 10
+
+
+def test_optimize_layout_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t7")
+    df = _df(spark, [(i % 3, f"d{i % 2}", float(i)) for i in range(30)])
+    writers.write_overwrite(df, p)
+    writers.optimize_layout(spark, p, zorder_by=["k"], target_partitions=2)
+    out = spark.read.parquet(p)
+    assert out.count() == 30
+    assert {r.k for r in out.select("k").distinct().collect()} == {0, 1, 2}
