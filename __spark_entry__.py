@@ -444,7 +444,17 @@ def _all_queries() -> dict[str, QueryFn]:
         "dedup_docs_minhash_lsh": lambda s, d: ddllm_ops.minhash_lsh_pairs(
             ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
         ),
+        # Clusters fed from LSH candidates — the composed pipeline a corpus-
+        # scale dedup runs end-to-end (candidate generation never goes
+        # all-pairs). The jaccard-fed twin below keeps the exact baseline
+        # checked too.
         "dedup_docs_clusters": lambda s, d: ddllm_ops.dup_clusters(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
+            ddllm_ops.minhash_lsh_pairs(
+                ddllm_ops.with_mutated_copies(_t(s, d, "documents")), 3
+            ).filter(F.col("is_dup") == 1),
+        ),
+        "dedup_docs_clusters_jaccard": lambda s, d: ddllm_ops.dup_clusters(
             ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
             ddllm_ops.ngram_jaccard_pairs(
                 ddllm_ops.with_mutated_copies(_t(s, d, "documents")), 3, 0.5
@@ -1452,6 +1462,83 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
         """,
         "dedup_docs_clusters": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ),
+            norm AS (SELECT doc_id,
+                            string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+                     FROM base),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(len(toks) - 2),
+                                           i -> array_to_string(toks[i+1:i+3], ' '))
+                       ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM norm
+            ),
+            sig AS (
+              SELECT doc_id,
+                   """ + _MH_COLS + """
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     sha256(mh_0::VARCHAR || '|' || mh_1::VARCHAR || '|' || mh_2::VARCHAR || '|' || mh_3::VARCHAR) AS bhash FROM sig
+              UNION ALL
+              SELECT doc_id, 1,
+                     sha256(mh_4::VARCHAR || '|' || mh_5::VARCHAR || '|' || mh_6::VARCHAR || '|' || mh_7::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 2,
+                     sha256(mh_8::VARCHAR || '|' || mh_9::VARCHAR || '|' || mh_10::VARCHAR || '|' || mh_11::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 3,
+                     sha256(mh_12::VARCHAR || '|' || mh_13::VARCHAR || '|' || mh_14::VARCHAR || '|' || mh_15::VARCHAR) FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jacv AS (
+              SELECT doc_a, doc_b,
+                     CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            ),
+            dup_pairs AS (
+              SELECT cand.doc_a, cand.doc_b
+              FROM cand LEFT JOIN jacv
+                ON cand.doc_a = jacv.doc_a AND cand.doc_b = jacv.doc_b
+              WHERE COALESCE(jaccard, 0.0) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+              UNION
+              SELECT doc_b, doc_a FROM dup_pairs
+            ),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS r FROM base
+              UNION
+              SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+            ),
+            comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS cluster_size,
+                   min(node) AS keep_doc_id
+            FROM comp GROUP BY cluster_id
+        """,
+        "dedup_docs_clusters_jaccard": """
             WITH RECURSIVE base AS (
               SELECT doc_id, text FROM documents
               UNION ALL

@@ -274,10 +274,15 @@ def dup_clusters(
     driver-side control flow over distributed steps, never a collect of
     data. This is the 'keep one per duplicate cluster' step that follows
     MinHash/SimHash candidate generation at corpus scale."""
+    # Materialize the edge list once: every iteration joins against it,
+    # and without the checkpoint each iteration (plus its convergence
+    # count) would re-run the whole upstream candidate-generation
+    # lineage (LSH banding / jaccard verification) from scratch.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = docs.select(
         F.col("doc_id"), F.col("doc_id").alias("label")

@@ -8,9 +8,11 @@ Two variants, as SURVEY.md §6 prescribes:
 - ``psi_fixed_bins`` — explicit edges, fully deterministic, DuckDB-
   oracle-checkable (the ln output is truncated at decimal(28,8) to
   absorb cross-engine libm ULP differences).
-- ``psi_quantile_bins`` — edges from ``approxQuantile`` on the baseline
-  (Greenwald-Khanna, model_monitoring.py:101-103); approximate by
-  design → rows-only check.
+- ``psi_quantile_bins`` — edges from ``percentile_approx`` over the
+  baseline (model_monitoring.py:101-103 uses approxQuantile; here the
+  edges are computed IN-PLAN and joined in, so composing the operator
+  triggers no driver-side action); approximate by design → rows-only
+  check.
 
 Laplace-style smoothing (+1 per bin) replaces the reference's eps-clamp
 so empty bins can't produce ±inf.
@@ -31,21 +33,10 @@ def _bucketize(df: DataFrame, col: str, edges: list[float]) -> DataFrame:
     return df.withColumn("bucket", b)
 
 
-def psi_detail_fixed_bins(
-    baseline: DataFrame, current: DataFrame, col: str, edges: list[float]
-) -> DataFrame:
-    """Per-bin PSI terms: bucket, baseline/current counts and shares,
-    psi_term. Smoothed counts keep every bucket present on both sides."""
-    b = (
-        _bucketize(baseline, col, edges)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("b_n"))
-    )
-    c = (
-        _bucketize(current, col, edges)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_n"))
-    )
+def _psi_detail_from_buckets(b_rows: DataFrame, c_rows: DataFrame) -> DataFrame:
+    """PSI terms from two DataFrames that each carry a ``bucket`` column."""
+    b = b_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("b_n"))
+    c = c_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_n"))
     joined = b.join(c, "bucket", "full").na.fill(0, ["b_n", "c_n"])
     b_tot = F.sum("b_n").over(Window.partitionBy())
     c_tot = F.sum("c_n").over(Window.partitionBy())
@@ -57,6 +48,16 @@ def psi_detail_fixed_bins(
         F.col("b_n").cast("bigint").alias("baseline_n"),
         F.col("c_n").cast("bigint").alias("current_n"),
         term.alias("psi_term"),
+    )
+
+
+def psi_detail_fixed_bins(
+    baseline: DataFrame, current: DataFrame, col: str, edges: list[float]
+) -> DataFrame:
+    """Per-bin PSI terms: bucket, baseline/current counts and shares,
+    psi_term. Smoothed counts keep every bucket present on both sides."""
+    return _psi_detail_from_buckets(
+        _bucketize(baseline, col, edges), _bucketize(current, col, edges)
     )
 
 
@@ -74,16 +75,41 @@ def psi_fixed_bins(
 def psi_quantile_bins(
     baseline: DataFrame, current: DataFrame, col: str, n_bins: int = 10
 ) -> DataFrame:
-    """Production variant: bin edges from approxQuantile on the baseline
-    (model_monitoring.py:101-103). Approximate → rows-only check."""
+    """Production variant: bin edges from the baseline's approximate
+    quantiles (model_monitoring.py:101-103). Approximate → rows-only.
+
+    The edges are computed IN-PLAN (``percentile_approx`` → one-row
+    array, broadcast to both sides) rather than via the blocking
+    ``DataFrame.approxQuantile`` action, so the operator composes lazily
+    like everything else. Bucket index = count of edges ≤ value — the
+    same boundary semantics as ``_bucketize`` with (-inf, edges…, +inf).
+    """
     probs = [i / n_bins for i in range(1, n_bins)]
-    edges = baseline.approxQuantile(col, probs, 0.01)
-    uniq: list[float] = []
-    for e in edges:
-        if not uniq or e > uniq[-1]:
-            uniq.append(e)
-    full = [float("-inf"), *uniq, float("inf")]
-    return psi_fixed_bins(baseline, current, col, full)
+    # accuracy 100 ≈ approxQuantile's relativeError 0.01
+    edges = baseline.agg(
+        F.array_distinct(
+            F.percentile_approx(col, F.array(*[F.lit(p) for p in probs]), 100)
+        ).alias("_edges")
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(col).alias("_v"))
+            .crossJoin(F.broadcast(edges))
+            .select(
+                F.when(F.col("_v").isNull(), F.lit(-1))
+                .otherwise(
+                    F.size(F.filter("_edges", lambda e: e <= F.col("_v")))
+                )
+                .alias("bucket")
+            )
+        )
+
+    detail = _psi_detail_from_buckets(bucketed(baseline), bucketed(current))
+    return detail.agg(
+        F.sum(F.col("psi_term").cast("decimal(28,8)")).cast("double").alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
 
 
 def missing_rate_shift(
