@@ -40,6 +40,7 @@ from distributed_mobility_data_pipeline_spark.ml import training as mltrain
 from distributed_mobility_data_pipeline_spark.operators import windows as win_ops
 from distributed_mobility_data_pipeline_spark.sources.readers import read_events
 from distributed_mobility_data_pipeline_spark.streaming import events as stream_ops
+from distributed_mobility_data_pipeline_spark.streaming import stateful as stateful_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -58,6 +59,36 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     sf_dir = "/root/testdata/sf0.001"
     return agg_ops.hourly_demand(_t(spark, sf_dir, "events"))
+
+
+def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (SURVEY.md §2.10 extension): drive
+    the applyInPandasWithState running-totals stream over the events
+    files and surface the last update per key (= the final state)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    view = "_stateful_totals_drv"
+    spark.catalog.dropTempView(view)
+    src = stream_ops.read_events_stream(spark, path, max_files_per_trigger=1)
+    q = (
+        stateful_ops.running_totals_stream(src)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(view)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT event_type, total_events, total_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY total_events DESC) rn
+          FROM {view}
+        ) WHERE rn = 1
+        """
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -506,6 +537,13 @@ def _all_queries() -> dict[str, QueryFn]:
             "event_type",
             "value",
         ),
+        # custom stateful streaming (applyInPandasWithState): run the real
+        # micro-batch stream to a memory sink, return the final running
+        # totals per key. Rows-only by design — the update-mode emission
+        # schedule isn't SQL-expressible, and the pandas float sum isn't
+        # bit-contracted; the batch ground-truth equivalence is asserted in
+        # tests/test_stateful_streaming.py.
+        "stream_stateful_counts": _stream_stateful_counts,
         # classic filter-agg / conditional-agg / ratio shapes (Q6/Q12/Q14)
         "agg_forecast_revenue_change": lambda s, d: _t(s, d, "lineitem")
         .filter(

@@ -46,6 +46,16 @@ HEADLINE = [
 ]
 
 
+def _run_pass(spark, qs, names: list[str]) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
@@ -53,10 +63,14 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in qs if n.startswith("bench_") and n not in HEADLINE
     ]
-    # Warm-up pass: pull every input table through the scan path once
-    # (page cache + parquet footers + codegen) and run one shuffle query
-    # so timings measure the queries, not first-touch I/O or JIT. Without
-    # this, a cold page cache inflates the first heavy query ~3-5x.
+    # COLD pass: first execution in a fresh JVM — includes codegen/JIT and
+    # first-touch scan I/O (caches warm progressively as the pass runs, so
+    # only the earliest queries see a truly cold page cache).
+    cold = _run_pass(spark, qs, names)
+    # Warm-up: pull every input table through the scan path once more
+    # (page cache + parquet footers + codegen) so the warm pass measures
+    # steady-state query cost, not first-touch I/O or JIT — the number
+    # comparable across rounds.
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         try:
@@ -65,13 +79,7 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-    qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    timings = _run_pass(spark, qs, names)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -80,6 +88,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
