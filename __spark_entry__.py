@@ -36,6 +36,7 @@ from distributed_mobility_data_pipeline_spark.operators import sampling as sampl
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
 from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
+from distributed_mobility_data_pipeline_spark.ml import serving as serve_ops
 from distributed_mobility_data_pipeline_spark.ml import training as mltrain
 from distributed_mobility_data_pipeline_spark.operators import windows as win_ops
 from distributed_mobility_data_pipeline_spark.sources.readers import read_events
@@ -59,6 +60,18 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     sf_dir = "/root/testdata/sf0.001"
     return agg_ops.hourly_demand(_t(spark, sf_dir, "events"))
+
+
+# Fixed demand-request batch for the serving query (inputs chosen with
+# one-decimal features so the weighted sum is 2-decimal exact and
+# round(,2) agrees bit-for-bit across engines).
+_SERVE_REQUESTS: list[tuple] = [
+    (10, 2, 0, 4.0, 6.0, 5.0),
+    (22, 6, 1, None, 2.0, 1.5),
+    (7, 1, 0, 12.5, 8.1, 9.3),
+    (18, 5, 1, 0.0, 0.0, 0.0),
+    (3, 3, 0, 100.2, 90.4, 95.6),
+]
 
 
 def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,6 +176,7 @@ _DRIVER_FIRST: list[str] = [
     "ml_score_pandas_udf",
     "ml_score_expression",
     "ml_score_surge",
+    "serve_demand_batch",
     # Multimodal plumbing
     "mm_media_metadata",
     "mm_extract_features",
@@ -844,6 +858,11 @@ def _all_queries() -> dict[str, QueryFn]:
         "ml_score_surge": lambda s, d: mlscore.score_surge_expression(
             mlfeat.demand_features(_t(s, d, "events"))
         ).select("d", "event_type", "n", "predicted_surge"),
+        # Serving surface (reference app.py /predict/demand/batch): local
+        # request rows → one vectorized scoring plan, fallback tier.
+        "serve_demand_batch": lambda s, d: serve_ops.serve_demand(
+            serve_ops.demand_requests(s, _SERVE_REQUESTS), request_id="drv-1"
+        ),
         "ml_train_demand_models": lambda s, d: mltrain.train_demand_models(
             mlfeat.demand_features(_t(s, d, "events"))
         ),
@@ -2338,6 +2357,26 @@ def _all_oracle_sql() -> dict[str, str]:
                      + CASE WHEN dayofweek(d) IN (0, 6) THEN 1.0 ELSE 0.0 END * 0.1,
                      1.0), 3.0), 3) AS predicted_surge
             FROM feat
+        """,
+        "serve_demand_batch": """
+            WITH req(hour, day_of_week, is_weekend, n_lag_1, n_lag_7, avg_7r) AS (
+              VALUES (10, 2, 0, CAST(4.0 AS DOUBLE), CAST(6.0 AS DOUBLE), CAST(5.0 AS DOUBLE)),
+                     (22, 6, 1, NULL, CAST(2.0 AS DOUBLE), CAST(1.5 AS DOUBLE)),
+                     (7, 1, 0, CAST(12.5 AS DOUBLE), CAST(8.1 AS DOUBLE), CAST(9.3 AS DOUBLE)),
+                     (18, 5, 1, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                     (3, 3, 0, CAST(100.2 AS DOUBLE), CAST(90.4 AS DOUBLE), CAST(95.6 AS DOUBLE))
+            )
+            SELECT 'drv-1' AS request_id,
+                   CAST(hour AS INT) AS hour,
+                   CAST(day_of_week AS INT) AS day_of_week,
+                   CAST(is_weekend AS INT) AS is_weekend,
+                   n_lag_1, n_lag_7, avg_7r,
+                   round(0.5 * COALESCE(n_lag_1, 0.0)
+                         + 0.3 * COALESCE(n_lag_7, 0.0)
+                         + 0.2 * COALESCE(avg_7r, 0.0)
+                         + 1.0, 2) AS predicted,
+                   'fallback' AS model_used
+            FROM req
         """,
         "stream_tumbling_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
