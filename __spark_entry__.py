@@ -34,6 +34,7 @@ from distributed_mobility_data_pipeline_spark.operators import star as star_ops
 from distributed_mobility_data_pipeline_spark.operators import asof as asof_ops
 from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
+from distributed_mobility_data_pipeline_spark.operators import skew as skew_ops
 from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
 from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
 from distributed_mobility_data_pipeline_spark.ml import serving as serve_ops
@@ -161,6 +162,7 @@ _DRIVER_FIRST: list[str] = [
     "sample_hash_docs",
     "sample_hash_split_train",
     "sample_mix_sources",
+    "scale_salted_count",
     # Scalar families / arrays / JSON
     "array_functions_embeddings",
     "scalar_string_functions",
@@ -743,6 +745,11 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "sample_bernoulli": lambda s, d: sample_ops.sample_fraction(
             _t(s, d, "documents"), 0.3
+        ),
+        # skew tooling (SURVEY.md §4c): the two-phase salted aggregate is
+        # deterministic and must equal a plain GROUP BY — oracle-checked.
+        "scale_salted_count": lambda s, d: skew_ops.salted_count(
+            _t(s, d, "lineitem"), "l_returnflag", "l_orderkey"
         ),
         # correlated scalar subquery (Catalyst decorrelates to a join)
         "agg_small_quantity_orders": lambda s, d: (
@@ -2124,6 +2131,10 @@ def _all_oracle_sql() -> dict[str, str]:
                      % 1000000 AS _bucket
               FROM documents
             ) WHERE _bucket < CAST(floor(_rate * 1000000) AS BIGINT)
+        """,
+        "scale_salted_count": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "agg_small_quantity_orders": """
             SELECT l_partkey,
