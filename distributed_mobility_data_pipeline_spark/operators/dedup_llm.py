@@ -303,10 +303,12 @@ def dup_clusters(
                 "label",
             )
         )
-        changed = updated.filter(F.col("new_label") != F.col("label")).count()
-        labels = updated.select(
-            "doc_id", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)  # truncate the iterative lineage
+        # Checkpoint BEFORE the convergence count: both the count and the
+        # next iteration then read the materialized result instead of
+        # re-running this iteration's joins (which would double the work).
+        mat = updated.localCheckpoint(eager=True)
+        changed = mat.filter(F.col("new_label") != F.col("label")).count()
+        labels = mat.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return (
