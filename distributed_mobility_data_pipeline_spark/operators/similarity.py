@@ -233,7 +233,14 @@ def ivf_ann(
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=n_clusters, seed=42, featuresCol="features", predictionCol="cell")
+    # maxIter=10: a coarse quantizer only needs rough cells — default 20
+    # Lloyd iterations double the training jobs for no recall gain here
+    # (recall guarded by tests/test_ann_quality.py); at 100 TB you train
+    # the quantizer on a sample offline and only assign in the main job.
+    km = KMeans(
+        k=n_clusters, seed=42, maxIter=10,
+        featuresCol="features", predictionCol="cell",
+    )
     model = km.fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
 

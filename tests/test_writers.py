@@ -88,6 +88,22 @@ def test_optimize_layout_crash_safe(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(p).count() == 10
 
 
+def test_merge_upsert_partitioned(spark, tmp_path):
+    # partition_by flows through the temp-dir write + atomic swap
+    p = str(tmp_path / "t8")
+    writers.merge_upsert(
+        spark, _df(spark, [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)]),
+        p, keys=["k"], partition_by=["ds"],
+    )
+    writers.merge_upsert(
+        spark, _df(spark, [(2, "2024-01-02", 20.0), (3, "2024-01-03", 3.0)]),
+        p, keys=["k"], partition_by=["ds"],
+    )
+    df = spark.read.parquet(p)
+    assert {(r.k, r.v) for r in df.collect()} == {(1, 1.0), (2, 20.0), (3, 3.0)}
+    assert df.filter(F.col("ds") == "2024-01-02").count() == 1
+
+
 def test_optimize_layout_roundtrip(spark, tmp_path):
     p = str(tmp_path / "t7")
     df = _df(spark, [(i % 3, f"d{i % 2}", float(i)) for i in range(30)])
