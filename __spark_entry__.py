@@ -146,6 +146,7 @@ _DRIVER_FIRST: list[str] = [
     "agg_large_volume_customers",
     "agg_dormant_customers",
     "agg_nation_trade_volume",
+    "agg_market_share",
     "agg_top_revenue_suppliers",
     "agg_brand_promo_revenue",
     "agg_sole_return_suppliers",
@@ -659,6 +660,18 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "nation"),
             "NATION_1",
             "NATION_2",
+        ),
+        "agg_market_share": lambda s, d: agg_ops.market_share(
+            _t(s, d, "lineitem"),
+            _t(s, d, "orders"),
+            _t(s, d, "customer"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+            _t(s, d, "region"),
+            _t(s, d, "part"),
+            "AMERICA",
+            "NATION_3",
+            "ECONOMY",
         ),
         "agg_top_revenue_suppliers": lambda s, d: agg_ops.top_revenue_suppliers(
             _t(s, d, "lineitem"), _t(s, d, "supplier")
@@ -1915,6 +1928,30 @@ def _all_oracle_sql() -> dict[str, str]:
                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
               AND year(CAST(l.l_shipdate AS DATE)) IN (1995, 1996)
             GROUP BY 1, 2, 3
+        """,
+        "agg_market_share": """
+            WITH j AS (
+              SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+                     CAST(l.l_extendedprice AS DECIMAL(18,6))
+                     * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))) AS vol,
+                     n2.n_name AS supp_nation
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+               AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+               AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+              JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                                 ELSE CAST(0 AS DECIMAL(37,12)) END) AS DOUBLE)
+                   / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+                   CAST(sum(vol) AS DOUBLE) AS total_volume
+            FROM j GROUP BY o_year ORDER BY o_year
         """,
         "agg_top_revenue_suppliers": """
             WITH rev AS (

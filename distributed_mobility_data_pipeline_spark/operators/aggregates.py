@@ -254,6 +254,77 @@ def shipping_priority(
     )
 
 
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_region: str,
+    share_nation: str,
+    part_type: str,
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's yearly
+    order volume for one part type. The 8-table pattern with a
+    role-playing dimension — nation joins twice (customer side gates the
+    region, supplier side labels the share) — and a conditional-ratio
+    aggregate. All dims broadcast; the only shuffles are lineitem⨝orders
+    and the final per-year groupBy, which is the plan that survives
+    100 TB (dims stay small forever)."""
+    one = F.lit(1).cast("decimal(18,6)")
+    vol = dec("l_extendedprice") * (one - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(37,12)")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    reg = region.filter(F.col("r_name") == target_region).select(
+        F.col("r_regionkey").alias("cr_key")
+    )
+    ords = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", vol.alias("_vol"))
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_type") == part_type).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), "cr_key")
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == share_nation, F.col("_vol")
+                    ).otherwise(zero)
+                ).cast("double")
+                / F.sum("_vol").cast("double")
+            ).alias("mkt_share"),
+            F.sum("_vol").cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def local_supplier_volume(
     region: DataFrame,
     nation: DataFrame,
