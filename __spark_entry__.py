@@ -128,6 +128,7 @@ _DRIVER_FIRST: list[str] = [
     "sim_cosine_topk",
     "sim_knn_label_agreement",
     "sim_pairs_above_threshold",
+    "dedup_embedding_clusters",
     # Streaming batch-twins
     "stream_tumbling_hourly",
     "stream_sliding_counts",
@@ -523,6 +524,21 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "sim_pairs_above_threshold": lambda s, d: sim_ops.pairs_above_threshold(
             _t(s, d, "embeddings"), 100, 0.25
+        ),
+        # Embedding-cosine near-dup CLUSTERING: the brief's fifth dedup
+        # family composed end-to-end — exact cosine pairs (bounded block)
+        # → the same connected-components step the text dedup uses.
+        # max_iters=32: a loose threshold yields stringy components whose
+        # diameter exceeds the text-dedup default of 10; propagation stops
+        # at convergence anyway, so the cap is just headroom.
+        "dedup_embedding_clusters": lambda s, d: ddllm_ops.dup_clusters(
+            _t(s, d, "embeddings")
+            .filter(F.col("vec_id") < 100)
+            .select(F.col("vec_id").alias("doc_id")),
+            sim_ops.pairs_above_threshold(_t(s, d, "embeddings"), 100, 0.25).select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            ),
+            max_iters=32,
         ),
         "sim_lsh_bucketed_ann": lambda s, d: sim_ops.lsh_bucketed_ann(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4]
@@ -1850,6 +1866,36 @@ def _all_oracle_sql() -> dict[str, str]:
                      / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos_sim
               FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.25
+        """,
+        "dedup_embedding_clusters": """
+            WITH RECURSIVE n2 AS (
+              SELECT vec_id, embedding,
+                     """ + _norm2_sql("embedding") + """ AS nrm2
+              FROM embeddings WHERE vec_id < 100
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                       """ + _dot_sql("a.embedding", "b.embedding") + """
+                       / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos_sim
+                FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+              ) WHERE cos_sim >= 0.25
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+              SELECT vec_id AS node, vec_id AS r FROM n2
+              UNION
+              SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+            ),
+            comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS cluster_size,
+                   min(node) AS keep_doc_id
+            FROM comp GROUP BY cluster_id
         """,
         "agg_forecast_revenue_change": """
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))

@@ -265,15 +265,18 @@ def dup_clusters(
     docs: DataFrame, pairs: DataFrame, max_iters: int = 10
 ) -> DataFrame:
     """Transitive near-dup clustering: connected components over the
-    candidate-pair graph by iterative min-label propagation, then one
-    canonical doc per cluster (min doc_id).
+    candidate-pair graph by iterative min-label propagation WITH pointer
+    doubling, then one canonical doc per cluster (min doc_id).
 
-    Each iteration is two equi-joins + a groupBy-min; iterations needed
-    = graph diameter (dedup graphs are shallow — chains of near-dups).
-    Convergence is checked with a count of changed labels; the loop is
-    driver-side control flow over distributed steps, never a collect of
-    data. This is the 'keep one per duplicate cluster' step that follows
-    MinHash/SimHash candidate generation at corpus scale."""
+    Each iteration takes the min label over graph neighbors and then
+    chases one pointer hop (adopts the current label's own label), so
+    label paths halve every round: convergence in O(log diameter)
+    iterations instead of O(diameter) — the difference between 2-3 and
+    dozens of Spark jobs on stringy components (loose thresholds produce
+    chains). Convergence is checked with a count of changed labels; the
+    loop is driver-side control flow over distributed steps, never a
+    collect of data. This is the 'keep one per duplicate cluster' step
+    that follows MinHash/SimHash candidate generation at corpus scale."""
     # Materialize the edge list once: every iteration joins against it,
     # and without the checkpoint each iteration (plus its convergence
     # count) would re-run the whole upstream candidate-generation
@@ -293,13 +296,28 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
+        stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "new_label"
+                    "step_label"
                 ),
+                "label",
+            )
+        )
+        # Pointer doubling: adopt the stepped label OF the stepped label
+        # node — one extra equi-join that halves remaining path lengths.
+        chase = stepped.select(
+            F.col("doc_id").alias("_cd"), F.col("step_label").alias("_cl")
+        )
+        updated = (
+            stepped.join(chase, stepped.step_label == chase._cd, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("step_label"), F.coalesce("_cl", F.col("step_label"))
+                ).alias("new_label"),
                 "label",
             )
         )
