@@ -72,3 +72,48 @@ def test_histogram_conserves_mass(spark, xs):
     df = spark.createDataFrame([(x,) for x in xs], "x double")
     out = aggregates.histogram(df, "x", [0.0, 25.0, 50.0, 75.0, 100.0])
     assert out.agg(F.sum("n")).collect()[0][0] == len(xs)
+
+
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for v in range(n_nodes):
+        comps.setdefault(find(v), []).append(v)
+    return {(min(vs), len(vs)) for vs in comps.values()}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.integers(5, 25),
+    st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=40),
+)
+def test_dup_clusters_matches_union_find(spark, n_nodes, raw_edges):
+    # pointer-doubling label propagation must produce exactly the
+    # connected components of the pair graph (random graphs include the
+    # stringy chains that exposed the O(diameter) iteration cap)
+    edges = [
+        (min(a, b) % n_nodes, max(a, b) % n_nodes)
+        for a, b in raw_edges
+        if a % n_nodes != b % n_nodes
+    ]
+    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
+
+    docs = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    out = dedup_llm.dup_clusters(docs, pairs, max_iters=32)
+    got = {(r.keep_doc_id, r.cluster_size) for r in out.collect()}
+    assert got == _union_find_components(n_nodes, edges)
