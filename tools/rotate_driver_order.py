@@ -1,0 +1,58 @@
+"""Round-rotation helper for the driver's CORRECTNESS cap.
+
+The driver's per-round artifact has historically covered only the first
+50 keys of ``queries()``. This tool reads every CORRECTNESS_r*.json in
+the repo root, computes which queries have EVER earned a green row
+(full pass or intentional rows-only), and prints the suggested
+``_DRIVER_FIRST`` ordering for ``__spark_entry__.py``: never-checked
+oracle-backed queries first, never-checked rows-only next, then
+everything already green (stable order otherwise).
+
+Usage: python tools/rotate_driver_order.py
+(prints a Python list literal to paste into __spark_entry__.py)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def main() -> None:
+    green: set[str] = set()
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        with open(path) as f:
+            art = json.load(f)
+        for name, row in art.items():
+            # a row counts as checked if it passed, or if it is a
+            # deliberate rows-only entry (no oracle) that executed
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                green.add(name)
+        print(f"# {path}: {len(art)} rows", file=sys.stderr)
+
+    qs = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    unchecked_oracle = [q for q in qs if q not in green and q in oracles]
+    unchecked_rows = [q for q in qs if q not in green and q not in oracles]
+    checked = [q for q in qs if q in green]
+    print(
+        f"# unchecked w/ oracle: {len(unchecked_oracle)}, "
+        f"unchecked rows-only: {len(unchecked_rows)}, green: {len(checked)}",
+        file=sys.stderr,
+    )
+    print("_DRIVER_FIRST: list[str] = [")
+    for name in unchecked_oracle + unchecked_rows:
+        print(f'    "{name}",')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
