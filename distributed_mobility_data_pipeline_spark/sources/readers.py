@@ -51,6 +51,32 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan (built into Spark; same predicate/column pushdown story
+    as parquet). The reference never reads ORC, but a drop-in engine
+    meets warehouses where half the tables are ORC."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text scan: one row per line, column ``value`` — the entry
+    point for log/corpus files that feed the text/dedup operators."""
+    return spark.read.text(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema merge across files (mergeSchema): the
+    read-side half of schema evolution — newer files may carry added
+    columns; older rows surface them as NULL. Costs a footer merge at
+    planning, so reserve it for tables that actually evolve."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_json_log(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:

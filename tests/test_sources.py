@@ -54,3 +54,31 @@ def test_optimize_layout_parquet(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 1000
     assert back.select(F.sum("id")).collect()[0][0] == 499500
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "orc_t")
+    spark.range(100).withColumn("k", F.col("id") % 5).write.orc(p)
+    df = readers.read_orc(spark, p)
+    assert df.count() == 100
+    assert df.filter(F.col("k") == 2).count() == 20
+
+
+def test_text_lines_reader(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta\ngamma\n\ndelta epsilon zeta")
+    df = readers.read_text_lines(spark, str(p))
+    assert df.count() == 4  # blank line preserved as a row
+    assert df.columns == ["value"]
+
+
+def test_parquet_schema_evolution_read(spark, tmp_path):
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+    df = readers.read_parquet_evolving(spark, p)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[2] == 9.5 and rows[1] is None  # old rows surface NULL
