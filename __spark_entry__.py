@@ -110,92 +110,80 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-1's driver CORRECTNESS artifact covered exactly the first 50 keys of
-# queries(). Round 2 front-loads the 61 entries that have no driver-green row
-# yet (TPC-H shapes, dedup/similarity/text north-star, streaming, scalars,
-# JSON, ML); the already-green round-1 queries follow. Rotate per round so
-# every query eventually earns a driver-green CORRECTNESS row.
+# Round-3 rotation (tools/rotate_driver_order.py over r01+r02 artifacts):
+# 1) the one red r02 row (array_functions_embeddings, now fixed to scalar
+#    double columns), 2) the 17 never-driver-checked queries (oracle-backed
+#    first), 3) the 50 round-1-only greens as regression re-confirmations.
+# The r02-green set follows automatically via _driver_order's tail.
 _DRIVER_FIRST: list[str] = [
-    # North-star dedup / similarity
-    "dedup_docs_exact",
-    "dedup_docs_jaccard_pairs",
-    "dedup_docs_minhash_sig",
-    "dedup_docs_minhash_lsh",
-    "dedup_docs_clusters",
-    "dedup_docs_clusters_jaccard",
-    "dedup_docs_simhash",
-    "dedup_docs_simhash_hamming",
-    "sim_cosine_topk",
-    "sim_knn_label_agreement",
-    "sim_pairs_above_threshold",
-    "dedup_embedding_clusters",
-    # Streaming batch-twins
-    "stream_tumbling_hourly",
-    "stream_sliding_counts",
-    "stream_sessionize",
-    "stream_dedup",
-    # TPC-H-shape analytics
-    "agg_forecast_revenue_change",
-    "agg_priority_shipping",
-    "agg_promo_revenue_pct",
-    "agg_shipping_priority",
-    "agg_local_supplier_volume",
-    "agg_order_priority_checks",
-    "agg_returned_item_losses",
-    "agg_customer_order_distribution",
-    "agg_supplier_counts_by_part",
-    "agg_large_volume_customers",
-    "agg_dormant_customers",
-    "agg_nation_trade_volume",
-    "agg_market_share",
-    "agg_top_revenue_suppliers",
-    "agg_brand_promo_revenue",
-    "agg_sole_return_suppliers",
-    "agg_important_part_values",
-    "agg_small_quantity_orders",
-    # Grouping extensions / quantiles
-    "agg_unpivot_measures",
-    "agg_grouping_sets",
-    "agg_exact_quantiles",
-    # Joins (as-of / range)
-    "join_asof_orders_events",
-    "join_range_bucketed",
-    # Sampling / mixing
-    "sample_hash_docs",
-    "sample_hash_split_train",
-    "sample_mix_sources",
-    "scale_salted_count",
-    # Scalar families / arrays / JSON
     "array_functions_embeddings",
-    "scalar_string_functions",
-    "scalar_date_functions",
-    "scalar_math_functions",
-    "win_distribution_functions",
-    "json_from_json_struct",
-    "json_extract_props",
     "json_props_agg",
-    # ML features / scoring / training
     "ml_demand_features",
     "ml_churn_features",
     "ml_score_pandas_udf",
     "ml_score_expression",
     "ml_score_surge",
     "serve_demand_batch",
-    # Multimodal plumbing
     "mm_media_metadata",
     "mm_extract_features",
-    # Drift
     "drift_missing_rate_shift",
-    # Rows-only entries (approximate / RNG / ML training — no SQL oracle by
-    # design) come after the oracle-backed set, so a driver cap of 50 spends
-    # every slot on a full rows+schema+hash row.
     "sim_lsh_bucketed_ann",
-    "sim_ivf_ann",
     "sim_mllib_lsh",
+    "stream_stateful_counts",
+    "sim_ivf_ann",
     "sample_bernoulli",
     "ml_train_demand_models",
     "ml_train_classifier",
-    "stream_stateful_counts",
+    "agg_hourly_demand",
+    "agg_revenue_daily",
+    "agg_driver_daily_summary",
+    "agg_pricing_summary",
+    "agg_supply_demand_hourly",
+    "agg_approx_distinct_hourly",
+    "agg_histogram_value",
+    "agg_status_distribution",
+    "agg_top_k_global",
+    "agg_top_k_per_group",
+    "agg_cube_revenue",
+    "agg_rollup_revenue",
+    "agg_pivot_status",
+    "clean_events_silver",
+    "clean_ensure_columns",
+    "clean_range_filter",
+    "dedup_keep_latest",
+    "dedup_distinct_projection",
+    "dedup_duplicate_stats",
+    "star_dim_time",
+    "star_dim_entity",
+    "star_dim_locations",
+    "star_trips_fact",
+    "star_payments_fact",
+    "join_ri_check",
+    "join_semi_orders_with_lines",
+    "join_anti_customers_no_orders",
+    "set_union_nation_keys",
+    "set_intersect_nation_keys",
+    "set_except_nation_keys",
+    "win_lag_demand",
+    "win_rolling_rows",
+    "win_rolling_range_days",
+    "win_running_total",
+    "win_rank_customers",
+    "win_churn_label",
+    "quality_null_report",
+    "quality_full_report",
+    "quality_negative_report",
+    "quality_freshness",
+    "quality_volume_check",
+    "metrics_regression",
+    "drift_psi_fixed_bins",
+    "drift_psi_quantile_bins",
+    "text_doc_stats",
+    "text_token_frequencies",
+    "text_language_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_token_count_bpe",
 ]
 
 
@@ -805,8 +793,17 @@ def _all_queries() -> dict[str, QueryFn]:
             F.array_min("embedding").cast("double").alias("emb_min"),
             F.element_at("embedding", 1).cast("double").alias("first_elem"),
             F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
-            F.slice(F.array_sort("embedding"), 1, 3)
-            .cast("array<double>")
+            # scalar projections of the sorted array: the driver's pandas
+            # canonicalizer cannot sort an array<double> column (unhashable
+            # list), so expose the three smallest values as plain doubles
+            F.element_at(F.array_sort("embedding"), 1)
+            .cast("double")
+            .alias("smallest1"),
+            F.element_at(F.array_sort("embedding"), 2)
+            .cast("double")
+            .alias("smallest2"),
+            F.element_at(F.array_sort("embedding"), 3)
+            .cast("double")
             .alias("smallest3"),
         ),
         # §2.9 scalar function families
@@ -2237,7 +2234,9 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(list_min(embedding) AS DOUBLE) AS emb_min,
                    CAST(embedding[1] AS DOUBLE) AS first_elem,
                    CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
-                   CAST(list_sort(embedding)[1:3] AS DOUBLE[]) AS smallest3
+                   CAST(list_sort(embedding)[1] AS DOUBLE) AS smallest1,
+                   CAST(list_sort(embedding)[2] AS DOUBLE) AS smallest2,
+                   CAST(list_sort(embedding)[3] AS DOUBLE) AS smallest3
             FROM embeddings
         """,
         "scalar_string_functions": """
