@@ -46,12 +46,19 @@ HEADLINE = [
 ]
 
 
-def _run_pass(spark, qs, names: list[str]) -> dict[str, float]:
+def _run_pass(spark, qs, names: list[str], errors: dict[str, str]) -> dict[str, float]:
+    # One broken query must not zero the whole artifact: record its error
+    # and keep timing the rest (r03 lost all numbers to a single
+    # AnalysisException — see VERDICT r03 #4).
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(time.time() - t0, 3)
     return timings
 
@@ -66,7 +73,8 @@ def main() -> None:
     # COLD pass: first execution in a fresh JVM — includes codegen/JIT and
     # first-touch scan I/O (caches warm progressively as the pass runs, so
     # only the earliest queries see a truly cold page cache).
-    cold = _run_pass(spark, qs, names)
+    errors: dict[str, str] = {}
+    cold = _run_pass(spark, qs, names, errors)
     # Warm-up: pull every input table through the scan path once more
     # (page cache + parquet footers + codegen) so the warm pass measures
     # steady-state query cost, not first-touch I/O or JIT — the number
@@ -79,21 +87,20 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-    timings = _run_pass(spark, qs, names)
+    timings = _run_pass(spark, qs, names, errors)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

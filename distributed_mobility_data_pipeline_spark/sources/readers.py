@@ -89,19 +89,30 @@ def read_json_log(
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:
-    """Read the driver's `events` table, whose `ts` is a parquet
-    TIMESTAMP(NANOS) column that Spark's vectorized reader rejects
-    (PARQUET_TYPE_ILLEGAL). Read nanos as long, then floor-convert to a
-    microsecond TimestampType — same value DuckDB produces when casting
-    TIMESTAMP_NS → TIMESTAMP."""
+    """Read the driver's `events` table, normalizing `ts` to TimestampType
+    whatever the on-disk parquet encoding:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      (PARQUET_TYPE_ILLEGAL) — read nanos as long, floor to µs (same value
+      DuckDB produces casting TIMESTAMP_NS → TIMESTAMP).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 surfaces it as
+      TIMESTAMP_NTZ — cast to TimestampType (value-preserving: the session
+      timezone is pinned UTC, matching the DuckDB oracle).
+    - TIMESTAMP(MICROS, UTC): already TimestampType, pass through.
+
+    Downstream operators (unix_micros, watermarks, asof) can therefore
+    assume `ts` is always TimestampType."""
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

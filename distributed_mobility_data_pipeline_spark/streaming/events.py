@@ -27,25 +27,51 @@ from distributed_mobility_data_pipeline_spark.schemas import EVENTS
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream of events (parquet dir). The driver's
-    events.parquet has ns timestamps; the streaming reader gets the same
-    nanosAsLong treatment as the batch reader."""
+    """File-source stream of events (parquet dir), normalized so `ts` is
+    always TimestampType regardless of the on-disk encoding.
+
+    The file stream source needs an explicit schema, so we probe the
+    parquet footer once with a batch read (metadata-only: the schema comes
+    from the footer, no data scan) and branch:
+
+    - ts read as bigint → legacy TIMESTAMP(NANOS) data: stream with
+      ``ts long`` under nanosAsLong, then floor ns → µs.
+    - ts read as timestamp_ntz → TIMESTAMP(MICROS, isAdjustedToUTC=false):
+      stream with ``ts timestamp_ntz`` and cast to timestamp
+      (value-preserving under the pinned-UTC session).
+    - otherwise → already UTC-adjusted micros: stream with ``ts timestamp``.
+    """
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    try:
+        ts_type = dict(spark.read.parquet(path).dtypes).get("ts")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+    base = "event_id long, {ts}, user_id long, event_type string, value double, props string"
     if path.endswith(".parquet"):
         # the file stream source needs a directory or glob, not one file
         path = path[: -len("t")] + "*"
+
+    if ts_type == "bigint":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = (
+            spark.readStream.schema(base.format(ts="ts long"))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    ts_field = "ts timestamp_ntz" if ts_type == "timestamp_ntz" else "ts timestamp"
     df = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(base.format(ts=ts_field))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -121,6 +147,12 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     window-function equivalent of session_window, SURVEY §2.10 /
     'Sessionization' pattern) — oracle-checkable in plain SQL."""
     from pyspark.sql import Window
+
+    # defensive: unix_micros requires TimestampType; NTZ input (µs parquet
+    # read without the read_events normalization) casts value-preserving
+    # under the pinned-UTC session
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000  # exact integer µs: no float/floor ambiguity
