@@ -213,41 +213,88 @@ def lsh_bucketed_ann(
     )
 
 
+def fit_ivf_quantizer(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer OFFLINE and return its centroids as
+    a plain list of (cell, centroid) — an O(n_clusters·dim) model
+    artifact, not data, so driver-side is the right home for it.
+
+    At 100 TB you run this once on a sample (``sample_fraction``) and
+    reuse the centroids across every query/batch; ``ivf_ann`` then does
+    zero training. maxIter=10: a coarse quantizer only needs rough cells
+    (recall guarded by tests/test_ann_quality.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    if sample_fraction is not None:
+        vecs = vecs.sample(fraction=sample_fraction, seed=seed)
+    km = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="cell",
+    )
+    model = km.fit(vecs)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
+def assign_ivf_cells(
+    embeddings: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (Euclidean, the k-means
+    metric) with a pure column expression — no shuffle, no Python, no
+    MLlib on the query path. argmin ||e−c||² = argmax(e·c − ||c||²/2);
+    the per-centroid scores go into an array of structs and
+    ``array_max`` picks the winner (struct comparison is field-order
+    lexicographic, so score first, cell as tiebreak)."""
+    e = F.col("embedding").cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(e, F.array(*[F.lit(float(x)) for x in c]))
+                    - F.lit(sum(x * x for x in c) / 2.0)
+                ).alias("score"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, c in centroids
+        ]
+    )
+    return embeddings.withColumn("cell", F.array_max(scored)["cell"])
+
+
 def ivf_ann(
     embeddings: DataFrame,
     query_ids: list[int],
     n_clusters: int = 16,
     n_probe: int = 4,
     k: int = 3,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: a seeded k-means coarse quantizer assigns every
-    vector to a cell; each query scores only the ``n_probe`` cells whose
-    centroids are nearest to it. The standard inverted-file layout — at
-    100 TB the cell assignment is a partition column and each probe is a
-    partition-pruned scan. Rows-only check (k-means isn't SQL)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """IVF-style ANN: a k-means coarse quantizer assigns every vector to
+    a cell; each query scores only the ``n_probe`` cells whose centroids
+    are nearest to it. The standard inverted-file layout — at 100 TB the
+    cell assignment is a partition column and each probe is a
+    partition-pruned scan. Rows-only check (k-means isn't SQL).
 
-    vecs = embeddings.select(
-        "vec_id",
-        "embedding",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    )
-    # maxIter=10: a coarse quantizer only needs rough cells — default 20
-    # Lloyd iterations double the training jobs for no recall gain here
-    # (recall guarded by tests/test_ann_quality.py); at 100 TB you train
-    # the quantizer on a sample offline and only assign in the main job.
-    km = KMeans(
-        k=n_clusters, seed=42, maxIter=10,
-        featuresCol="features", predictionCol="cell",
-    )
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+    Pass ``centroids`` (from ``fit_ivf_quantizer``, trained offline) to
+    keep training off the query path; without it the quantizer is
+    re-fit per call (small-data convenience only)."""
+    if centroids is None:
+        centroids = fit_ivf_quantizer(embeddings, n_clusters=n_clusters)
+    assigned = assign_ivf_cells(
+        embeddings.select("vec_id", "embedding"), centroids
+    ).select("vec_id", "embedding", "cell")
 
-    centroids = model.clusterCenters()
     spark = embeddings.sparkSession
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        [(int(cell), [float(x) for x in c]) for cell, c in centroids],
         "cell int, centroid array<double>",
     )
     q = assigned.filter(F.col("vec_id").isin(query_ids)).select(

@@ -117,7 +117,16 @@ def optimize_layout(
         spark.sql(f"OPTIMIZE delta.`{path}` ZORDER BY ({cols})")
         return
     df = spark.read.parquet(path)
-    n = target_partitions or max(df.rdd.getNumPartitions() // 4, 1)
+    # Partition-count heuristic without touching .rdd (which forces an RDD
+    # materialization of the scan): compaction targets ~4 input splits per
+    # output file, derived from file sizes in the scan relation's metadata.
+    if target_partitions is not None:
+        n = target_partitions
+    else:
+        in_parts = max(
+            len(df.inputFiles()), spark.sparkContext.defaultParallelism
+        )
+        n = max(in_parts // 4, 1)
     # Write the re-clustered copy beside the table, then swap atomically:
     # reading `path` while writing a different path needs no lineage break,
     # and a mid-rewrite crash can't lose the original.

@@ -54,3 +54,26 @@ def test_ivf_results_are_valid_cosines(clustered):
     out = similarity.ivf_ann(clustered, [0, 30, 60], n_clusters=3).collect()
     assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in out)
     assert all(r.rank <= 3 for r in out)
+
+
+def test_ivf_prefit_quantizer_matches_inline_fit(clustered):
+    # the offline path: fit once, pass centroids in — results must be
+    # identical to the convenience in-query fit (same seed, same metric),
+    # and the query plan must carry no KMeans training
+    cents = similarity.fit_ivf_quantizer(clustered, n_clusters=3)
+    assert len(cents) == 3 and all(len(c) == 16 for _, c in cents)
+    inline = sorted(map(tuple, similarity.ivf_ann(
+        clustered, [0, 30, 60], n_clusters=3).collect()))
+    prefit = sorted(map(tuple, similarity.ivf_ann(
+        clustered, [0, 30, 60], n_clusters=3, centroids=cents).collect()))
+    assert inline == prefit
+
+
+def test_assign_ivf_cells_is_euclidean_argmin(clustered):
+    cents = similarity.fit_ivf_quantizer(clustered, n_clusters=3)
+    rows = similarity.assign_ivf_cells(clustered, cents).collect()
+    cent_map = {cell: np.array(c) for cell, c in cents}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        best = min(cent_map, key=lambda k: float(np.sum((v - cent_map[k]) ** 2)))
+        assert r.cell == best, f"vec {r.vec_id}: got {r.cell}, want {best}"
