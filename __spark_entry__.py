@@ -63,6 +63,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_ops.hourly_demand(_t(spark, sf_dir, "events"))
 
 
+def _contaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies of the first 50 docs (one token dropped,
+    doc_id + 500000) — a corpus with KNOWN benchmark contamination so
+    the decontamination query has non-empty, oracle-checkable output."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    leaked = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, length(text) - instr(reverse(text), ' '))"
+        ).alias("text"),
+    )
+    return docs.unionByName(leaked)
+
+
 # IVF quantizer cache: trained once per sf_dir (the "offline" phase of an
 # inverted-file index), reused by every sim_ivf_ann call so the query path
 # carries zero KMeans training.
@@ -146,6 +160,10 @@ _DRIVER_FIRST: list[str] = [
     "json_from_json_struct",
     "json_extract_props",
     "json_props_agg",
+    # band 1b — new round-4 operators (never driver-checked)
+    "text_chunk_documents",
+    "text_redact_pii",
+    "text_contamination",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -479,6 +497,16 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "text_token_count_bpe": lambda s, d: text_ops.token_count_bpe_ish(
             _t(s, d, "documents")
+        ),
+        # North-star: chunking / PII scrub / decontamination (round 4)
+        "text_chunk_documents": lambda s, d: text_ops.chunk_documents(
+            _t(s, d, "documents"), chunk_size=64, stride=48
+        ),
+        "text_redact_pii": lambda s, d: text_ops.redact_pii(
+            _t(s, d, "documents")
+        ),
+        "text_contamination": lambda s, d: text_ops.contamination_overlap(
+            _contaminated_corpus(s, d), bench_max_id=50, n=8, min_overlap=2
         ),
         # North-star: document dedup (exact + near)
         "dedup_docs_exact": lambda s, d: ddllm_ops.exact_dedup(
@@ -1519,6 +1547,70 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS DOUBLE)
                    / length(text) AS pieces_per_char
             FROM documents
+        """,
+        "text_chunk_documents": """
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                       FROM documents),
+            c AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks), 48)) AS start
+                  FROM t)
+            SELECT doc_id,
+                   CAST((start - 1) // 48 AS INT) AS chunk_idx,
+                   CAST(start AS INT) AS start_token,
+                   CAST(least(64, len(toks) - start + 1) AS INT) AS n_chunk_tokens,
+                   array_to_string(toks[start:start+63], ' ') AS chunk_text
+            FROM c
+        """,
+        "text_redact_pii": """
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact_' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-867-5309' AS seeded
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(seeded,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', 0)) AS INT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(seeded,
+                     '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)) AS INT) AS n_phones,
+                   sha256(regexp_replace(
+                     regexp_replace(seeded,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+                     AS redacted_fingerprint
+            FROM s
+        """,
+        "text_contamination": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 500000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents WHERE doc_id < 50
+            ),
+            norm AS (SELECT doc_id,
+                            string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+                     FROM base),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(toks) >= 8
+                       THEN list_transform(range(len(toks) - 7),
+                                           i -> array_to_string(toks[i+1:i+8], ' '))
+                       ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM norm
+            ),
+            bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 50),
+            corpus AS (SELECT * FROM sh WHERE doc_id >= 50),
+            bs AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_total
+                   FROM bench GROUP BY 1),
+            ov AS (SELECT c.doc_id, b.bench_id,
+                          CAST(count(*) AS BIGINT) AS n_shared
+                   FROM corpus c JOIN bench b ON c.shingle = b.shingle
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT ov.doc_id, ov.bench_id, ov.n_shared, bs.bench_total,
+                   CAST(ov.n_shared AS DOUBLE) / bs.bench_total AS containment
+            FROM ov JOIN bs USING (bench_id)
         """,
         "dedup_docs_exact": """
             WITH all_docs AS (

@@ -254,17 +254,26 @@ def assign_ivf_cells(
     ``array_max`` picks the winner (struct comparison is field-order
     lexicographic, so score first, cell as tiebreak)."""
     e = F.col("embedding").cast("array<double>")
-    scored = F.array(
+    # one transform over a literal centroid array (instead of n_clusters
+    # separate aggregate expressions) keeps the codegen body small — the
+    # per-row work is identical but planning/compile cost stays flat as
+    # n_clusters grows
+    cent_lit = F.array(
         *[
             F.struct(
-                (
-                    _dot(e, F.array(*[F.lit(float(x)) for x in c]))
-                    - F.lit(sum(x * x for x in c) / 2.0)
-                ).alias("score"),
                 F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
+                F.lit(sum(x * x for x in c) / 2.0).alias("half_cc"),
             )
             for cell, c in centroids
         ]
+    )
+    scored = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            (_dot(e, s["centroid"]) - s["half_cc"]).alias("score"),
+            s["cell"].alias("cell"),
+        ),
     )
     return embeddings.withColumn("cell", F.array_max(scored)["cell"])
 

@@ -147,3 +147,118 @@ def token_count_bpe_ish(docs: DataFrame) -> DataFrame:
             "pieces_per_char"
         ),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window document chunking — the tokenize-and-window step
+    every LLM training pipeline runs before packing sequences. Chunks
+    start every ``stride`` tokens (1, 1+stride, ...) while inside the
+    doc; the tail chunk may be shorter than ``chunk_size``.
+
+    Pure column algebra (sequence + slice + posexplode): stays in
+    whole-stage codegen, output rows ≈ n_tokens/stride per doc, no
+    shuffle — at 100 TB this is a map-only stage."""
+    tokd = docs.select("doc_id", _tokens().alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(stride)),
+        lambda start: F.struct(
+            start.alias("start"),
+            F.concat_ws(" ", F.slice(toks, start, chunk_size)).alias("chunk_text"),
+            F.least(F.lit(chunk_size), n - start + 1).alias("n_chunk_tokens"),
+        ),
+    )
+    return tokd.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.start").cast("int").alias("start_token"),
+        F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+# PII patterns kept to syntax Java regex and RE2 (the DuckDB engine)
+# interpret identically: explicit character classes, no lookaround, and
+# no backslash escapes ([.] not \.) so the pattern survives SQL string
+# literal parsing unchanged in both engines.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and NNN-NNN-NNNN
+    phone numbers. The driver's synthetic corpus carries no PII, so the
+    op appends a deterministic synthetic contact line per doc (derived
+    from doc_id — identical in the oracle) before scrubbing; on real
+    data drop the injection and scrub ``text`` directly.
+
+    Returns counts plus a sha2 fingerprint of the redacted text (small
+    row width; the full redacted corpus would be written, not
+    collected)."""
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact_"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-5309"),
+    )
+    emails = F.expr(f"regexp_extract_all(_seeded, '{PII_EMAIL}', 0)")
+    phones = F.expr(f"regexp_extract_all(_seeded, '{PII_PHONE}', 0)")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("_seeded"), PII_EMAIL, "<EMAIL>"),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        docs.select("doc_id", seeded.alias("_seeded"))
+        .select(
+            "doc_id",
+            F.size(emails).alias("n_emails"),
+            F.size(phones).alias("n_phones"),
+            F.sha2(redacted, 256).alias("redacted_fingerprint"),
+        )
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame, bench_max_id: int, n: int = 8, min_overlap: int = 2
+) -> DataFrame:
+    """Benchmark-contamination check: which corpus documents share
+    ≥ ``min_overlap`` word n-grams with a benchmark set (here: doc_id <
+    ``bench_max_id`` stands in for the eval set). The standard
+    decontamination pass before training.
+
+    Shingle equi-join — never an all-pairs comparison: benchmark
+    shingles (small side) broadcast against the corpus shingle table,
+    overlap counted from the join, containment = overlap / benchmark
+    shingle count. Same scale shape as the LSH dedup
+    (dedup_llm.shingles)."""
+    from distributed_mobility_data_pipeline_spark.operators.dedup_llm import shingles
+
+    sh = shingles(docs, n)
+    bench = sh.filter(F.col("doc_id") < bench_max_id).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") >= bench_max_id)
+    bench_sizes = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_total")
+    )
+    overlap = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    return overlap.join(F.broadcast(bench_sizes), "bench_id").select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        "bench_total",
+        (F.col("n_shared").cast("double") / F.col("bench_total")).alias(
+            "containment"
+        ),
+    )
