@@ -164,6 +164,9 @@ _DRIVER_FIRST: list[str] = [
     "text_chunk_documents",
     "text_redact_pii",
     "text_contamination",
+    "text_repetition_stats",
+    "text_pack_chunks",
+    "sample_mixing_weights",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -507,6 +510,16 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "text_contamination": lambda s, d: text_ops.contamination_overlap(
             _contaminated_corpus(s, d), bench_max_id=50, n=8, min_overlap=2
+        ),
+        "text_repetition_stats": lambda s, d: text_ops.repetition_stats(
+            _t(s, d, "documents"), n=2
+        ),
+        "text_pack_chunks": lambda s, d: text_ops.pack_chunks(
+            text_ops.chunk_documents(_t(s, d, "documents"), 64, 48), budget=256
+        ),
+        "sample_mixing_weights": lambda s, d: sample_ops.source_mixing_weights(
+            _t(s, d, "documents"),
+            {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
         ),
         # North-star: document dedup (exact + near)
         "dedup_docs_exact": lambda s, d: ddllm_ops.exact_dedup(
@@ -1580,6 +1593,59 @@ def _all_oracle_sql() -> dict[str, str]:
                      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
                      AS redacted_fingerprint
             FROM s
+        """,
+        "text_repetition_stats": """
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 2
+                           THEN list_transform(range(len(toks) - 1),
+                                               i -> array_to_string(toks[i+1:i+2], ' '))
+                           ELSE [array_to_string(toks, ' ')] END AS grams
+                  FROM t)
+            SELECT doc_id,
+                   CAST(len(grams) AS INT) AS n_ngrams,
+                   CAST(len(list_distinct(grams)) AS INT) AS n_distinct_ngrams,
+                   CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams) AS dup_ngram_ratio,
+                   CAST((CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams)) < 0.3 AS INT) AS keep
+            FROM g
+        """,
+        "text_pack_chunks": """
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                       FROM documents),
+            c AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks), 48)) AS start
+                  FROM t),
+            ch AS (SELECT doc_id,
+                          CAST((start - 1) // 48 AS INT) AS chunk_idx,
+                          CAST(least(64, len(toks) - start + 1) AS INT) AS n_chunk_tokens
+                   FROM c)
+            SELECT doc_id, chunk_idx, n_chunk_tokens,
+                   CAST(sum(n_chunk_tokens) OVER w AS BIGINT) AS cum_tokens,
+                   CAST(floor((sum(n_chunk_tokens) OVER w - 1) / 256) AS INT) AS pack_id
+            FROM ch
+            WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "sample_mixing_weights": """
+            WITH tc AS (SELECT source,
+                               CAST(count(*) AS BIGINT) AS n_docs,
+                               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+                        FROM documents GROUP BY 1),
+            tot AS (SELECT sum(n_tokens) AS _total FROM tc),
+            tgt AS (SELECT v.source,
+                           CAST(v.target_share AS DOUBLE) AS target_share
+                    FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+                                 ('src2', 0.2), ('src3', 0.1))
+                    v(source, target_share))
+            SELECT tc.source, tc.n_docs, tc.n_tokens,
+                   CAST(tc.n_tokens AS DOUBLE) / tot._total AS actual_share,
+                   coalesce(tgt.target_share, 0.0) AS target_share,
+                   coalesce(tgt.target_share, 0.0)
+                     / (CAST(tc.n_tokens AS DOUBLE) / tot._total) AS sampling_weight
+            FROM tc CROSS JOIN tot LEFT JOIN tgt USING (source)
         """,
         "text_contamination": """
             WITH base AS (

@@ -86,3 +86,42 @@ def mix_sources(
         .filter(bucket < F.floor(F.col("_rate") * _BUCKETS).cast("long"))
         .drop("_rate")
     )
+
+
+def source_mixing_weights(
+    docs: DataFrame, targets: dict[str, float]
+) -> DataFrame:
+    """Per-source sampling weights for corpus mixture control: compare
+    each source's actual token share to its target share and emit the
+    resampling multiplier (target/actual). The knob a training-data
+    pipeline turns to hit a prescribed domain mixture; one small
+    aggregate + a broadcast literal join."""
+    spark = docs.sparkSession
+    tok_counts = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")).alias(
+            "n_tokens"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    total = tok_counts.agg(F.sum("n_tokens").alias("_total"))
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        "source string, target_share double",
+    )
+    return (
+        tok_counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(tgt), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("_total")).alias(
+                "actual_share"
+            ),
+            F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+            (
+                F.coalesce("target_share", F.lit(0.0))
+                / (F.col("n_tokens").cast("double") / F.col("_total"))
+            ).alias("sampling_weight"),
+        )
+    )

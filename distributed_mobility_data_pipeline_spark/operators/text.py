@@ -262,3 +262,53 @@ def contamination_overlap(
             "containment"
         ),
     )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition (the Gopher-family quality filter):
+    fraction of word n-grams that are duplicates of an earlier n-gram in
+    the same doc. Boilerplate/spam shows high dup ratios; natural text
+    stays low. Map-only column algebra — no shuffle, no UDF."""
+    tokd = docs.select("doc_id", _tokens().alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = (total - distinct).cast("double") / total
+    return tokd.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct_ngrams"),
+        ratio.alias("dup_ngram_ratio"),
+        (ratio < 0.3).cast("int").alias("keep"),
+    )
+
+
+def pack_chunks(chunks: DataFrame, budget: int = 256) -> DataFrame:
+    """Greedy sequence packing: assign consecutive chunks of a document
+    to token-budget bins (pack_id) via a running token total — the step
+    that turns variable-length chunks into fixed-budget training
+    sequences. Packing is PER DOCUMENT (window partitioned by doc_id),
+    so it distributes: no global ordering, no cross-document
+    contamination inside a packed sequence."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_chunk_tokens").over(w)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        cum.alias("cum_tokens"),
+        F.floor((cum - 1) / F.lit(budget)).cast("int").alias("pack_id"),
+    )

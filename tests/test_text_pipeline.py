@@ -55,3 +55,45 @@ def test_contamination_finds_planted_leak(spark):
     # bench doc has 13 distinct 8-grams, all present in the superset doc
     assert r.bench_total == 13 and r.n_shared == 13
     assert abs(r.containment - 1.0) < 1e-12
+
+
+def test_repetition_flags_spammy_doc(spark):
+    natural = " ".join(f"w{i}" for i in range(30))
+    spam = "buy now " * 20
+    out = {
+        r.doc_id: r
+        for r in text_ops.repetition_stats(
+            _docs(spark, [(1, natural), (2, spam.strip())]), n=2
+        ).collect()
+    }
+    assert out[1].dup_ngram_ratio == 0.0 and out[1].keep == 1
+    assert out[2].dup_ngram_ratio > 0.9 and out[2].keep == 0
+
+
+def test_pack_chunks_respects_budget_per_doc(spark):
+    docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(300)))])
+    chunks = text_ops.chunk_documents(docs, chunk_size=64, stride=48)
+    packed = text_ops.pack_chunks(chunks, budget=256).collect()
+    # cumulative totals are per-doc and monotone; pack boundary at 256
+    cums = [r.cum_tokens for r in sorted(packed, key=lambda r: r.chunk_idx)]
+    assert cums == sorted(cums)
+    for r in packed:
+        assert r.pack_id == (r.cum_tokens - 1) // 256
+
+
+def test_source_mixing_weights_sum_and_direction(spark):
+    from distributed_mobility_data_pipeline_spark.operators import sampling
+
+    rows = [
+        (i, "tok " * 10 + "x", "over" if i < 8 else "under") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.source: r
+        for r in sampling.source_mixing_weights(
+            docs, {"over": 0.5, "under": 0.5}
+        ).collect()
+    }
+    assert abs(out["over"].actual_share + out["under"].actual_share - 1.0) < 1e-12
+    # the over-represented source gets down-weighted, the rare one boosted
+    assert out["over"].sampling_weight < 1.0 < out["under"].sampling_weight
