@@ -95,7 +95,14 @@ def source_mixing_weights(
     each source's actual token share to its target share and emit the
     resampling multiplier (target/actual). The knob a training-data
     pipeline turns to hit a prescribed domain mixture; one small
-    aggregate + a broadcast literal join."""
+    aggregate + a broadcast literal join.
+
+    The corpus total comes from a global window over the per-source
+    aggregate (#sources rows — a bounded-cardinality single partition),
+    NOT a second aggregate branch: that shape would re-scan the corpus
+    twice at 100 TB."""
+    from pyspark.sql import Window
+
     spark = docs.sparkSession
     tok_counts = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")).alias(
@@ -103,14 +110,15 @@ def source_mixing_weights(
         ),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    total = tok_counts.agg(F.sum("n_tokens").alias("_total"))
+    with_total = tok_counts.withColumn(
+        "_total", F.sum("n_tokens").over(Window.partitionBy())
+    )
     tgt = spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(targets.items())],
         "source string, target_share double",
     )
     return (
-        tok_counts.crossJoin(F.broadcast(total))
-        .join(F.broadcast(tgt), "source", "left")
+        with_total.join(F.broadcast(tgt), "source", "left")
         .select(
             "source",
             "n_docs",
