@@ -35,6 +35,7 @@ from distributed_mobility_data_pipeline_spark.operators import asof as asof_ops
 from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.operators import skew as skew_ops
+from distributed_mobility_data_pipeline_spark.plans import corpus as corpus_plan
 from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
 from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
 from distributed_mobility_data_pipeline_spark.ml import serving as serve_ops
@@ -167,6 +168,7 @@ _DRIVER_FIRST: list[str] = [
     "text_repetition_stats",
     "text_pack_chunks",
     "sample_mixing_weights",
+    "pipeline_corpus_prep",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -521,6 +523,14 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "documents"),
             {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
         ),
+        # end-to-end corpus prep (plans/corpus.py): exact dedup -> LSH
+        # near-dup removal -> quality/repetition/length gates -> PII scrub
+        # -> chunk -> pack. Rows-only: the LSH stage is the genuinely
+        # non-SQL-expressible composition; each component op has its own
+        # oracle-checked query.
+        "pipeline_corpus_prep": lambda s, d: corpus_plan.prepare_training_corpus(
+            _t(s, d, "documents")
+        )["packed"],
         # North-star: document dedup (exact + near)
         "dedup_docs_exact": lambda s, d: ddllm_ops.exact_dedup(
             ddllm_ops.with_exact_copies(_t(s, d, "documents"))

@@ -1,0 +1,114 @@
+"""Training-corpus preparation pipeline (north-star composition).
+
+The end-to-end path an LLM data team runs over raw documents, composed
+from this engine's individually oracle-verified operators:
+
+    exact dedup → near-dup (MinHash+LSH) removal → quality filter →
+    repetition filter → PII scrub → chunk → pack
+
+Like plans/medallion.py, every stage is a pure DataFrame → DataFrame
+function and the composition is ONE lazy plan unless the caller
+materializes between stages. At 100 TB the expensive stages (LSH
+banding, shingle joins) keep their equi-join shapes — see
+operators/dedup_llm.py docstrings; everything else is map-only.
+
+The reference has no corpus pipeline (it is a trips/mobility engine);
+this is the documents-table twin of its medallion composition
+(README.md:106-134's bronze→silver→gold chain re-expressed for
+training data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.operators import dedup_llm, text
+
+
+def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Keep one representative per identical normalized text (lowest
+    doc_id wins — deterministic)."""
+    from pyspark.sql import Window
+
+    fp = text.normalize_text()
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    return (
+        docs.withColumn("_fp", F.sha2(fp, 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Remove the higher-id member of every LSH-confirmed near-dup pair
+    (MinHash banding → candidate equi-join → exact Jaccard ≥ threshold).
+    Anti-join keeps the survivor set; never an all-pairs comparison."""
+    pairs = dedup_llm.minhash_lsh_pairs(docs, n=n, threshold=threshold)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti")
+
+
+def apply_quality_filters(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    max_dup_ngram_ratio: float = 0.3,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Length + quality + repetition gates, map-only scores joined back
+    on doc_id (each score table is narrow; the joins broadcast when the
+    corpus side is large and the survivors small — Catalyst/AQE picks).
+    The token-length floor exists because blend scores can't catch
+    ultra-short docs: a one-token doc has perfect lexical diversity."""
+    q = text.quality_score(docs).select("doc_id", "quality_score", "n_tokens")
+    r = text.repetition_stats(docs, n=2).select("doc_id", "dup_ngram_ratio")
+    return (
+        docs.join(q, "doc_id")
+        .join(r, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_quality)
+            & (F.col("dup_ngram_ratio") <= max_dup_ngram_ratio)
+        )
+        .drop("quality_score", "dup_ngram_ratio", "n_tokens")
+    )
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """Redact emails/phones in place (map-only; the counting variant is
+    operators/text.redact_pii)."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), text.PII_EMAIL, "<EMAIL>"),
+        text.PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.withColumn("text", redacted)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    pack_budget: int = 256,
+    near_dup_threshold: float = 0.5,
+) -> dict[str, DataFrame]:
+    """Full corpus-prep pipeline; returns every intermediate stage so
+    callers can materialize/inspect any hand-off (same contract as
+    plans/medallion.py)."""
+    deduped = drop_exact_duplicates(docs)
+    near_deduped = drop_near_duplicates(deduped, threshold=near_dup_threshold)
+    filtered = apply_quality_filters(near_deduped)
+    clean = scrub_pii(filtered)
+    chunks = text.chunk_documents(clean, chunk_size=chunk_size, stride=stride)
+    packed = text.pack_chunks(chunks, budget=pack_budget)
+    return {
+        "deduped": deduped,
+        "near_deduped": near_deduped,
+        "filtered": filtered,
+        "clean": clean,
+        "chunks": chunks,
+        "packed": packed,
+    }

@@ -1,0 +1,60 @@
+"""End-to-end corpus-prep pipeline (plans/corpus.py): stage semantics
+and composition invariants on a corpus with planted defects."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_mobility_data_pipeline_spark.plans import corpus
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    long_text = " ".join(f"w{i}" for i in range(120))
+    near_dup = " ".join(f"w{i}" for i in range(119))  # one token short
+    rows = [
+        (1, long_text, "en", "src0", len(long_text)),
+        (2, long_text, "en", "src0", len(long_text)),        # exact dup of 1
+        (3, near_dup, "en", "src1", len(near_dup)),          # near dup of 1
+        (4, "spam spam " * 40, "en", "src1", 400),           # repetitive
+        (5, "tiny", "en", "src2", 4),                        # low quality
+        (
+            6,
+            " ".join(f"u{i}" for i in range(150))
+            + " mail bob@x.io or 555-123-4567",
+            "en",
+            "src2",
+            900,
+        ),
+    ]
+    return spark.createDataFrame(
+        [(i, t, l, s, n) for i, t, l, s, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_pipeline_stages_remove_planted_defects(spark, raw_docs):
+    stages = corpus.prepare_training_corpus(raw_docs)
+    assert {r.doc_id for r in stages["deduped"].select("doc_id").collect()} == {
+        1, 3, 4, 5, 6,
+    }  # exact dup 2 dropped, survivor is the lowest id
+    assert {
+        r.doc_id for r in stages["near_deduped"].select("doc_id").collect()
+    } == {1, 4, 5, 6}  # near dup 3 dropped via LSH pair (1,3)
+    survivors = {r.doc_id for r in stages["filtered"].select("doc_id").collect()}
+    assert 4 not in survivors  # repetition gate
+    assert 5 not in survivors  # quality gate
+    assert {1, 6} <= survivors
+
+
+def test_pipeline_scrubs_pii_and_packs(spark, raw_docs):
+    stages = corpus.prepare_training_corpus(raw_docs)
+    texts = {r.doc_id: r.text for r in stages["clean"].collect()}
+    assert "<EMAIL>" in texts[6] and "<PHONE>" in texts[6]
+    assert "bob@x.io" not in texts[6]
+    packed = stages["packed"].collect()
+    assert len(packed) > 0
+    for r in packed:
+        assert r.pack_id == (r.cum_tokens - 1) // 256
+    # chunk rows match the chunks stage 1:1
+    assert stages["chunks"].count() == len(packed)
