@@ -169,6 +169,7 @@ _DRIVER_FIRST: list[str] = [
     "text_pack_chunks",
     "sample_mixing_weights",
     "pipeline_corpus_prep",
+    "sim_quantize_embeddings",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -531,6 +532,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "pipeline_corpus_prep": lambda s, d: corpus_plan.prepare_training_corpus(
             _t(s, d, "documents")
         )["packed"],
+        "sim_quantize_embeddings": lambda s, d: sim_ops.quantize_embeddings(
+            _t(s, d, "embeddings")
+        ),
         # North-star: document dedup (exact + near)
         "dedup_docs_exact": lambda s, d: ddllm_ops.exact_dedup(
             ddllm_ops.with_exact_copies(_t(s, d, "documents"))
@@ -1638,6 +1642,27 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM ch
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "sim_quantize_embeddings": """
+            WITH t AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS absmax
+                  FROM t),
+            s AS (SELECT vec_id, e,
+                         CASE WHEN absmax = 0 THEN 1.0
+                              ELSE 127.0 / absmax END AS scale
+                  FROM m),
+            q AS (SELECT vec_id, scale,
+                         list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+                  FROM s)
+            SELECT vec_id, scale,
+                   CAST(list_min(qv) AS INT) AS q_min,
+                   CAST(list_max(qv) AS INT) AS q_max,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+            FROM q
         """,
         "sample_mixing_weights": """
             WITH tc AS (SELECT source,

@@ -386,3 +386,31 @@ def mllib_lsh_neighbors(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    step before shipping embeddings to an ANN index (4x smaller than
+    float32, dot products stay proportional within a per-vector scale).
+
+    Rounding is written as floor(x*scale + 0.5) explicitly — identical
+    IEEE ops in Spark and the DuckDB oracle, with no round-half-mode
+    ambiguity. Output projects SCALAR summaries of the quantized vector
+    (min/max/sum/L1) rather than the array itself: exact value checks
+    without array-canonicalization churn in the compare."""
+    e = F.col("embedding")
+    absmax = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(F.lit(127.0) / absmax)
+    q = F.transform(
+        e, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int")
+    )
+    q_sum = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x)
+    q_l1 = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x))
+    return embeddings.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        q_sum.alias("q_sum"),
+        q_l1.alias("q_l1"),
+    )

@@ -155,7 +155,10 @@ def chunk_documents(
     """Sliding-window document chunking — the tokenize-and-window step
     every LLM training pipeline runs before packing sequences. Chunks
     start every ``stride`` tokens (1, 1+stride, ...) while inside the
-    doc; the tail chunk may be shorter than ``chunk_size``.
+    doc; the tail chunk may be shorter than ``chunk_size``. With
+    ``stride <= chunk_size`` every token is covered (overlap =
+    chunk_size - stride); ``stride > chunk_size`` deliberately
+    subsamples, leaving gaps between chunks.
 
     Pure column algebra (sequence + slice + posexplode): stays in
     whole-stage codegen, output rows ≈ n_tokens/stride per doc, no

@@ -97,3 +97,72 @@ def test_source_mixing_weights_sum_and_direction(spark):
     assert abs(out["over"].actual_share + out["under"].actual_share - 1.0) < 1e-12
     # the over-represented source gets down-weighted, the rare one boosted
     assert out["over"].sampling_weight < 1.0 < out["under"].sampling_weight
+
+
+# -- property-based invariants (hypothesis), matching test_properties.py --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_doc_shapes = st.tuples(
+    st.integers(min_value=1, max_value=200),   # n_tokens
+    st.integers(min_value=2, max_value=40),    # chunk_size
+    st.integers(min_value=1, max_value=40),    # stride
+)
+
+
+@_slow
+@given(_doc_shapes)
+def test_chunking_properties(spark, shape):
+    n_tok, chunk_size, stride = shape
+    doc = " ".join(f"t{i}" for i in range(n_tok))
+    out = sorted(
+        text_ops.chunk_documents(
+            _docs(spark, [(1, doc)]), chunk_size=chunk_size, stride=stride
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts are exactly 1, 1+stride, ... <= n_tok
+    assert [r.start_token for r in out] == list(range(1, n_tok + 1, stride))
+    covered = set()
+    for r in out:
+        covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+    if stride <= chunk_size:
+        # overlapping/contiguous regime: every token lands in some chunk
+        assert covered == set(range(1, n_tok + 1))
+    else:
+        # stride > chunk_size deliberately subsamples — gaps allowed,
+        # but nothing out of range and chunk starts are still on-grid
+        assert covered <= set(range(1, n_tok + 1))
+    # chunk text agrees with its claimed token count
+    for r in out:
+        assert len(r.chunk_text.split(" ")) == r.n_chunk_tokens
+
+
+@_slow
+@given(_doc_shapes, st.integers(min_value=8, max_value=512))
+def test_packing_properties(spark, shape, budget):
+    n_tok, chunk_size, stride = shape
+    doc = " ".join(f"t{i}" for i in range(n_tok))
+    chunks = text_ops.chunk_documents(
+        _docs(spark, [(1, doc)]), chunk_size=chunk_size, stride=stride
+    )
+    packed = sorted(
+        text_ops.pack_chunks(chunks, budget=budget).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # running total is the prefix sum; pack ids are monotone non-decreasing
+    run = 0
+    prev_pack = 0
+    for r in packed:
+        run += r.n_chunk_tokens
+        assert r.cum_tokens == run
+        assert r.pack_id == (run - 1) // budget
+        assert r.pack_id >= prev_pack
+        prev_pack = r.pack_id
