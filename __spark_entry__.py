@@ -44,6 +44,7 @@ from distributed_mobility_data_pipeline_spark.operators import windows as win_op
 from distributed_mobility_data_pipeline_spark.sources.readers import read_events
 from distributed_mobility_data_pipeline_spark.streaming import events as stream_ops
 from distributed_mobility_data_pipeline_spark.streaming import stateful as stateful_ops
+from distributed_mobility_data_pipeline_spark.streaming import corpus as stream_corpus
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -170,6 +171,7 @@ _DRIVER_FIRST: list[str] = [
     "sample_mixing_weights",
     "pipeline_corpus_prep",
     "sim_quantize_embeddings",
+    "stream_corpus_dedup",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -534,6 +536,11 @@ def _all_queries() -> dict[str, QueryFn]:
         )["packed"],
         "sim_quantize_embeddings": lambda s, d: sim_ops.quantize_embeddings(
             _t(s, d, "embeddings")
+        ),
+        # streaming corpus-ingest dedup: batch twin here (deterministic,
+        # oracle-checked); stream==batch proven in tests/test_streaming_corpus.py
+        "stream_corpus_dedup": lambda s, d: stream_corpus.dedup_batch_exact(
+            _t(s, d, "documents")
         ),
         # North-star: document dedup (exact + near)
         "dedup_docs_exact": lambda s, d: ddllm_ops.exact_dedup(
@@ -1642,6 +1649,18 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM ch
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "stream_corpus_dedup": """
+            WITH fp AS (
+              SELECT doc_id, source,
+                     sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+                       AS fingerprint
+              FROM documents)
+            SELECT doc_id, source, fingerprint FROM (
+              SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                           ORDER BY doc_id) AS rn
+              FROM fp
+            ) WHERE rn = 1
         """,
         "sim_quantize_embeddings": """
             WITH t AS (SELECT vec_id,

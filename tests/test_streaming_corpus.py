@@ -1,0 +1,48 @@
+"""Streaming corpus dedup (streaming/corpus.py): stream≡batch
+equivalence on the driver's documents table plus duplicate suppression
+on a planted re-ingestion."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.streaming import corpus as sc
+from distributed_mobility_data_pipeline_spark.streaming.events import run_stream_to_memory
+
+
+def _docs_path(sf_dir):
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir):
+    batch = sc.dedup_stream_exact(spark.read.parquet(_docs_path(sf_dir)))
+    stream = sc.dedup_stream_exact(
+        sc.read_documents_stream(spark, _docs_path(sf_dir))
+    )
+    out = run_stream_to_memory(spark, stream, "corpus_dedup", "append")
+    assert sorted(r.fingerprint for r in out.collect()) == sorted(
+        r.fingerprint for r in batch.collect()
+    )
+
+
+def test_stream_dedup_suppresses_reingestion(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s0", 10), (2, "gamma delta", "en", "s0", 11)],
+        sc.DOCS_SCHEMA,
+    )
+    redo = spark.createDataFrame(
+        [(3, "Alpha  Beta", "en", "s1", 11), (4, "epsilon", "en", "s1", 7)],
+        sc.DOCS_SCHEMA,
+    )  # doc 3 normalizes to doc 1's content
+    base.write.parquet(str(tmp_path / "f1.parquet"))
+    redo.write.parquet(str(tmp_path / "f2.parquet"))
+    stream = sc.dedup_stream_exact(
+        sc.read_documents_stream(spark, str(tmp_path) + "/*")
+    )
+    out = run_stream_to_memory(spark, stream, "corpus_reingest", "append")
+    rows = out.select("doc_id").collect()
+    ids = {r.doc_id for r in rows}
+    assert 4 in ids and len(ids) == 3  # one of {1-or-3 dup pair} suppressed
+    assert not {1, 3} <= ids  # never both copies of the same content
