@@ -172,6 +172,8 @@ _DRIVER_FIRST: list[str] = [
     "pipeline_corpus_prep",
     "sim_quantize_embeddings",
     "stream_corpus_dedup",
+    "text_token_rarity",
+    "text_tfidf_top_terms",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -541,6 +543,12 @@ def _all_queries() -> dict[str, QueryFn]:
         # oracle-checked); stream==batch proven in tests/test_streaming_corpus.py
         "stream_corpus_dedup": lambda s, d: stream_corpus.dedup_batch_exact(
             _t(s, d, "documents")
+        ),
+        "text_token_rarity": lambda s, d: text_ops.token_rarity(
+            _t(s, d, "documents"), rare_df=2
+        ),
+        "text_tfidf_top_terms": lambda s, d: text_ops.tfidf_top_terms(
+            _t(s, d, "documents"), k=3
         ),
         # North-star: document dedup (exact + near)
         "dedup_docs_exact": lambda s, d: ddllm_ops.exact_dedup(
@@ -1649,6 +1657,39 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM ch
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "text_token_rarity": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                         FROM documents),
+            dfb AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tok GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(d.df) AS BIGINT) AS sum_df,
+                   CAST(sum(d.df) AS DOUBLE) / count(*) AS mean_df,
+                   CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS rare_ratio
+            FROM tok t JOIN dfb d USING (token)
+            GROUP BY 1
+        """,
+        "text_tfidf_top_terms": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                         FROM documents),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfb AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tok GROUP BY 1),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                   FROM documents),
+            s AS (SELECT tf.doc_id, tf.token, tf.tf, dfb.df,
+                         CAST(tf.tf AS DOUBLE) * nd.n_docs / dfb.df AS tfidf
+                  FROM tf JOIN dfb USING (token) CROSS JOIN nd)
+            SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, token) AS rank
+              FROM s
+            ) WHERE rank <= 3
         """,
         "stream_corpus_dedup": """
             WITH fp AS (

@@ -315,3 +315,80 @@ def pack_chunks(chunks: DataFrame, budget: int = 256) -> DataFrame:
         cum.alias("cum_tokens"),
         F.floor((cum - 1) / F.lit(budget)).cast("int").alias("pack_id"),
     )
+
+
+def token_rarity(docs: DataFrame, rare_df: int = 2) -> DataFrame:
+    """Corpus-statistics quality signal: per-document mean token
+    document-frequency and the fraction of rare tokens (df <= rare_df).
+    Docs full of tokens nobody else uses are OCR noise / gibberish
+    candidates; docs of only ultra-common tokens are boilerplate.
+
+    Two-pass corpus shape (the TF-IDF family): build the token->df
+    table, join it back to the exploded token stream, aggregate per doc.
+    All integer arithmetic until the final division — deterministic
+    across engines with no transcendentals."""
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    df_tbl = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        toks.join(df_tbl, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("sum_df"),
+            F.sum((F.col("df") <= rare_df).cast("long")).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_df",
+            (F.col("sum_df").cast("double") / F.col("n_tokens")).alias(
+                "mean_df"
+            ),
+            (F.col("n_rare").cast("double") / F.col("n_tokens")).alias(
+                "rare_ratio"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k characteristic terms by a rational TF-IDF
+    (tf * N_docs / df — same ordering as the log form for ranking, but
+    exact integer/double arithmetic, so the oracle agrees bit-for-bit).
+    Ties broken by token for determinism. The keyword-extraction /
+    doc-labeling primitive."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_tbl, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("df").cast("double")
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+    )

@@ -166,3 +166,27 @@ def test_packing_properties(spark, shape, budget):
         assert r.pack_id == (run - 1) // budget
         assert r.pack_id >= prev_pack
         prev_pack = r.pack_id
+
+
+def test_token_rarity_separates_common_from_rare(spark):
+    rows = [
+        (1, "common common unique1"),
+        (2, "common common unique2"),
+        (3, "common unique3 unique4"),
+    ]
+    out = {r.doc_id: r for r in text_ops.token_rarity(_docs(spark, rows), rare_df=1).collect()}
+    # 'common' has df=3; unique tokens df=1
+    assert out[3].rare_ratio > out[1].rare_ratio
+    assert out[1].n_tokens == 3 and out[1].sum_df == 3 + 3 + 1
+
+
+def test_tfidf_top_terms_picks_distinctive_tokens(spark):
+    rows = [
+        (1, "shared shared apple apple apple"),
+        (2, "shared shared banana"),
+        (3, "shared cherry cherry"),
+    ]
+    out = text_ops.tfidf_top_terms(_docs(spark, rows), k=1).collect()
+    top = {r.doc_id: r.token for r in out}
+    # the doc-specific token always outranks the corpus-wide one
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
