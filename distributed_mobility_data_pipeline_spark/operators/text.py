@@ -323,21 +323,24 @@ def token_rarity(docs: DataFrame, rare_df: int = 2) -> DataFrame:
     Docs full of tokens nobody else uses are OCR noise / gibberish
     candidates; docs of only ultra-common tokens are boilerplate.
 
-    Two-pass corpus shape (the TF-IDF family): build the token->df
-    table, join it back to the exploded token stream, aggregate per doc.
-    All integer arithmetic until the final division — deterministic
-    across engines with no transcendentals."""
+    Two-pass corpus shape (the TF-IDF family), built entirely from the
+    per-(doc, token) count table: df is the number of tf rows per token,
+    and per-doc sums weight df by tf — so the raw exploded token stream
+    (the largest intermediate) is aggregated ONCE and never joined
+    against again. All integer arithmetic until the final division —
+    deterministic across engines with no transcendentals."""
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    df_tbl = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
-        toks.join(df_tbl, "token")
+        tf.join(df_tbl, "token")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("df").alias("sum_df"),
-            F.sum((F.col("df") <= rare_df).cast("long")).alias("n_rare"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("df")).alias("sum_df"),
+            F.sum(
+                F.col("tf") * (F.col("df") <= rare_df).cast("long")
+            ).alias("n_rare"),
         )
         .select(
             "doc_id",
@@ -363,9 +366,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # df from the tf table (distinct (doc, token) rows per token): the
+    # raw token stream is shuffled once, not twice
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(
         F.countDistinct("doc_id").alias("n_docs")
     )
