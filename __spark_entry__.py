@@ -65,6 +65,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_ops.hourly_demand(_t(spark, sf_dir, "events"))
 
 
+def _quality_gate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows the streaming quality gate would quarantine, with their
+    violation list (comma-joined for a scalar oracle compare)."""
+    from distributed_mobility_data_pipeline_spark.streaming.sinks import quality_gate_split
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    checks = {
+        "known_event_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup"
+        ),
+        "value_below_cap": F.col("value") <= 100.0,
+    }
+    _good, bad = quality_gate_split(ev, checks)
+    return bad.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.concat_ws(",", "violations").alias("violations"),
+    )
+
+
 def _contaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-copies of the first 50 docs (one token dropped,
     doc_id + 500000) — a corpus with KNOWN benchmark contamination so
@@ -174,6 +198,7 @@ _DRIVER_FIRST: list[str] = [
     "stream_corpus_dedup",
     "text_token_rarity",
     "text_tfidf_top_terms",
+    "quality_gate_quarantine",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -544,6 +569,10 @@ def _all_queries() -> dict[str, QueryFn]:
         "stream_corpus_dedup": lambda s, d: stream_corpus.dedup_batch_exact(
             _t(s, d, "documents")
         ),
+        # batch form of the streaming quality gate (streaming/sinks.py:
+        # stream_quality_gate routes these rows to quarantine per
+        # micro-batch; identical column algebra both ways)
+        "quality_gate_quarantine": lambda s, d: _quality_gate_quarantine(s, d),
         "text_token_rarity": lambda s, d: text_ops.token_rarity(
             _t(s, d, "documents"), rare_df=2
         ),
@@ -1657,6 +1686,18 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM ch
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "quality_gate_quarantine": """
+            WITH v AS (
+              SELECT event_id, user_id, event_type, value,
+                     concat_ws(',',
+                       CASE WHEN NOT coalesce(event_type IN
+                         ('click','view','purchase','signup'), FALSE)
+                         THEN 'known_event_type' END,
+                       CASE WHEN NOT coalesce(value <= 100.0, FALSE)
+                         THEN 'value_below_cap' END) AS violations
+              FROM events)
+            SELECT * FROM v WHERE violations <> ''
         """,
         "text_token_rarity": """
             WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token

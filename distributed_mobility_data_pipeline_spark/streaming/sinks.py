@@ -63,3 +63,61 @@ def stream_merge_upsert(
         .outputMode("update")
         .start()
     )
+
+
+def quality_gate_split(
+    df: DataFrame, checks: dict[str, "Column"]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows by validation outcome: (passing rows unchanged,
+    failing rows + a ``violations`` array naming every failed check).
+    NULL check results count as violations (a rule you can't evaluate
+    did not pass). Pure column algebra — usable identically in batch
+    and inside a streaming micro-batch.
+
+    The reference's inline DQ gates raise and kill the pipeline on bad
+    rows (data_quality.py:36-95; bronze_to_silver.py:66-68); routing to
+    a quarantine table keeps the stream alive and the bad rows
+    auditable — the production-streaming counterpart."""
+    from pyspark.sql import functions as F
+
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+                for name, cond in sorted(checks.items())
+            ]
+        )
+    )
+    flagged = df.withColumn("violations", viol)
+    good = flagged.filter(F.size("violations") == 0).drop("violations")
+    bad = flagged.filter(F.size("violations") > 0)
+    return good, bad
+
+
+def stream_quality_gate(
+    stream_df: DataFrame,
+    good_path: str,
+    quarantine_path: str,
+    checks: dict[str, "Column"],
+    checkpoint_dir: str,
+):
+    """foreachBatch quality gate: per micro-batch, passing rows append
+    to the main table, failing rows (with their violation list) append
+    to the quarantine path. Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = quality_gate_split(batch_df, checks)
+        good.write.mode("append").parquet(good_path)
+        (
+            bad.withColumn("violations", F.concat_ws(",", "violations"))
+            .write.mode("append")
+            .parquet(quarantine_path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -47,3 +47,53 @@ def test_stream_merge_converges_to_batch_keep_latest(spark, sf_dir, tmp_path):
     run(str(tmp_path / "ckpt2"))
     again = {r.user_id: r.ts for r in spark.read.parquet(table).collect()}
     assert again == g
+
+
+def test_stream_quality_gate_routes_bad_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from distributed_mobility_data_pipeline_spark.streaming import events as se
+    from distributed_mobility_data_pipeline_spark.streaming.sinks import (
+        quality_gate_split,
+        stream_quality_gate,
+    )
+
+    rows = [
+        (1, 100, "click", 5.0),
+        (2, 101, "error", 5.0),     # unknown type
+        (3, 102, "view", 500.0),    # over cap
+        (4, None, "view", 1.0),     # null passes these checks
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    src.write.parquet(str(tmp_path / "in" / "b1.parquet"))
+    checks = {
+        "known_event_type": F.col("event_type").isin("click", "view"),
+        "value_below_cap": F.col("value") <= 100.0,
+    }
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in") + "/*")
+    )
+    q = stream_quality_gate(
+        stream,
+        str(tmp_path / "good"),
+        str(tmp_path / "quarantine"),
+        checks,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    good = {r.event_id for r in spark.read.parquet(str(tmp_path / "good")).collect()}
+    bad = {
+        r.event_id: r.violations
+        for r in spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    }
+    assert good == {1, 4}
+    assert bad == {2: "known_event_type", 3: "value_below_cap"}
+    # batch twin agrees
+    g2, b2 = quality_gate_split(src, checks)
+    assert {r.event_id for r in g2.collect()} == good
+    assert {r.event_id for r in b2.collect()} == set(bad)
