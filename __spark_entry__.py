@@ -65,6 +65,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_ops.hourly_demand(_t(spark, sf_dir, "events"))
 
 
+def _corpus_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(old, new) corpus versions with known deltas: every 10th doc
+    removed, docs ending in 1 edited (token appended), the first 30 docs
+    re-added under new ids."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    return docs, new.unionByName(added)
+
+
 def _quality_gate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows the streaming quality gate would quarantine, with their
     violation list (comma-joined for a scalar oracle compare)."""
@@ -199,6 +218,7 @@ _DRIVER_FIRST: list[str] = [
     "text_token_rarity",
     "text_tfidf_top_terms",
     "quality_gate_quarantine",
+    "dedup_corpus_diff",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -573,6 +593,9 @@ def _all_queries() -> dict[str, QueryFn]:
         # stream_quality_gate routes these rows to quarantine per
         # micro-batch; identical column algebra both ways)
         "quality_gate_quarantine": lambda s, d: _quality_gate_quarantine(s, d),
+        "dedup_corpus_diff": lambda s, d: ddllm_ops.corpus_diff(
+            *_corpus_snapshots(s, d)
+        ),
         "text_token_rarity": lambda s, d: text_ops.token_rarity(
             _t(s, d, "documents"), rare_df=2
         ),
@@ -1686,6 +1709,29 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM ch
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "dedup_corpus_diff": """
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 1 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT doc_id + 900000, text FROM documents WHERE doc_id < 30
+            ),
+            a AS (SELECT doc_id,
+                         sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS old_fp
+                  FROM old),
+            b AS (SELECT doc_id,
+                         sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS new_fp
+                  FROM new)
+            SELECT doc_id,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp = new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b USING (doc_id)
         """,
         "quality_gate_quarantine": """
             WITH v AS (

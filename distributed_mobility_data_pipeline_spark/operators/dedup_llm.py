@@ -414,3 +414,27 @@ def simhash_hamming_known_pairs(
     return joined.select(
         "doc_id", "simhash", "simhash_dup", ham.alias("hamming")
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot delta between two corpus versions by content
+    fingerprint: per doc_id, status in {added, removed, changed,
+    unchanged} — the change-detection primitive an incremental pipeline
+    runs so downstream stages (dedup, chunking, embedding) only
+    reprocess what moved.
+
+    One full-outer join on doc_id comparing sha2(normalized text);
+    null-safe so a doc present in only one snapshot classifies as
+    added/removed. At 100 TB both sides bucket/partition by doc_id and
+    the join is co-located."""
+    fp = F.sha2(normalize_text(), 256)
+    a = old.select(F.col("doc_id"), fp.alias("old_fp"))
+    b = new.select(F.col("doc_id"), fp.alias("new_fp"))
+    joined = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("doc_id", status.alias("status"))

@@ -190,3 +190,12 @@ def test_tfidf_top_terms_picks_distinctive_tokens(spark):
     top = {r.doc_id: r.token for r in out}
     # the doc-specific token always outranks the corpus-wide one
     assert top == {1: "apple", 2: "banana", 3: "cherry"}
+
+
+def test_corpus_diff_classifies_all_transitions(spark):
+    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
+
+    old = _docs(spark, [(1, "a b"), (2, "c d"), (3, "e f")])
+    new = _docs(spark, [(2, "c d"), (3, "e CHANGED"), (9, "new doc")])
+    out = {r.doc_id: r.status for r in dedup_llm.corpus_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 9: "added"}
