@@ -42,6 +42,7 @@ from distributed_mobility_data_pipeline_spark.ml import serving as serve_ops
 from distributed_mobility_data_pipeline_spark.ml import training as mltrain
 from distributed_mobility_data_pipeline_spark.operators import windows as win_ops
 from distributed_mobility_data_pipeline_spark.sources.readers import read_events
+from distributed_mobility_data_pipeline_spark.sources.writers import morton_key_2d
 from distributed_mobility_data_pipeline_spark.streaming import events as stream_ops
 from distributed_mobility_data_pipeline_spark.streaming import stateful as stateful_ops
 from distributed_mobility_data_pipeline_spark.streaming import corpus as stream_corpus
@@ -219,6 +220,7 @@ _DRIVER_FIRST: list[str] = [
     "text_tfidf_top_terms",
     "quality_gate_quarantine",
     "dedup_corpus_diff",
+    "scalar_morton_key",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -595,6 +597,13 @@ def _all_queries() -> dict[str, QueryFn]:
         "quality_gate_quarantine": lambda s, d: _quality_gate_quarantine(s, d),
         "dedup_corpus_diff": lambda s, d: ddllm_ops.corpus_diff(
             *_corpus_snapshots(s, d)
+        ),
+        # the Z-order key optimize_layout(morton=True) clusters by (S11)
+        "scalar_morton_key": lambda s, d: _t(s, d, "orders").select(
+            "o_orderkey",
+            morton_key_2d(
+                F.col("o_custkey") % 256, F.col("o_orderkey") % 256
+            ).alias("zkey"),
         ),
         "text_token_rarity": lambda s, d: text_ops.token_rarity(
             _t(s, d, "documents"), rare_df=2
@@ -1709,6 +1718,26 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM ch
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "scalar_morton_key": """
+            WITH t AS (SELECT o_orderkey,
+                              CAST(o_custkey % 256 AS BIGINT) AS a,
+                              CAST(o_orderkey % 256 AS BIGINT) AS b
+                       FROM orders),
+            s1 AS (SELECT o_orderkey, (a & 65535) AS a0, (b & 65535) AS b0 FROM t),
+            s2 AS (SELECT o_orderkey,
+                          ((a0 | (a0 << 8)) & 16711935) AS a1,
+                          ((b0 | (b0 << 8)) & 16711935) AS b1 FROM s1),
+            s3 AS (SELECT o_orderkey,
+                          ((a1 | (a1 << 4)) & 252645135) AS a2,
+                          ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s2),
+            s4 AS (SELECT o_orderkey,
+                          ((a2 | (a2 << 2)) & 858993459) AS a3,
+                          ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s3),
+            s5 AS (SELECT o_orderkey,
+                          ((a3 | (a3 << 1)) & 1431655765) AS a4,
+                          ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s4)
+            SELECT o_orderkey, CAST(a4 | (b4 << 1) AS BIGINT) AS zkey FROM s5
         """,
         "dedup_corpus_diff": """
             WITH old AS (SELECT doc_id, text FROM documents),

@@ -105,13 +105,17 @@ def optimize_layout(
     path: str,
     zorder_by: list[str],
     target_partitions: int | None = None,
+    morton: bool = False,
 ) -> None:
     """Data-layout maintenance — S11 (gold_dag.py:194-212 calls a
     nonexistent ``delta.optimize_table(zorder_by=...)``; working here).
 
-    Delta path: OPTIMIZE ... ZORDER BY. Parquet path: the poor-man's
-    Z-order — range-repartition + in-partition sort on the locality
-    columns, so min/max row-group stats prune on those columns."""
+    Delta path: OPTIMIZE ... ZORDER BY. Parquet path: range-repartition
+    + in-partition sort so min/max row-group stats prune on the locality
+    columns. With ``morton=True`` and exactly two integer columns, the
+    sort key is a true interleaved-bit Z-order key (``morton_key_2d``)
+    — multi-dimensional locality like Delta's ZORDER, not just
+    lexicographic — so predicates on EITHER column prune row groups."""
     if has_delta():
         cols = ", ".join(f"`{c}`" for c in zorder_by)
         spark.sql(f"OPTIMIZE delta.`{path}` ZORDER BY ({cols})")
@@ -127,16 +131,25 @@ def optimize_layout(
             len(df.inputFiles()), spark.sparkContext.defaultParallelism
         )
         n = max(in_parts // 4, 1)
+    if morton:
+        if len(zorder_by) != 2:
+            raise ValueError("morton=True needs exactly two columns")
+        key = morton_key_2d(F.col(zorder_by[0]), F.col(zorder_by[1]))
+        clustered = df.withColumn("_zkey", key)
+        out = (
+            clustered.repartitionByRange(n, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    else:
+        out = df.repartitionByRange(n, *zorder_by).sortWithinPartitions(
+            *zorder_by
+        )
     # Write the re-clustered copy beside the table, then swap atomically:
     # reading `path` while writing a different path needs no lineage break,
     # and a mid-rewrite crash can't lose the original.
     tmp = path + "._tmp_optimize"
-    (
-        df.repartitionByRange(n, *zorder_by)
-        .sortWithinPartitions(*zorder_by)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    out.write.mode("overwrite").parquet(tmp)
     _atomic_replace(spark, tmp, path)
 
 
@@ -203,3 +216,28 @@ def merge_upsert(
         writer = writer.partitionBy(*partition_by)
     writer.save(tmp)
     _atomic_replace(spark, tmp, path)
+
+
+def _spread_bits16(x):
+    """Spread the low 16 bits of ``x`` so a zero sits between every bit
+    (the magic-number Morton spread; exact integer ops)."""
+    from pyspark.sql import functions as F
+
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def morton_key_2d(a, b):
+    """Interleave the low 16 bits of two integer columns into a 32-bit
+    Z-order (Morton) key: rows close in BOTH dimensions get close keys,
+    so sorting by it clusters 2-D locality into the same row groups —
+    what OPTIMIZE ZORDER does, as a plain deterministic expression."""
+    from pyspark.sql import functions as F
+
+    a64 = a.cast("long")
+    b64 = b.cast("long")
+    return _spread_bits16(a64).bitwiseOR(F.shiftleft(_spread_bits16(b64), 1))

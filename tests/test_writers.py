@@ -112,3 +112,51 @@ def test_optimize_layout_roundtrip(spark, tmp_path):
     out = spark.read.parquet(p)
     assert out.count() == 30
     assert {r.k for r in out.select("k").distinct().collect()} == {0, 1, 2}
+
+
+def test_morton_key_matches_reference_interleave(spark):
+    from distributed_mobility_data_pipeline_spark.sources.writers import morton_key_2d
+    import pyspark.sql.functions as F
+
+    def py_morton(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(a, b) for a in (0, 1, 2, 3, 255, 65535) for b in (0, 1, 7, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", morton_key_2d(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == py_morton(a, b), (a, b)
+
+
+def test_optimize_layout_morton_clusters_and_preserves(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from distributed_mobility_data_pipeline_spark.sources import writers
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 50, (i * 7) % 50, float(i)) for i in range(5000)],
+        "id long, x long, y long, v double",
+    )
+    df.repartition(8).write.parquet(path)
+    writers.optimize_layout(spark, path, ["x", "y"], target_partitions=4, morton=True)
+    after = spark.read.parquet(path)
+    assert after.count() == 5000
+    assert sorted(r.id for r in after.select("id").collect()) == list(range(5000))
+    # locality: a point query on BOTH dims touches few files
+    files = (
+        after.filter((F.col("x") == 3) & (F.col("y") == 21))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert files <= 2
