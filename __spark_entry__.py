@@ -1714,7 +1714,7 @@ def _all_oracle_sql() -> dict[str, str]:
                    FROM c)
             SELECT doc_id, chunk_idx, n_chunk_tokens,
                    CAST(sum(n_chunk_tokens) OVER w AS BIGINT) AS cum_tokens,
-                   CAST(floor((sum(n_chunk_tokens) OVER w - 1) / 256) AS INT) AS pack_id
+                   CAST(chunk_idx // 4 AS INT) AS pack_id
             FROM ch
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1750,15 +1750,17 @@ def _all_oracle_sql() -> dict[str, str]:
               SELECT doc_id + 900000, text FROM documents WHERE doc_id < 30
             ),
             a AS (SELECT doc_id,
-                         sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS old_fp
+                         sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS old_fp,
+                         TRUE AS in_old
                   FROM old),
             b AS (SELECT doc_id,
-                         sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS new_fp
+                         sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS new_fp,
+                         TRUE AS in_new
                   FROM new)
             SELECT doc_id,
-                   CASE WHEN old_fp IS NULL THEN 'added'
-                        WHEN new_fp IS NULL THEN 'removed'
-                        WHEN old_fp = new_fp THEN 'unchanged'
+                   CASE WHEN in_old IS NULL THEN 'added'
+                        WHEN in_new IS NULL THEN 'removed'
+                        WHEN old_fp IS NOT DISTINCT FROM new_fp THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM a FULL OUTER JOIN b USING (doc_id)
         """,

@@ -416,6 +416,28 @@ def simhash_hamming_known_pairs(
     )
 
 
+def keep_first_by_fingerprint(
+    docs: DataFrame, keep_fingerprint: bool = False
+) -> DataFrame:
+    """THE canonical exact-dedup rule: one survivor per
+    sha2(normalized text), lowest doc_id wins. Shared by the corpus
+    pipeline (plans/corpus.py) and the streaming batch twin
+    (streaming/corpus.py) so normalization/tie-break can never
+    diverge between them."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    out = (
+        docs.withColumn("_fp", F.sha2(normalize_text(), 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if keep_fingerprint:
+        return out.withColumnRenamed("_fp", "fingerprint")
+    return out.drop("_fp")
+
+
 def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Snapshot delta between two corpus versions by content
     fingerprint: per doc_id, status in {added, removed, changed,
@@ -423,18 +445,24 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     runs so downstream stages (dedup, chunking, embedding) only
     reprocess what moved.
 
-    One full-outer join on doc_id comparing sha2(normalized text);
-    null-safe so a doc present in only one snapshot classifies as
-    added/removed. At 100 TB both sides bucket/partition by doc_id and
-    the join is co-located."""
+    One full-outer join on doc_id comparing sha2(normalized text).
+    Row presence is tracked with explicit flags, NOT fingerprint
+    nullness: a doc with NULL text has a NULL fingerprint but still
+    EXISTS in its snapshot, and the null-safe equality (``<=>``)
+    classifies NULL→NULL text as unchanged. At 100 TB both sides
+    bucket/partition by doc_id and the join is co-located."""
     fp = F.sha2(normalize_text(), 256)
-    a = old.select(F.col("doc_id"), fp.alias("old_fp"))
-    b = new.select(F.col("doc_id"), fp.alias("new_fp"))
+    a = old.select(
+        F.col("doc_id"), fp.alias("old_fp"), F.lit(True).alias("in_old")
+    )
+    b = new.select(
+        F.col("doc_id"), fp.alias("new_fp"), F.lit(True).alias("in_new")
+    )
     joined = a.join(b, "doc_id", "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select("doc_id", status.alias("status"))

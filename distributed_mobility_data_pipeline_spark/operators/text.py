@@ -293,15 +293,23 @@ def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def pack_chunks(chunks: DataFrame, budget: int = 256) -> DataFrame:
+def pack_chunks(
+    chunks: DataFrame, budget: int = 256, chunk_size: int = 64
+) -> DataFrame:
     """Greedy sequence packing: assign consecutive chunks of a document
-    to token-budget bins (pack_id) via a running token total — the step
-    that turns variable-length chunks into fixed-budget training
-    sequences. Packing is PER DOCUMENT (window partitioned by doc_id),
-    so it distributes: no global ordering, no cross-document
-    contamination inside a packed sequence."""
+    to token-budget bins (pack_id) — the step that turns chunks into
+    fixed-budget training sequences. Because every in-document chunk
+    except the tail has exactly ``chunk_size`` tokens, capacity-exact
+    packing is ``chunk_idx // (budget // chunk_size)``: each pack holds
+    at most budget tokens, ALWAYS (a cumulative-sum binning instead
+    would let a boundary-straddling chunk overflow the budget). Packing
+    is PER DOCUMENT (window partitioned by doc_id), so it distributes:
+    no global ordering, no cross-document contamination inside a packed
+    sequence. ``cum_tokens`` (the per-doc running total) is kept as an
+    audit column."""
     from pyspark.sql import Window
 
+    per_pack = max(budget // chunk_size, 1)
     w = (
         Window.partitionBy("doc_id")
         .orderBy("chunk_idx")
@@ -313,7 +321,7 @@ def pack_chunks(chunks: DataFrame, budget: int = 256) -> DataFrame:
         "chunk_idx",
         "n_chunk_tokens",
         cum.alias("cum_tokens"),
-        F.floor((cum - 1) / F.lit(budget)).cast("int").alias("pack_id"),
+        (F.col("chunk_idx") / F.lit(per_pack)).cast("int").alias("pack_id"),
     )
 
 

@@ -28,17 +28,8 @@ from distributed_mobility_data_pipeline_spark.operators import dedup_llm, text
 
 def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
     """Keep one representative per identical normalized text (lowest
-    doc_id wins — deterministic)."""
-    from pyspark.sql import Window
-
-    fp = text.normalize_text()
-    w = Window.partitionBy("_fp").orderBy("doc_id")
-    return (
-        docs.withColumn("_fp", F.sha2(fp, 256))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
-    )
+    doc_id wins — the shared canonical rule in dedup_llm)."""
+    return dedup_llm.keep_first_by_fingerprint(docs)
 
 
 def drop_near_duplicates(
@@ -46,9 +37,18 @@ def drop_near_duplicates(
 ) -> DataFrame:
     """Remove the higher-id member of every LSH-confirmed near-dup pair
     (MinHash banding → candidate equi-join → exact Jaccard ≥ threshold).
-    Anti-join keeps the survivor set; never an all-pairs comparison."""
+    Anti-join keeps the survivor set; never an all-pairs comparison.
+
+    minhash_lsh_pairs returns every band-collision CANDIDATE with an
+    ``is_dup`` verification flag — only verified pairs may drop a doc
+    (an unfiltered candidate set would delete unrelated docs that merely
+    share one band bucket)."""
     pairs = dedup_llm.minhash_lsh_pairs(docs, n=n, threshold=threshold)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    losers = (
+        pairs.filter(F.col("is_dup") == 1)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
     return docs.join(losers, "doc_id", "left_anti")
 
 
@@ -103,7 +103,7 @@ def prepare_training_corpus(
     filtered = apply_quality_filters(near_deduped)
     clean = scrub_pii(filtered)
     chunks = text.chunk_documents(clean, chunk_size=chunk_size, stride=stride)
-    packed = text.pack_chunks(chunks, budget=pack_budget)
+    packed = text.pack_chunks(chunks, budget=pack_budget, chunk_size=chunk_size)
     return {
         "deduped": deduped,
         "near_deduped": near_deduped,

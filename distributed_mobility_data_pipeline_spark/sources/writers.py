@@ -134,6 +134,17 @@ def optimize_layout(
     if morton:
         if len(zorder_by) != 2:
             raise ValueError("morton=True needs exactly two columns")
+        # guard the integer contract: non-numeric columns would
+        # cast('long') to NULL and silently degenerate the layout into
+        # one giant unclustered partition
+        int_types = {"tinyint", "smallint", "int", "bigint"}
+        dtypes = dict(df.dtypes)
+        bad = [c for c in zorder_by if dtypes.get(c) not in int_types]
+        if bad:
+            raise ValueError(
+                f"morton=True needs integer columns; got "
+                f"{[(c, dtypes.get(c)) for c in bad]}"
+            )
         key = morton_key_2d(F.col(zorder_by[0]), F.col(zorder_by[1]))
         clustered = df.withColumn("_zkey", key)
         out = (

@@ -55,15 +55,15 @@ def dedup_stream_exact(docs: DataFrame) -> DataFrame:
 def dedup_batch_exact(docs: DataFrame) -> DataFrame:
     """Deterministic batch twin of ``dedup_stream_exact`` (lowest doc_id
     wins per fingerprint) — the oracle-checkable form; the stream keeps
-    arrival order instead, and tests prove the fingerprint sets agree."""
-    from pyspark.sql import Window
+    arrival order instead, and tests prove the fingerprint sets agree.
+    Delegates to the canonical rule in dedup_llm so the tie-break can
+    never diverge from the batch corpus pipeline."""
+    from distributed_mobility_data_pipeline_spark.operators.dedup_llm import (
+        keep_first_by_fingerprint,
+    )
 
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    return (
-        with_fingerprint(docs)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "source", "fingerprint")
+    return keep_first_by_fingerprint(docs, keep_fingerprint=True).select(
+        "doc_id", "source", "fingerprint"
     )
 
 

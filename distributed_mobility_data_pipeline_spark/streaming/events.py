@@ -55,12 +55,14 @@ def read_events_stream(
 
     if ts_type == "bigint":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = (
-            spark.readStream.schema(base.format(ts="ts long"))
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(path)
-        )
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        try:
+            df = (
+                spark.readStream.schema(base.format(ts="ts long"))
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     ts_field = "ts timestamp_ntz" if ts_type == "timestamp_ntz" else "ts timestamp"

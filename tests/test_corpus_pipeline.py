@@ -54,7 +54,26 @@ def test_pipeline_scrubs_pii_and_packs(spark, raw_docs):
     assert "bob@x.io" not in texts[6]
     packed = stages["packed"].collect()
     assert len(packed) > 0
+    totals: dict[tuple, int] = {}
     for r in packed:
-        assert r.pack_id == (r.cum_tokens - 1) // 256
+        assert r.pack_id == r.chunk_idx // 4  # budget 256 // chunk 64
+        key = (r.doc_id, r.pack_id)
+        totals[key] = totals.get(key, 0) + r.n_chunk_tokens
+    assert all(t <= 256 for t in totals.values())  # capacity guarantee
     # chunk rows match the chunks stage 1:1
     assert stages["chunks"].count() == len(packed)
+
+
+def test_near_dup_threshold_is_honored(spark, raw_docs):
+    # regression: losers must come from VERIFIED pairs (is_dup), not raw
+    # band-bucket candidates — with an unachievable threshold nothing
+    # may be dropped even though LSH candidates exist
+    deduped = corpus.drop_exact_duplicates(raw_docs)
+    before = {r.doc_id for r in deduped.select("doc_id").collect()}
+    kept = {
+        r.doc_id
+        for r in corpus.drop_near_duplicates(deduped, threshold=1.01)
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == before

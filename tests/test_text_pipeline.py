@@ -73,12 +73,16 @@ def test_repetition_flags_spammy_doc(spark):
 def test_pack_chunks_respects_budget_per_doc(spark):
     docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(300)))])
     chunks = text_ops.chunk_documents(docs, chunk_size=64, stride=48)
-    packed = text_ops.pack_chunks(chunks, budget=256).collect()
-    # cumulative totals are per-doc and monotone; pack boundary at 256
+    packed = text_ops.pack_chunks(chunks, budget=256, chunk_size=64).collect()
+    # cumulative totals are per-doc and monotone
     cums = [r.cum_tokens for r in sorted(packed, key=lambda r: r.chunk_idx)]
     assert cums == sorted(cums)
+    # capacity-exact: every pack's token total stays within budget
+    totals: dict[int, int] = {}
     for r in packed:
-        assert r.pack_id == (r.cum_tokens - 1) // 256
+        assert r.pack_id == r.chunk_idx // 4  # 256 // 64 chunks per pack
+        totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_chunk_tokens
+    assert all(t <= 256 for t in totals.values())
 
 
 def test_source_mixing_weights_sum_and_direction(spark):
@@ -154,18 +158,23 @@ def test_packing_properties(spark, shape, budget):
         _docs(spark, [(1, doc)]), chunk_size=chunk_size, stride=stride
     )
     packed = sorted(
-        text_ops.pack_chunks(chunks, budget=budget).collect(),
+        text_ops.pack_chunks(chunks, budget=budget, chunk_size=chunk_size).collect(),
         key=lambda r: r.chunk_idx,
     )
-    # running total is the prefix sum; pack ids are monotone non-decreasing
+    per_pack = max(budget // chunk_size, 1)
     run = 0
     prev_pack = 0
+    totals: dict[int, int] = {}
     for r in packed:
         run += r.n_chunk_tokens
-        assert r.cum_tokens == run
-        assert r.pack_id == (run - 1) // budget
-        assert r.pack_id >= prev_pack
+        assert r.cum_tokens == run  # prefix sum audit column
+        assert r.pack_id == r.chunk_idx // per_pack
+        assert r.pack_id >= prev_pack  # monotone non-decreasing
         prev_pack = r.pack_id
+        totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_chunk_tokens
+    if budget >= chunk_size:
+        # capacity guarantee: no pack exceeds the token budget
+        assert all(t <= budget for t in totals.values())
 
 
 def test_token_rarity_separates_common_from_rare(spark):
