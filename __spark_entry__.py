@@ -221,6 +221,8 @@ _DRIVER_FIRST: list[str] = [
     "quality_gate_quarantine",
     "dedup_corpus_diff",
     "scalar_morton_key",
+    "sample_fixed_k_per_source",
+    "sample_negative_pairs",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -599,6 +601,21 @@ def _all_queries() -> dict[str, QueryFn]:
             *_corpus_snapshots(s, d)
         ),
         # the Z-order key optimize_layout(morton=True) clusters by (S11)
+        # contrastive negatives: k hashed partners per anchor (vec_ids
+        # are contiguous 0..n-1, so mod-n draws are always valid ids)
+        "sample_negative_pairs": lambda s, d: sample_ops.negative_samples(
+            _t(s, d, "embeddings").select("vec_id"),
+            "vec_id",
+            n_keys=_t(s, d, "embeddings").count(),
+            k=4,
+        ),
+        # balanced subset: exactly k docs per source, hash-ordered
+        "sample_fixed_k_per_source": lambda s, d: sample_ops.fixed_k_per_group(
+            _t(s, d, "documents").select("doc_id", "source"),
+            "source",
+            "doc_id",
+            k=5,
+        ),
         "scalar_morton_key": lambda s, d: _t(s, d, "orders").select(
             "o_orderkey",
             morton_key_2d(
@@ -1718,6 +1735,37 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM ch
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "sample_negative_pairs": """
+            WITH n AS (SELECT count(*) AS n_keys FROM embeddings),
+            base AS (
+              SELECT e.vec_id AS anchor_id,
+                     t.i AS neg_idx,
+                     CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || '_'
+                            || CAST(t.i AS VARCHAR) || 'neg'), 1, 8)) AS BIGINT)
+                       % n.n_keys AS negative_id,
+                     n.n_keys AS n_keys
+              FROM embeddings e
+              CROSS JOIN n
+              CROSS JOIN (SELECT unnest(range(4)) AS i) t
+            )
+            SELECT anchor_id,
+                   CAST(neg_idx AS INT) AS neg_idx,
+                   CAST(CASE WHEN negative_id = anchor_id
+                             THEN (negative_id + 1) % n_keys
+                             ELSE negative_id END AS BIGINT) AS negative_id
+            FROM base
+        """,
+        "sample_fixed_k_per_source": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'topk'), 1, 8)) AS BIGINT)
+                                % 1000000,
+                                doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 5
         """,
         "scalar_morton_key": """
             WITH t AS (SELECT o_orderkey,

@@ -133,3 +133,77 @@ def source_mixing_weights(
             ).alias("sampling_weight"),
         )
     )
+
+
+def fixed_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "topk",
+) -> DataFrame:
+    """Balanced subset: EXACTLY min(k, group size) rows per group,
+    chosen by the layout-independent hash order (md5 bucket, then key as
+    tiebreak) — the 'equal representation per source' sample a mixture-
+    controlled corpus needs when per-source fractions would over/under
+    shoot on skewed sources. Deterministic on any cluster layout; one
+    shuffle on the group column."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _key_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def negative_samples(
+    df: DataFrame,
+    key_col: str,
+    n_keys: int,
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor key gets ``k`` pseudo-random partner keys in [0, n_keys),
+    derived from md5(key, i, salt) — reproducible on any layout, no RNG
+    state, no shuffle (pure map + explode). Self-pairs are remapped to
+    the next key so an anchor never draws itself."""
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+    key = F.col(key_col)
+    neg = F.transform(
+        idx,
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key.cast("string"),
+                            F.lit("_"),
+                            i.cast("string"),
+                            F.lit(salt),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(n_keys),
+        ),
+    )
+    out = df.select(
+        key.alias("anchor_id"),
+        F.posexplode(neg).alias("neg_idx", "negative_id"),
+    )
+    return out.withColumn(
+        "negative_id",
+        F.when(
+            F.col("negative_id") == F.col("anchor_id"),
+            F.pmod(F.col("negative_id") + 1, F.lit(n_keys)),
+        ).otherwise(F.col("negative_id")),
+    )

@@ -208,3 +208,38 @@ def test_corpus_diff_classifies_all_transitions(spark):
     new = _docs(spark, [(2, "c d"), (3, "e CHANGED"), (9, "new doc")])
     out = {r.doc_id: r.status for r in dedup_llm.corpus_diff(old, new).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 9: "added"}
+
+
+def test_fixed_k_per_group_balances_skewed_sources(spark):
+    from distributed_mobility_data_pipeline_spark.operators import sampling
+
+    rows = [(i, "t", "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sampling.fixed_k_per_group(df, "source", "doc_id", k=7).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big"]) == 7          # capped
+    assert len(by_src["small"]) == 7        # 10 available, 7 kept
+    # layout-independent: same selection after a different repartition
+    again = sampling.fixed_k_per_group(
+        df.repartition(13), "source", "doc_id", k=7
+    ).collect()
+    assert {(r.source, r.doc_id) for r in again} == {
+        (r.source, r.doc_id) for r in out
+    }
+
+
+def test_negative_samples_never_self_and_deterministic(spark):
+    from distributed_mobility_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "vec_id long")
+    out = sampling.negative_samples(df, "vec_id", n_keys=50, k=4).collect()
+    assert len(out) == 200  # 50 anchors x 4 negatives
+    for r in out:
+        assert r.negative_id != r.anchor_id
+        assert 0 <= r.negative_id < 50
+    again = sampling.negative_samples(
+        df.repartition(9), "vec_id", n_keys=50, k=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
