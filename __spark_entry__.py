@@ -223,6 +223,7 @@ _DRIVER_FIRST: list[str] = [
     "scalar_morton_key",
     "sample_fixed_k_per_source",
     "sample_negative_pairs",
+    "text_quality_percentile",
     # band 2 — latest check is r01
     "win_rolling_range_days",
     "win_running_total",
@@ -601,6 +602,9 @@ def _all_queries() -> dict[str, QueryFn]:
             *_corpus_snapshots(s, d)
         ),
         # the Z-order key optimize_layout(morton=True) clusters by (S11)
+        "text_quality_percentile": lambda s, d: text_ops.quality_percentile_filter(
+            _t(s, d, "documents"), drop_below=0.1
+        ),
         # contrastive negatives: k hashed partners per anchor (vec_ids
         # are contiguous 0..n-1, so mod-n draws are always valid ids)
         "sample_negative_pairs": lambda s, d: sample_ops.negative_samples(
@@ -1735,6 +1739,27 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM ch
             WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "text_quality_percentile": """
+            WITH t AS (SELECT *, string_split(trim(text), ' ') AS toks FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+                     least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+                     CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE)
+                     / len(toks) AS str_ratio
+              FROM t
+            ),
+            s AS (SELECT doc_id,
+                         0.4 * ttr + 0.4 * len_score + 0.2 * (1.0 - str_ratio)
+                           AS quality_score
+                  FROM c),
+            r AS (SELECT doc_id, quality_score,
+                         percent_rank() OVER (ORDER BY quality_score, doc_id)
+                           AS pct_rank
+                  FROM s)
+            SELECT doc_id, quality_score, pct_rank
+            FROM r WHERE pct_rank >= 0.1
         """,
         "sample_negative_pairs": """
             WITH n AS (SELECT count(*) AS n_keys FROM embeddings),

@@ -403,3 +403,26 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "token", "tf", "df", "tfidf")
     )
+
+
+def quality_percentile_filter(
+    docs: DataFrame, drop_below: float = 0.1
+) -> DataFrame:
+    """Dynamic quality gate: drop the worst ``drop_below`` fraction of
+    the corpus by quality score (exact percent_rank, doc_id tiebreak for
+    determinism) instead of a fixed threshold — the adaptive variant
+    pipelines use when score distributions drift between crawls.
+
+    percent_rank needs a global ordering: one shuffle over the (narrow)
+    scored projection, never over full documents — join survivors back
+    by doc_id."""
+    from pyspark.sql import Window
+
+    scored = quality_score(docs).select("doc_id", "quality_score")
+    w = Window.orderBy("quality_score", "doc_id")
+    ranked = scored.withColumn("pct_rank", F.percent_rank().over(w))
+    # pct_rank = (rank-1)/(n-1): identical integer inputs on both
+    # engines -> bit-identical doubles, no rounding needed
+    return ranked.filter(F.col("pct_rank") >= drop_below).select(
+        "doc_id", "quality_score", "pct_rank"
+    )

@@ -243,3 +243,16 @@ def test_negative_samples_never_self_and_deterministic(spark):
         df.repartition(9), "vec_id", n_keys=50, k=4
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_quality_percentile_filter_drops_exact_fraction(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 2)), (i + 2) * 3) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = text_ops.quality_percentile_filter(docs, drop_below=0.25).collect()
+    # percent_rank >= 0.25 over 20 rows keeps ranks 6..20 -> 15 rows
+    assert len(out) == 15
+    kept_scores = sorted(r.quality_score for r in out)
+    all_scores = sorted(
+        r.quality_score for r in text_ops.quality_score(docs).collect()
+    )
+    assert kept_scores == all_scores[5:]  # exactly the worst 5 dropped
