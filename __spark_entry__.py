@@ -605,6 +605,11 @@ def _all_queries() -> dict[str, QueryFn]:
         "text_quality_percentile": lambda s, d: text_ops.quality_percentile_filter(
             _t(s, d, "documents"), drop_below=0.1
         ),
+        # scale-safe twin of text_quality_percentile: fixed-bin histogram
+        # cutoff, no SinglePartition sort anywhere (VERDICT r04 #1)
+        "text_quality_cutoff": lambda s, d: text_ops.quality_histogram_cutoff_filter(
+            _t(s, d, "documents"), drop_below=0.1, n_bins=1000
+        ),
         # contrastive negatives: k hashed partners per anchor (vec_ids
         # are contiguous 0..n-1, so mod-n draws are always valid ids)
         "sample_negative_pairs": lambda s, d: sample_ops.negative_samples(
@@ -1761,6 +1766,38 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT doc_id, quality_score, pct_rank
             FROM r WHERE pct_rank >= 0.1
         """,
+        "text_quality_cutoff": """
+            WITH t AS (SELECT *, string_split(trim(text), ' ') AS toks FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+                     least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+                     CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE)
+                     / len(toks) AS str_ratio
+              FROM t
+            ),
+            s AS (SELECT doc_id,
+                         0.4 * ttr + 0.4 * len_score + 0.2 * (1.0 - str_ratio)
+                           AS quality_score
+                  FROM c),
+            b AS (SELECT doc_id, quality_score,
+                         CAST(least(floor(quality_score * 1000), 999) AS INT)
+                           AS bucket
+                  FROM s),
+            h AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+            cum AS (SELECT bucket,
+                           sum(n) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS cum_n,
+                           sum(n) OVER () AS total_n
+                    FROM h),
+            cut AS (SELECT CAST(coalesce(max(CASE
+                             WHEN CAST(cum_n AS DOUBLE) <= 0.1 * total_n
+                             THEN bucket + 1 END), 0) AS INT) AS cutoff_bucket
+                    FROM cum)
+            SELECT b.doc_id, b.quality_score, b.bucket, cut.cutoff_bucket
+            FROM b CROSS JOIN cut WHERE b.bucket >= cut.cutoff_bucket
+        """,
         "sample_negative_pairs": """
             WITH n AS (SELECT count(*) AS n_keys FROM embeddings),
             base AS (
@@ -1926,12 +1963,18 @@ def _all_oracle_sql() -> dict[str, str]:
                     FROM (VALUES ('src0', 0.4), ('src1', 0.3),
                                  ('src2', 0.2), ('src3', 0.1))
                     v(source, target_share))
-            SELECT tc.source, tc.n_docs, tc.n_tokens,
-                   CAST(tc.n_tokens AS DOUBLE) / tot._total AS actual_share,
+            SELECT source,
+                   coalesce(tc.n_docs, 0) AS n_docs,
+                   coalesce(tc.n_tokens, 0) AS n_tokens,
+                   coalesce(CAST(tc.n_tokens AS DOUBLE) / tot._total, 0.0)
+                     AS actual_share,
                    coalesce(tgt.target_share, 0.0) AS target_share,
-                   coalesce(tgt.target_share, 0.0)
-                     / (CAST(tc.n_tokens AS DOUBLE) / tot._total) AS sampling_weight
-            FROM tc CROSS JOIN tot LEFT JOIN tgt USING (source)
+                   CASE WHEN coalesce(CAST(tc.n_tokens AS DOUBLE) / tot._total,
+                                      0.0) > 0.0
+                        THEN coalesce(tgt.target_share, 0.0)
+                             / (CAST(tc.n_tokens AS DOUBLE) / tot._total)
+                   END AS sampling_weight
+            FROM (tc CROSS JOIN tot) FULL JOIN tgt USING (source)
         """,
         "text_contamination": """
             WITH base AS (

@@ -63,6 +63,22 @@ def _run_pass(spark, qs, names: list[str], errors: dict[str, str]) -> dict[str, 
     return timings
 
 
+def _calibration(spark) -> float:
+    """Host-speed canary: a fixed, plan-stable full scan-count of
+    lineitem (no filter, no shuffle beyond the count agg). Its runtime
+    tracks host speed, not engine changes — per-round totals divided by
+    this normalize out host drift like r04's uniform 1.45× slowdown
+    (VERDICT r04 'Next round' #4). Timed warm (3 runs, min) so JIT and
+    page-cache first-touch don't pollute the canary itself."""
+    df = entrymod._t(spark, SF_DIR, "lineitem")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        df.count()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
@@ -92,6 +108,7 @@ def main() -> None:
         except Exception:
             pass
     timings = _run_pass(spark, qs, names, errors)
+    calibration = _calibration(spark)
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -100,6 +117,21 @@ def main() -> None:
         "queries": timings,
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
+        # host-speed canary + totals normalized by it: cross-round
+        # comparisons should use *_normalized (dimensionless multiples
+        # of the canary scan) to factor out host drift.
+        "calibration": calibration,
+        "value_normalized": round(total / calibration, 2) if calibration else None,
+        "cold_total_normalized": (
+            round(sum(cold.values()) / calibration, 2) if calibration else None
+        ),
+        # partial-total guard: value/cold_total cover n_timed of
+        # n_queries — consumers must not compare totals across rounds
+        # when n_errors > 0 (a dropped query shrinks the sum).
+        "n_queries": len(names),
+        "n_timed": len(timings),
+        "n_errors": len(errors),
+        "n_errors_cold": len(errors_cold),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -117,19 +117,22 @@ def source_mixing_weights(
         [(k, float(v)) for k, v in sorted(targets.items())],
         "source string, target_share double",
     )
+    actual_share = F.col("n_tokens").cast("double") / F.col("_total")
+    target_share = F.coalesce("target_share", F.lit(0.0))
+    # Full outer so a target source with ZERO observed documents still
+    # emits a (visible, zero-count) row instead of dangling silently;
+    # a zero-token source gets a null weight, never an Infinity.
     return (
-        with_total.join(F.broadcast(tgt), "source", "left")
+        with_total.join(F.broadcast(tgt), "source", "full_outer")
         .select(
             "source",
-            "n_docs",
-            "n_tokens",
-            (F.col("n_tokens").cast("double") / F.col("_total")).alias(
-                "actual_share"
-            ),
-            F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
-            (
-                F.coalesce("target_share", F.lit(0.0))
-                / (F.col("n_tokens").cast("double") / F.col("_total"))
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce(actual_share, F.lit(0.0)).alias("actual_share"),
+            target_share.alias("target_share"),
+            F.when(
+                F.coalesce(actual_share, F.lit(0.0)) > 0.0,
+                target_share / actual_share,
             ).alias("sampling_weight"),
         )
     )
@@ -171,7 +174,15 @@ def negative_samples(
     anchor key gets ``k`` pseudo-random partner keys in [0, n_keys),
     derived from md5(key, i, salt) — reproducible on any layout, no RNG
     state, no shuffle (pure map + explode). Self-pairs are remapped to
-    the next key so an anchor never draws itself."""
+    the next key so an anchor never draws itself — which requires at
+    least two keys to remap TO, so ``n_keys >= 2`` is enforced (with
+    n_keys == 1 the remap would return the anchor; n_keys <= 0 would
+    yield NULL negatives)."""
+    if n_keys < 2:
+        raise ValueError(
+            f"negative_samples requires n_keys >= 2 (got {n_keys}): "
+            f"with fewer keys a non-self negative cannot exist"
+        )
     idx = F.sequence(F.lit(0), F.lit(k - 1))
     key = F.col(key_col)
     neg = F.transform(

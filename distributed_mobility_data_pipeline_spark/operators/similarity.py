@@ -294,8 +294,21 @@ def ivf_ann(
 
     Pass ``centroids`` (from ``fit_ivf_quantizer``, trained offline) to
     keep training off the query path; without it the quantizer is
-    re-fit per call (small-data convenience only)."""
+    re-fit per call — a LOUD warning is emitted because the in-query
+    retrain is the exact scale regression the offline quantizer split
+    exists to prevent (it cost 11-12 s/call at sf0.1 before the split;
+    at 100 TB it would dominate every query)."""
     if centroids is None:
+        import warnings
+
+        warnings.warn(
+            "ivf_ann called without precomputed centroids: re-fitting "
+            "the IVF quantizer IN-QUERY. This is a small-data "
+            "convenience path only — at scale, fit once offline with "
+            "fit_ivf_quantizer() and pass centroids=.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         centroids = fit_ivf_quantizer(embeddings, n_clusters=n_clusters)
     assigned = assign_ivf_cells(
         embeddings.select("vec_id", "embedding"), centroids

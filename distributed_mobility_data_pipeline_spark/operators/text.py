@@ -302,14 +302,22 @@ def pack_chunks(
     except the tail has exactly ``chunk_size`` tokens, capacity-exact
     packing is ``chunk_idx // (budget // chunk_size)``: each pack holds
     at most budget tokens, ALWAYS (a cumulative-sum binning instead
-    would let a boundary-straddling chunk overflow the budget). Packing
-    is PER DOCUMENT (window partitioned by doc_id), so it distributes:
-    no global ordering, no cross-document contamination inside a packed
-    sequence. ``cum_tokens`` (the per-doc running total) is kept as an
-    audit column."""
+    would let a boundary-straddling chunk overflow the budget). The
+    at-most-budget guarantee requires ``budget >= chunk_size`` — with a
+    smaller budget even a single full chunk would overflow, so that is
+    rejected up front. Packing is PER DOCUMENT (window partitioned by
+    doc_id), so it distributes: no global ordering, no cross-document
+    contamination inside a packed sequence. ``cum_tokens`` (the per-doc
+    running total) is kept as an audit column."""
     from pyspark.sql import Window
 
-    per_pack = max(budget // chunk_size, 1)
+    if budget < chunk_size:
+        raise ValueError(
+            f"pack_chunks requires budget >= chunk_size "
+            f"(got budget={budget}, chunk_size={chunk_size}): a single "
+            f"full chunk would already exceed the pack budget"
+        )
+    per_pack = budget // chunk_size
     w = (
         Window.partitionBy("doc_id")
         .orderBy("chunk_idx")
@@ -413,9 +421,14 @@ def quality_percentile_filter(
     determinism) instead of a fixed threshold — the adaptive variant
     pipelines use when score distributions drift between crawls.
 
-    percent_rank needs a global ordering: one shuffle over the (narrow)
-    scored projection, never over full documents — join survivors back
-    by doc_id."""
+    SCALE WARNING: ``percent_rank`` over an unpartitioned window routes
+    every row through a SINGLE task (Spark's "No Partition Defined for
+    Window operation" path) — a global sort that does not survive a
+    billion-document corpus. This exact form exists as the small-scale
+    oracle twin; production pipelines should use
+    :func:`quality_histogram_cutoff_filter`, which computes the same
+    drop-fraction cutoff from a fixed-bin histogram with no global
+    sort."""
     from pyspark.sql import Window
 
     scored = quality_score(docs).select("doc_id", "quality_score")
@@ -425,4 +438,68 @@ def quality_percentile_filter(
     # engines -> bit-identical doubles, no rounding needed
     return ranked.filter(F.col("pct_rank") >= drop_below).select(
         "doc_id", "quality_score", "pct_rank"
+    )
+
+
+def quality_histogram_cutoff_filter(
+    docs: DataFrame, drop_below: float = 0.1, n_bins: int = 1000
+) -> DataFrame:
+    """Scale-safe dynamic quality gate: drop (conservatively, at most)
+    the worst ``drop_below`` fraction of the corpus by quality score,
+    with NO global sort.
+
+    ``quality_score`` is a fixed-weight blend of ratios in [0, 1], so a
+    fixed-width histogram over [0, 1] is exact and deterministic:
+
+    1. bucket = min(floor(score * n_bins), n_bins - 1) — map-only;
+    2. per-bucket counts — ONE distributed aggregation down to at most
+       ``n_bins`` rows;
+    3. cumulative fractions over the tiny histogram (a window over
+       ≤ n_bins rows — bounded, never corpus-sized);
+    4. cutoff bucket = first bucket whose cumulative mass exceeds
+       ``drop_below`` (every bucket wholly inside the bottom mass is
+       dropped — at most the requested fraction is ever removed);
+    5. broadcast the one-row cutoff back and filter.
+
+    Unlike ``percentile_approx``, every step is integer counting plus
+    one double multiply, so the result is bit-reproducible across
+    engines (hash-checkable against the DuckDB oracle) while the plan
+    stays shuffle-light: no SinglePartition exchange over corpus-sized
+    data anywhere. This is the production form of the dynamic gate at
+    billions of documents; :func:`quality_percentile_filter` is its
+    exact-rank small-scale twin. Dynamic counterpart of the fixed
+    quality gates at reference utils/data_quality.py:36-95."""
+    from pyspark.sql import Window
+
+    scored = quality_score(docs).select("doc_id", "quality_score")
+    bucket = F.least(
+        F.floor(F.col("quality_score") * n_bins), F.lit(n_bins - 1)
+    ).cast("int")
+    bucketed = scored.withColumn("bucket", bucket)
+    hist = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    cutoff = cum.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("cum_n").cast("double")
+                    <= F.lit(drop_below) * F.col("total_n"),
+                    F.col("bucket") + 1,
+                )
+            ),
+            F.lit(0),
+        ).alias("cutoff_bucket")
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("bucket") >= F.col("cutoff_bucket"))
+        .select("doc_id", "quality_score", "bucket", "cutoff_bucket")
     )

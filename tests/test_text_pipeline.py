@@ -152,16 +152,24 @@ def test_chunking_properties(spark, shape):
 @_slow
 @given(_doc_shapes, st.integers(min_value=8, max_value=512))
 def test_packing_properties(spark, shape, budget):
+    import pytest
+
     n_tok, chunk_size, stride = shape
     doc = " ".join(f"t{i}" for i in range(n_tok))
     chunks = text_ops.chunk_documents(
         _docs(spark, [(1, doc)]), chunk_size=chunk_size, stride=stride
     )
+    if budget < chunk_size:
+        # sub-chunk budgets can never honor the at-most-budget
+        # guarantee -> rejected up front
+        with pytest.raises(ValueError, match="budget >= chunk_size"):
+            text_ops.pack_chunks(chunks, budget=budget, chunk_size=chunk_size)
+        return
     packed = sorted(
         text_ops.pack_chunks(chunks, budget=budget, chunk_size=chunk_size).collect(),
         key=lambda r: r.chunk_idx,
     )
-    per_pack = max(budget // chunk_size, 1)
+    per_pack = budget // chunk_size
     run = 0
     prev_pack = 0
     totals: dict[int, int] = {}
@@ -172,9 +180,8 @@ def test_packing_properties(spark, shape, budget):
         assert r.pack_id >= prev_pack  # monotone non-decreasing
         prev_pack = r.pack_id
         totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_chunk_tokens
-    if budget >= chunk_size:
-        # capacity guarantee: no pack exceeds the token budget
-        assert all(t <= budget for t in totals.values())
+    # capacity guarantee: no pack exceeds the token budget, ALWAYS
+    assert all(t <= budget for t in totals.values())
 
 
 def test_token_rarity_separates_common_from_rare(spark):
@@ -256,3 +263,74 @@ def test_quality_percentile_filter_drops_exact_fraction(spark):
         r.quality_score for r in text_ops.quality_score(docs).collect()
     )
     assert kept_scores == all_scores[5:]  # exactly the worst 5 dropped
+
+
+def test_quality_histogram_cutoff_matches_percentile_on_separated_scores(spark):
+    # identical text (ttr/short ratio constant) with n_chars stepping by
+    # 50 -> scores 0.4 + 0.04*i, 40 histogram bins apart: the histogram
+    # cutoff and the exact percent_rank twin must agree exactly
+    rows = [(i, "a b c", i * 50) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    hist = text_ops.quality_histogram_cutoff_filter(docs, drop_below=0.25).collect()
+    pct = text_ops.quality_percentile_filter(docs, drop_below=0.25).collect()
+    assert {r.doc_id for r in hist} == {r.doc_id for r in pct} == set(range(2, 8))
+    # every survivor sits at or above the broadcast cutoff bucket
+    assert all(r.bucket >= r.cutoff_bucket for r in hist)
+
+
+def test_quality_histogram_cutoff_is_conservative_and_order_consistent(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 2)), (i + 2) * 3) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    kept = text_ops.quality_histogram_cutoff_filter(docs, drop_below=0.25).collect()
+    # drops AT MOST the requested fraction (whole buckets only)
+    assert 15 <= len(kept) <= 20
+    all_scores = {
+        r.doc_id: r.quality_score for r in text_ops.quality_score(docs).collect()
+    }
+    dropped = set(all_scores) - {r.doc_id for r in kept}
+    if dropped:  # order consistency: no kept doc scores below a dropped one
+        assert min(r.quality_score for r in kept) >= max(
+            all_scores[d] for d in dropped
+        )
+
+
+def test_pack_chunks_rejects_sub_chunk_budget(spark):
+    import pytest
+
+    chunks = text_ops.chunk_documents(
+        _docs(spark, [(1, "a b c d e")]), chunk_size=4, stride=4
+    )
+    with pytest.raises(ValueError, match="budget >= chunk_size"):
+        text_ops.pack_chunks(chunks, budget=3, chunk_size=4)
+
+
+def test_negative_samples_rejects_degenerate_keyspace(spark):
+    import pytest
+
+    from distributed_mobility_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame([(0,)], "vec_id long")
+    for bad in (1, 0, -3):
+        with pytest.raises(ValueError, match="n_keys >= 2"):
+            sampling.negative_samples(df, "vec_id", n_keys=bad)
+
+
+def test_source_mixing_weights_dangling_target_and_empty_source(spark):
+    from distributed_mobility_data_pipeline_spark.operators import sampling
+
+    rows = [(i, "tok tok tok", "seen") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.source: r
+        for r in sampling.source_mixing_weights(
+            docs, {"seen": 0.6, "ghost": 0.4}
+        ).collect()
+    }
+    # a target source with zero documents still emits a visible row...
+    assert set(out) == {"seen", "ghost"}
+    ghost = out["ghost"]
+    assert ghost.n_docs == 0 and ghost.n_tokens == 0
+    assert ghost.actual_share == 0.0 and ghost.target_share == 0.4
+    # ...and its weight is null, never Infinity
+    assert ghost.sampling_weight is None
+    assert out["seen"].sampling_weight is not None
