@@ -580,9 +580,9 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         # end-to-end corpus prep (plans/corpus.py): exact dedup -> LSH
         # near-dup removal -> quality/repetition/length gates -> PII scrub
-        # -> chunk -> pack. Rows-only: the LSH stage is the genuinely
-        # non-SQL-expressible composition; each component op has its own
-        # oracle-checked query.
+        # -> chunk -> pack. Every stage is deterministic (affine-perm
+        # minhash, fixed thresholds), so the whole composition has a
+        # DuckDB CTE oracle mirroring the six stages (hash-checked).
         "pipeline_corpus_prep": lambda s, d: corpus_plan.prepare_training_corpus(
             _t(s, d, "documents")
         )["packed"],
@@ -2259,6 +2259,128 @@ def _all_oracle_sql() -> dict[str, str]:
                    COALESCE(jaccard, 0.0) AS jaccard,
                    CAST(COALESCE(jaccard, 0.0) >= 0.5 AS INT) AS is_dup
             FROM cand LEFT JOIN jac ON cand.doc_a = jac.doc_a AND cand.doc_b = jac.doc_b
+        """,
+        # Six-stage corpus-prep composition, each CTE mirroring one stage
+        # of plans/corpus.py:prepare_training_corpus (exact dedup -> LSH
+        # near-dup removal -> quality/repetition/length gates -> PII
+        # scrub -> chunk -> pack). Deterministic end-to-end: the LSH
+        # stage uses the same md5-prefix base hash + affine permutation
+        # constants as the Spark side.
+        "pipeline_corpus_prep": """
+            WITH norm AS (
+              SELECT doc_id, text, n_chars,
+                     regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS ntext
+              FROM documents
+            ),
+            surv1 AS (  -- stage 1: exact dedup, lowest doc_id survives
+              SELECT doc_id, text, n_chars, ntext FROM (
+                SELECT *, row_number() OVER (PARTITION BY ntext
+                                             ORDER BY doc_id) AS rn
+                FROM norm) WHERE rn = 1
+            ),
+            toks AS (SELECT doc_id, string_split(ntext, ' ') AS t FROM surv1),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(t) >= 3
+                       THEN list_transform(range(len(t) - 2),
+                                           i -> array_to_string(t[i+1:i+3], ' '))
+                       ELSE [array_to_string(t, ' ')] END)) AS shingle
+              FROM toks
+            ),
+            sig AS (
+              SELECT doc_id,
+                   """ + _MH_COLS + """
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     sha256(mh_0::VARCHAR || '|' || mh_1::VARCHAR || '|' || mh_2::VARCHAR || '|' || mh_3::VARCHAR) AS bhash FROM sig
+              UNION ALL
+              SELECT doc_id, 1,
+                     sha256(mh_4::VARCHAR || '|' || mh_5::VARCHAR || '|' || mh_6::VARCHAR || '|' || mh_7::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 2,
+                     sha256(mh_8::VARCHAR || '|' || mh_9::VARCHAR || '|' || mh_10::VARCHAR || '|' || mh_11::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 3,
+                     sha256(mh_12::VARCHAR || '|' || mh_13::VARCHAR || '|' || mh_14::VARCHAR || '|' || mh_15::VARCHAR) FROM sig
+            ),
+            cand AS (  -- stage 2: LSH band-collision candidates
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bhash = b.bhash
+               AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            losers AS (  -- verified near-dups: higher doc_id drops
+              SELECT DISTINCT cand.doc_b AS doc_id
+              FROM cand
+              LEFT JOIN common ON cand.doc_a = common.doc_a
+                              AND cand.doc_b = common.doc_b
+              JOIN sizes sa ON sa.doc_id = cand.doc_a
+              JOIN sizes sb ON sb.doc_id = cand.doc_b
+              WHERE CAST(COALESCE(n_common, 0) AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - COALESCE(n_common, 0)) >= 0.5
+            ),
+            surv2 AS (
+              SELECT doc_id, text, n_chars FROM surv1 s
+              WHERE NOT EXISTS (SELECT 1 FROM losers l
+                                WHERE l.doc_id = s.doc_id)
+            ),
+            q AS (  -- stage 3: quality/repetition/length gates
+              SELECT doc_id, text,
+                     len(wt) AS n_tokens,
+                     0.4 * (CAST(len(list_distinct(wt)) AS DOUBLE) / len(wt))
+                     + 0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                     + 0.2 * (1.0 - CAST(len(list_filter(wt,
+                           x -> length(x) <= 2)) AS DOUBLE) / len(wt))
+                       AS quality_score,
+                     CASE WHEN len(wt) >= 2
+                       THEN list_transform(range(len(wt) - 1),
+                                           i -> array_to_string(wt[i+1:i+2], ' '))
+                       ELSE [array_to_string(wt, ' ')] END AS grams
+              FROM (SELECT doc_id, text, n_chars,
+                           string_split(trim(text), ' ') AS wt
+                    FROM surv2)
+            ),
+            filt AS (
+              SELECT doc_id, text FROM q
+              WHERE n_tokens >= 5 AND quality_score >= 0.5
+                AND CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                    / len(grams) <= 0.3
+            ),
+            clean AS (  -- stage 4: PII scrub
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
+              FROM filt
+            ),
+            ct AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM clean),
+            c AS (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t), 48)) AS start
+                  FROM ct),
+            ch AS (  -- stage 5: chunk (size 64, stride 48)
+              SELECT doc_id,
+                     CAST((start - 1) // 48 AS INT) AS chunk_idx,
+                     CAST(least(64, len(t) - start + 1) AS INT)
+                       AS n_chunk_tokens
+              FROM c)
+            -- stage 6: pack (budget 256 = 4 chunks per pack)
+            SELECT doc_id, chunk_idx, n_chunk_tokens,
+                   CAST(sum(n_chunk_tokens) OVER w AS BIGINT) AS cum_tokens,
+                   CAST(chunk_idx // 4 AS INT) AS pack_id
+            FROM ch
+            WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "dedup_docs_simhash": """
             WITH base AS (
