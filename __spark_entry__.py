@@ -109,6 +109,45 @@ def _quality_gate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def _importance_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing end-to-end: per-source sampling weights
+    (target/actual share, clipped to [0,1]) applied as a deterministic
+    hash-threshold sample — the downsampling step that enforces a
+    prescribed domain mixture."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = sample_ops.source_mixing_weights(docs, _MIX_TARGETS).select(
+        "source",
+        F.least(
+            F.coalesce(F.col("sampling_weight"), F.lit(0.0)), F.lit(1.0)
+        ).alias("keep_weight"),
+    )
+    weighted = docs.join(F.broadcast(weights), "source")
+    return sample_ops.importance_weighted_sample(
+        weighted, "doc_id", "keep_weight"
+    ).select("doc_id", "source", "keep_weight")
+
+
+def _scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type from the events stream;
+    timestamps formatted to strings for cross-engine hash parity."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    hist = win_ops.scd2_history(
+        ev, "user_id", "event_type", "ts", tiebreak=["event_id"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return hist.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
 def _contaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-copies of the first 50 docs (one token dropped,
     doc_id + 500000) — a corpus with KNOWN benchmark contamination so
@@ -184,70 +223,26 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-4 rotation (driver caps its check at the first 50 queries() keys;
+# Round-5 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations):
-# 1) every ts-consuming query (stream_* batch twins, asof/range joins,
-#    clean_events_silver, json_*) — front-loaded to driver-prove the
-#    round-4 timestamp-encoding fix (stream_sessionize's r02 green was
-#    stale: it errored on the µs-encoded driver data until this round),
-# 2) the 18 queries whose latest driver check is r01 (oldest greens),
-# 3) oldest r02 greens as regression re-confirmations.
+# 1) new/changed this round: text_quality_cutoff (new scale-safe gate),
+#    pipeline_corpus_prep (composed oracle added — flips rows-only to
+#    hash-check), sample_mixing_weights (full-outer targets + null weight),
+# 2) the 37 queries whose latest driver green is r02 (oldest band —
+#    staleness hides breakage; tools/rotate_driver_order.py orders these),
+# 3) oldest r03 greens fill the remaining slots.
 _DRIVER_FIRST: list[str] = [
-    # band 1 — timestamp consumers (prove the encoding fix under the oracle)
-    "stream_sessionize",
-    "stream_tumbling_hourly",
-    "stream_sliding_counts",
-    "stream_dedup",
-    "stream_stateful_counts",
-    "join_asof_orders_events",
-    "join_range_bucketed",
-    "clean_events_silver",
-    "json_from_json_struct",
-    "json_extract_props",
-    "json_props_agg",
-    # band 1b — new round-4 operators (never driver-checked)
-    "text_chunk_documents",
-    "text_redact_pii",
-    "text_contamination",
-    "text_repetition_stats",
-    "text_pack_chunks",
-    "sample_mixing_weights",
+    # band 1 — new/changed in round 5
+    "text_quality_cutoff",
     "pipeline_corpus_prep",
-    "sim_quantize_embeddings",
-    "stream_corpus_dedup",
-    "text_token_rarity",
-    "text_tfidf_top_terms",
-    "quality_gate_quarantine",
-    "dedup_corpus_diff",
-    "scalar_morton_key",
-    "sample_fixed_k_per_source",
-    "sample_negative_pairs",
-    "text_quality_percentile",
-    # band 2 — latest check is r01
-    "win_rolling_range_days",
-    "win_running_total",
-    "win_rank_customers",
-    "win_churn_label",
-    "quality_null_report",
-    "quality_full_report",
-    "quality_negative_report",
-    "quality_freshness",
-    "quality_volume_check",
-    "metrics_regression",
-    "drift_psi_fixed_bins",
-    "drift_psi_quantile_bins",
-    "text_doc_stats",
-    "text_token_frequencies",
-    "text_language_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_token_count_bpe",
-    # band 3 — oldest r02 greens (fills the 50-slot cap)
-    "dedup_docs_exact",
-    "dedup_docs_jaccard_pairs",
-    "dedup_docs_minhash_sig",
-    "dedup_docs_minhash_lsh",
+    "sample_mixing_weights",
+    "text_unigram_logprob",
+    "text_bigram_pmi",
+    "text_vocab_coverage",
+    "sample_importance_weighted",
+    "win_scd2_history",
+    # band 2 — latest driver green is r02
     "dedup_docs_clusters",
     "dedup_docs_clusters_jaccard",
     "dedup_docs_simhash",
@@ -269,6 +264,28 @@ _DRIVER_FIRST: list[str] = [
     "agg_dormant_customers",
     "agg_nation_trade_volume",
     "agg_market_share",
+    "agg_top_revenue_suppliers",
+    "agg_brand_promo_revenue",
+    "agg_sole_return_suppliers",
+    "agg_important_part_values",
+    "agg_unpivot_measures",
+    "agg_grouping_sets",
+    "sample_hash_docs",
+    "sample_hash_split_train",
+    "sample_mix_sources",
+    "scale_salted_count",
+    "agg_small_quantity_orders",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "win_distribution_functions",
+    "agg_exact_quantiles",
+    # band 3 — oldest r03 greens (fills the 50-slot cap)
+    "agg_hourly_demand",
+    "agg_revenue_daily",
+    "agg_driver_daily_summary",
+    "agg_pricing_summary",
+    "agg_supply_demand_hourly",
 ]
 
 
@@ -610,6 +627,18 @@ def _all_queries() -> dict[str, QueryFn]:
         "text_quality_cutoff": lambda s, d: text_ops.quality_histogram_cutoff_filter(
             _t(s, d, "documents"), drop_below=0.1, n_bins=1000
         ),
+        # round-5 corpus-statistics family
+        "text_unigram_logprob": lambda s, d: text_ops.unigram_logprob(
+            _t(s, d, "documents")
+        ),
+        "text_bigram_pmi": lambda s, d: text_ops.bigram_pmi(
+            _t(s, d, "documents"), min_count=5
+        ),
+        "text_vocab_coverage": lambda s, d: text_ops.vocab_coverage(
+            _t(s, d, "documents"), vocab_size=100
+        ),
+        "sample_importance_weighted": lambda s, d: _importance_weighted_docs(s, d),
+        "win_scd2_history": lambda s, d: _scd2_user_status(s, d),
         # contrastive negatives: k hashed partners per anchor (vec_ids
         # are contiguous 0..n-1, so mod-n draws are always valid ids)
         "sample_negative_pairs": lambda s, d: sample_ops.negative_samples(
@@ -1797,6 +1826,116 @@ def _all_oracle_sql() -> dict[str, str]:
                     FROM cum)
             SELECT b.doc_id, b.quality_score, b.bucket, cut.cutoff_bucket
             FROM b CROSS JOIN cut WHERE b.bucket >= cut.cutoff_bucket
+        """,
+        "text_unigram_logprob": """
+            WITH tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id,
+                           unnest(string_split(trim(text), ' ')) AS token
+                    FROM documents)
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c_tok
+                    FROM tf GROUP BY 1),
+            g AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n_total FROM tot)
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(sum(CAST(tf * ln(CAST(c_tok AS DOUBLE) / n_total)
+                        AS DECIMAL(28,8))) AS DOUBLE) AS sum_logprob,
+                   CAST(sum(CAST(tf * ln(CAST(c_tok AS DOUBLE) / n_total)
+                        AS DECIMAL(28,8))) AS DOUBLE)
+                     / CAST(sum(tf) AS BIGINT) AS mean_token_logprob
+            FROM tf JOIN tot USING (token) CROSS JOIN g
+            GROUP BY doc_id, g.n_total
+        """,
+        "text_bigram_pmi": """
+            WITH t AS (SELECT string_split(trim(text), ' ') AS toks
+                       FROM documents),
+            p AS (SELECT unnest(list_transform(range(len(toks) - 1),
+                           i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2])))
+                           AS pr
+                  FROM t WHERE len(toks) >= 2),
+            bi AS (SELECT pr.w1 AS w1, pr.w2 AS w2,
+                          CAST(count(*) AS BIGINT) AS c_xy
+                   FROM p GROUP BY 1, 2),
+            uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c_tok
+                    FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+                          FROM documents)
+                    GROUP BY 1),
+            nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM bi),
+            nu AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n_unigrams FROM uni)
+            SELECT w1, w2, c_xy,
+                   u1.c_tok AS c_1, u2.c_tok AS c_2,
+                   CAST(CAST(ln((CAST(c_xy AS DOUBLE) / n_bigrams)
+                     / ((CAST(u1.c_tok AS DOUBLE) / n_unigrams)
+                        * (CAST(u2.c_tok AS DOUBLE) / n_unigrams)))
+                     AS DECIMAL(28,8)) AS DOUBLE) AS pmi
+            FROM bi
+            JOIN uni u1 ON u1.token = bi.w1
+            JOIN uni u2 ON u2.token = bi.w2
+            CROSS JOIN nb CROSS JOIN nu
+            WHERE c_xy >= 5
+        """,
+        "text_vocab_coverage": """
+            WITH uni AS (SELECT token, CAST(count(*) AS BIGINT)
+                           AS n_occurrences
+                         FROM (SELECT unnest(string_split(trim(text), ' '))
+                                 AS token FROM documents)
+                         GROUP BY 1),
+            g AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS n_total
+                  FROM uni),
+            top AS (SELECT token, n_occurrences FROM uni
+                    ORDER BY n_occurrences DESC, token LIMIT 100)
+            SELECT CAST(row_number() OVER o AS INT) AS vocab_id,
+                   token, n_occurrences,
+                   CAST(sum(n_occurrences) OVER c AS BIGINT)
+                     AS cum_occurrences,
+                   CAST(sum(n_occurrences) OVER c AS DOUBLE) / n_total
+                     AS cum_coverage
+            FROM top CROSS JOIN g
+            WINDOW o AS (ORDER BY n_occurrences DESC, token),
+                   c AS (ORDER BY n_occurrences DESC, token
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "sample_importance_weighted": """
+            WITH tc AS (SELECT source,
+                               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+                        FROM documents GROUP BY 1),
+            tot AS (SELECT sum(n_tokens) AS _total FROM tc),
+            tgt AS (SELECT v.source,
+                           CAST(v.target_share AS DOUBLE) AS target_share
+                    FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+                                 ('src2', 0.2), ('src3', 0.1))
+                    v(source, target_share)),
+            w AS (SELECT tc.source,
+                         least(coalesce(tgt.target_share, 0.0)
+                               / (CAST(tc.n_tokens AS DOUBLE) / tot._total),
+                               1.0) AS keep_weight
+                  FROM tc CROSS JOIN tot LEFT JOIN tgt USING (source))
+            SELECT d.doc_id, d.source, w.keep_weight
+            FROM documents d JOIN w USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'iw'),
+                        1, 8)) AS BIGINT) % 1000000
+                  < w.keep_weight * 1000000
+        """,
+        "win_scd2_history": """
+            WITH m AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER w AS prev,
+                     row_number() OVER w AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            ch AS (SELECT user_id, event_type, ts, event_id FROM m
+                   WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+            SELECT user_id, event_type,
+                   CAST(row_number() OVER w2 AS INT) AS version,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+                   strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S.%f')
+                     AS valid_to,
+                   CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
+            FROM ch
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "sample_negative_pairs": """
             WITH n AS (SELECT count(*) AS n_keys FROM embeddings),

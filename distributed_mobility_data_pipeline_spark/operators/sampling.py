@@ -218,3 +218,23 @@ def negative_samples(
             F.pmod(F.col("negative_id") + 1, F.lit(n_keys)),
         ).otherwise(F.col("negative_id")),
     )
+
+
+def importance_weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, salt: str = "iw"
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row with probability
+    equal to its per-row weight in [0, 1] — the mixture-rebalancing
+    primitive (downsample over-represented sources to their target
+    share). Membership is hash-thresholding, NOT an RNG draw: a row is
+    kept iff bucket(md5(key||salt)) < weight * 1e6, so the selected set
+    is a pure function of (key, weight) — identical on any cluster
+    layout, any parallelism, any engine (the DuckDB oracle evaluates the
+    same rule). Map-only: zero shuffles, zero RNG state.
+
+    Weights > 1 keep the row always (hash-thresholding cannot
+    upsample; pair with explode-based repetition for weights > 1)."""
+    return df.filter(
+        _key_bucket(F.col(key_col), salt)
+        < F.col(weight_col).cast("double") * _BUCKETS
+    )

@@ -503,3 +503,144 @@ def quality_histogram_cutoff_filter(
         .filter(F.col("bucket") >= F.col("cutoff_bucket"))
         .select("doc_id", "quality_score", "bucket", "cutoff_bucket")
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Unigram-LM quality score (the CCNet-family filter): per-document
+    mean token log-probability under the corpus's OWN unigram
+    distribution. Gibberish/OCR noise is full of improbable tokens and
+    scores far below the corpus mode; boilerplate scores far above it —
+    both tails are drop candidates.
+
+    Corpus shape mirrors ``token_rarity``: the exploded token stream is
+    aggregated ONCE into the per-(doc, token) tf table; corpus token
+    totals and the grand total both derive from tf, never from a second
+    pass over raw text. The per-doc sum accumulates in decimal(28,8)
+    (order-insensitive, the functions/exact.py idiom) so the distributed
+    sum is bit-identical to the single-threaded oracle."""
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = tf.groupBy("token").agg(F.sum("tf").alias("c_tok"))
+    grand = totals.agg(F.sum("c_tok").alias("n_total"))
+    term = (
+        F.col("tf").cast("double")
+        * F.log(F.col("c_tok").cast("double") / F.col("n_total"))
+    ).cast("decimal(28,8)")
+    return (
+        tf.join(totals, "token")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(term).cast("double").alias("sum_logprob"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_logprob",
+            (F.col("sum_logprob") / F.col("n_tokens")).alias(
+                "mean_token_logprob"
+            ),
+        )
+    )
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    token pairs, PMI = ln(p(xy) / (p(x)·p(y))) — the phrase-mining
+    signal (multi-word expressions score high; chance co-occurrences
+    near zero). Corpus-wide bigram and unigram counts are two
+    aggregations of the same exploded streams; the two scalar totals
+    broadcast back as one-row literals. The integer ``min_count`` floor
+    picks the output set deterministically; PMI itself is one ln per
+    surviving bigram, rounded through decimal(28,8) for cross-engine
+    hash parity."""
+    toks = docs.select("doc_id", _tokens().alias("_toks"))
+    t = F.col("_toks")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bi = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    uni = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    n_bi = bi.agg(F.sum("c_xy").alias("n_bigrams"))
+    n_uni = uni.agg(F.sum("c_tok").alias("n_unigrams"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.col("n_bigrams"))
+        / (
+            (F.col("c_1").cast("double") / F.col("n_unigrams"))
+            * (F.col("c_2").cast("double") / F.col("n_unigrams"))
+        )
+    )
+    return (
+        bi.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("token").alias("w1"), F.col("c_tok").alias("c_1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("c_tok").alias("c_2")), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_1",
+            "c_2",
+            pmi.cast("decimal(28,8)").cast("double").alias("pmi"),
+        )
+    )
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """Vocabulary builder: the top-``vocab_size`` tokens by corpus
+    frequency (ties broken by token for determinism) with cumulative
+    corpus-coverage share — the table that answers "how big must the
+    vocab be to cover 95% of tokens?" and seeds tokenizer training.
+
+    Scale shape: the global top-K compiles to TakeOrderedAndProject
+    (per-partition top-K, then a K-row merge — never a global sort);
+    ranking and the running total are windows over the K-row result
+    (bounded), and the grand total broadcasts back as a one-row
+    literal."""
+    from pyspark.sql import Window
+
+    uni = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    grand = uni.agg(F.sum("n_occurrences").alias("n_total"))
+    top = uni.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(vocab_size)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(grand))
+        .select(
+            F.row_number().over(w).alias("vocab_id"),
+            "token",
+            "n_occurrences",
+            F.sum("n_occurrences").over(w_cum).alias("cum_occurrences"),
+            (
+                F.sum("n_occurrences").over(w_cum).cast("double")
+                / F.col("n_total")
+            ).alias("cum_coverage"),
+        )
+    )

@@ -184,3 +184,46 @@ def churn_label(
             ).otherwise(0),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse an event
+    stream into versioned attribute intervals per key — one row per
+    CHANGE of ``attr_col``, with ``valid_from``/``valid_to`` bounds,
+    ``version`` number, and an ``is_current`` flag on the open interval.
+    The warehouse primitive that turns a mutable dimension's change feed
+    into an auditable history (the reference's dimension tables are
+    type-1 overwrites; this is their history-keeping upgrade).
+
+    Every window partitions by ``key_col`` — the work distributes per
+    entity with ONE shuffle on the key, no global ordering anywhere.
+    ``tiebreak`` columns make lag/lead deterministic when a key has
+    several events on one timestamp."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(attr_col), 1).over(w)
+    # change points: first event per key, or attr differs from previous
+    # (null-safe: NULL -> value and value -> NULL both count as changes)
+    changed = prev.isNull() & F.lag(F.lit(1), 1).over(w).isNull() | ~(
+        F.col(attr_col).eqNullSafe(prev)
+    )
+    changes = df.withColumn("_chg", changed.cast("int")).filter(
+        F.col("_chg") == 1
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changes.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.row_number().over(w2).alias("version"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col), 1).over(w2).alias("valid_to"),
+        F.lead(F.col(ts_col), 1).over(w2).isNull().cast("int").alias(
+            "is_current"
+        ),
+    )

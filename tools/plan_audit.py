@@ -57,6 +57,12 @@ AUDITS = {
     "sample_negative_pairs": "negative sampling is map+explode only: zero exchanges, no RNG state",
     "text_quality_percentile": "global percent_rank over the narrow scored projection, not full documents (small-scale oracle twin of text_quality_cutoff)",
     "text_quality_cutoff": "scale-safe dynamic gate: corpus map-bucketed, one agg to <=1000 histogram rows; the only SinglePartition exchange feeds the bounded histogram window, never corpus rows; cutoff broadcast back",
+    "text_unigram_logprob": "token stream exploded+aggregated once into tf; totals derive from tf; grand total broadcasts back as a one-row literal; decimal-accumulated sum",
+    "text_bigram_pmi": "bigram and unigram counts from two explode passes; integer min_count picks the set; the two scalar totals broadcast as one-row literals",
+    "text_vocab_coverage": "global top-K compiles to TakeOrderedAndProject; rank/running-total windows only over the bounded K-row result",
+    "sample_importance_weighted": "per-source weights from one aggregate, broadcast to the corpus; membership is a map-only hash threshold",
+    "win_scd2_history": "both windows partition by the entity key: one shuffle on user_id, no global ordering",
+    "pipeline_corpus_prep": "six-stage composition in one lazy plan; LSH banding equi-joins, map-only scrub/chunk, per-doc packing window",
 }
 
 KEEP = re.compile(

@@ -26,7 +26,9 @@ import __spark_entry__ as entrymod
 
 def main() -> None:
     green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[-1].split(".")[0])
         with open(path) as f:
             art = json.load(f)
         for name, row in art.items():
@@ -36,21 +38,29 @@ def main() -> None:
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             ):
                 green.add(name)
+                latest[name] = rnd
         print(f"# {path}: {len(art)} rows", file=sys.stderr)
 
     qs = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     unchecked_oracle = [q for q in qs if q not in green and q in oracles]
     unchecked_rows = [q for q in qs if q not in green and q not in oracles]
-    checked = [q for q in qs if q in green]
+    # staleness hides breakage: after never-checked queries, re-confirm
+    # the greens whose latest driver row is OLDEST (ties: queries() order)
+    checked = sorted((q for q in qs if q in green), key=lambda q: latest[q])
+    from collections import Counter
+
     print(
         f"# unchecked w/ oracle: {len(unchecked_oracle)}, "
-        f"unchecked rows-only: {len(unchecked_rows)}, green: {len(checked)}",
+        f"unchecked rows-only: {len(unchecked_rows)}, green: {len(checked)}; "
+        f"latest-round histogram: {dict(sorted(Counter(latest.values()).items()))}",
         file=sys.stderr,
     )
     print("_DRIVER_FIRST: list[str] = [")
     for name in unchecked_oracle + unchecked_rows:
         print(f'    "{name}",')
+    for name in checked[: max(0, 50 - len(unchecked_oracle) - len(unchecked_rows))]:
+        print(f'    "{name}",  # latest green r{latest[name]:02d}')
     print("]")
 
 
