@@ -35,6 +35,7 @@ from distributed_mobility_data_pipeline_spark.operators import asof as asof_ops
 from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.operators import skew as skew_ops
+from distributed_mobility_data_pipeline_spark.operators import layout as layout_ops
 from distributed_mobility_data_pipeline_spark.plans import corpus as corpus_plan
 from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
 from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
@@ -242,6 +243,10 @@ _DRIVER_FIRST: list[str] = [
     "text_vocab_coverage",
     "sample_importance_weighted",
     "win_scd2_history",
+    "dedup_docs_segments",
+    "scale_skew_report",
+    "agg_incremental_daily_revenue",
+    "scale_partition_plan",
     # band 2 — latest driver green is r02
     "dedup_docs_clusters",
     "dedup_docs_clusters_jaccard",
@@ -280,12 +285,8 @@ _DRIVER_FIRST: list[str] = [
     "scalar_math_functions",
     "win_distribution_functions",
     "agg_exact_quantiles",
-    # band 3 — oldest r03 greens (fills the 50-slot cap)
+    # band 3 — oldest r03 green (fills the 50-slot cap)
     "agg_hourly_demand",
-    "agg_revenue_daily",
-    "agg_driver_daily_summary",
-    "agg_pricing_summary",
-    "agg_supply_demand_hourly",
 ]
 
 
@@ -639,6 +640,35 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "sample_importance_weighted": lambda s, d: _importance_weighted_docs(s, d),
         "win_scd2_history": lambda s, d: _scd2_user_status(s, d),
+        # sub-document boilerplate removal: first block occurrence wins
+        "dedup_docs_segments": lambda s, d: ddllm_ops.segment_dedup(
+            _t(s, d, "documents"), seg_tokens=16
+        ),
+        # heavy-hitter diagnostic that decides salting/AQE before a job
+        "scale_skew_report": lambda s, d: skew_ops.key_skew_report(
+            _t(s, d, "lineitem"), "l_suppkey", top_k=20
+        ),
+        # incremental gold maintenance: two disjoint partial states
+        # merged == one-shot aggregate (the oracle computes one-shot)
+        "agg_incremental_daily_revenue": lambda s, d: (
+            lambda li: agg_ops.finalize_daily_revenue(
+                agg_ops.merge_daily_revenue_states(
+                    agg_ops.daily_revenue_state(
+                        li.filter(F.col("l_orderkey") % 2 == 0)
+                    ),
+                    agg_ops.daily_revenue_state(
+                        li.filter(F.col("l_orderkey") % 2 == 1)
+                    ),
+                )
+            )
+        )(_t(s, d, "lineitem")),
+        # per-partition file-count plan for right-sized writes
+        "scale_partition_plan": lambda s, d: layout_ops.partition_layout_plan(
+            _t(s, d, "documents"),
+            ["source"],
+            F.length("text") + F.lit(64),
+            target_bytes=4096,
+        ),
         # contrastive negatives: k hashed partners per anchor (vec_ids
         # are contiguous 0..n-1, so mod-n draws are always valid ids)
         "sample_negative_pairs": lambda s, d: sample_ops.negative_samples(
@@ -1936,6 +1966,79 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
             FROM ch
             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "dedup_docs_segments": """
+            WITH t AS (SELECT doc_id,
+                              string_split(regexp_replace(lower(trim(text)),
+                                           ' +', ' ', 'g'), ' ') AS toks
+                       FROM documents),
+            s1 AS (SELECT doc_id, toks,
+                          unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT)))
+                            AS i
+                   FROM t),
+            seg AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+                           array_to_string(toks[i*16+1:i*16+16], ' ')
+                             AS seg_text
+                    FROM s1),
+            kept AS (SELECT doc_id, seg_idx, seg_text,
+                            row_number() OVER (PARTITION BY seg_text
+                                               ORDER BY doc_id, seg_idx) AS rn
+                     FROM seg),
+            agg AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_kept,
+                           string_agg(seg_text, ' ' ORDER BY seg_idx)
+                             AS dedup_text
+                    FROM kept WHERE rn = 1 GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+                    FROM seg GROUP BY 1)
+            SELECT tot.doc_id, tot.n_segments,
+                   coalesce(agg.n_kept, 0) AS n_kept_segments,
+                   tot.n_segments - coalesce(agg.n_kept, 0)
+                     AS n_dropped_segments,
+                   coalesce(agg.dedup_text, '') AS dedup_text
+            FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+        """,
+        "scale_skew_report": """
+            WITH c AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS n
+                       FROM lineitem GROUP BY 1),
+            g AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+            top AS (SELECT k, n FROM c ORDER BY n DESC, k LIMIT 20)
+            SELECT CAST(row_number() OVER o AS INT) AS rank,
+                   CAST(k AS VARCHAR) AS key, n,
+                   CAST(n AS DOUBLE) / n_total AS share,
+                   CAST(sum(n) OVER cum AS DOUBLE) / n_total AS cum_share
+            FROM top CROSS JOIN g
+            WINDOW o AS (ORDER BY n DESC, k),
+                   cum AS (ORDER BY n DESC, k
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "agg_incremental_daily_revenue": """
+            SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                            * (CAST(1 AS DECIMAL(18,6))
+                               - CAST(l_discount AS DECIMAL(18,6))))
+                        AS DOUBLE) AS total_revenue,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*) AS avg_quantity,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*) AS avg_discount
+            FROM lineitem GROUP BY 1
+        """,
+        "scale_partition_plan": """
+            WITH p AS (SELECT source,
+                              CAST(count(*) AS BIGINT) AS n_rows,
+                              CAST(sum(length(text) + 64) AS BIGINT)
+                                AS total_bytes
+                       FROM documents GROUP BY 1)
+            SELECT source, n_rows, total_bytes,
+                   greatest(1, CAST(ceil(CAST(total_bytes AS DOUBLE) / 4096)
+                                    AS INT)) AS n_files,
+                   CAST(ceil(CAST(n_rows AS DOUBLE)
+                        / greatest(1, CAST(ceil(CAST(total_bytes AS DOUBLE)
+                                               / 4096) AS INT)))
+                        AS BIGINT) AS rows_per_file
+            FROM p
         """,
         "sample_negative_pairs": """
             WITH n AS (SELECT count(*) AS n_keys FROM embeddings),

@@ -723,3 +723,62 @@ def important_part_values(
             "l_partkey", F.col("value_dec").cast("double").alias("part_value")
         )
     )
+
+
+# --- incremental aggregate maintenance (round-5 extension) -----------------
+#
+# The batch/streaming-unification primitive: keep a PARTIAL-aggregate
+# state table (counts + exact decimal sums — associative, mergeable),
+# fold new data in as it arrives, and derive final measures (avg) only
+# at read time. The merge of two states built from disjoint slices is
+# exactly the state built from their union, so incremental gold tables
+# never drift from a full recompute (oracle-proven: the composed
+# build-increment-merge query hash-matches the one-shot aggregate).
+
+
+def daily_revenue_state(lineitem: DataFrame) -> DataFrame:
+    """Partial-aggregate state per ship date: row count + exact decimal
+    sums (revenue, quantity, discount). Decimal accumulation makes the
+    state associative — merge order can never change a bit."""
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,6)") - dec("l_discount")
+    )
+    return lineitem.groupBy(
+        F.to_date("l_shipdate").cast("string").alias("ship_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(disc_price).alias("sum_revenue_dec"),
+        F.sum(dec("l_quantity")).alias("sum_qty_dec"),
+        F.sum(dec("l_discount")).alias("sum_disc_dec"),
+    )
+
+
+def merge_daily_revenue_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of partial states into one: union + re-sum.
+    Counts and decimal sums combine exactly; nothing non-associative
+    lives in the state."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("ship_date").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_revenue_dec").alias("sum_revenue_dec"),
+        F.sum("sum_qty_dec").alias("sum_qty_dec"),
+        F.sum("sum_disc_dec").alias("sum_disc_dec"),
+    )
+
+
+def finalize_daily_revenue(state: DataFrame) -> DataFrame:
+    """Read-time projection of the state: surface doubles + derived
+    averages (never stored — avg is not mergeable, sum/count is)."""
+    return state.select(
+        "ship_date",
+        "n_rows",
+        F.col("sum_revenue_dec").cast("double").alias("total_revenue"),
+        (F.col("sum_qty_dec").cast("double") / F.col("n_rows")).alias(
+            "avg_quantity"
+        ),
+        (F.col("sum_disc_dec").cast("double") / F.col("n_rows")).alias(
+            "avg_discount"
+        ),
+    )

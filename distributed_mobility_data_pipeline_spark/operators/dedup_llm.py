@@ -466,3 +466,75 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .otherwise(F.lit("changed"))
     )
     return joined.select("doc_id", status.alias("status"))
+
+
+def segment_dedup(docs: DataFrame, seg_tokens: int = 16) -> DataFrame:
+    """Sub-document (segment-level) dedup — the boilerplate-removal
+    pass document-level dedup can't do: headers/footers/navigation
+    repeated across MANY distinct documents survive whole-doc
+    fingerprinting but fall to segment fingerprinting.
+
+    Documents are cut into fixed ``seg_tokens`` token blocks; the FIRST
+    occurrence of each distinct block (by (doc_id, seg_idx), the same
+    canonical lowest-wins rule as keep_first_by_fingerprint) survives,
+    later copies anywhere in the corpus are dropped, and each document
+    is reassembled from its surviving blocks in order.
+
+    Scale shape: block explode is map-only; the only shuffle is the
+    window over block fingerprints (equi-partitioned on the 32-byte
+    hash, same as exact dedup); reassembly is one groupBy(doc_id) with
+    an order-insensitive array_sort — no global ordering anywhere."""
+    tokd = docs.select(
+        "doc_id", F.split(normalize_text(), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    exploded = tokd.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg_text")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col("seg_text"), 256)).orderBy(
+        "doc_id", "seg_idx"
+    )
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    reassembled = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_segments"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("seg_idx"), F.col("seg_text"))
+                        )
+                    ),
+                    lambda s: s.getField("seg_text"),
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+    totals = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments")
+    )
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept_segments", F.lit(0)).alias("n_kept_segments"),
+            (F.col("n_segments") - F.coalesce("n_kept_segments", F.lit(0))).alias(
+                "n_dropped_segments"
+            ),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

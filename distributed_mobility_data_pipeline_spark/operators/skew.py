@@ -58,3 +58,37 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     return partial.groupBy(key).agg(F.sum("_n").alias("n"))
+
+
+def key_skew_report(
+    df: DataFrame, key: str, top_k: int = 20
+) -> DataFrame:
+    """Heavy-hitter diagnostic: the top-``top_k`` keys by row count with
+    each key's share of the table and the running cumulative share — the
+    report that decides whether a join/agg key needs salting or AQE skew
+    handling BEFORE the 100 TB job runs (a key with >1/shuffle-partitions
+    share will straggle its reducer).
+
+    Scale shape: one aggregation to the per-key counts, global top-K via
+    TakeOrderedAndProject (never a full sort), rank/cumulative windows
+    only over the bounded K-row result, grand total broadcast back as a
+    one-row literal."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    top = counts.orderBy(F.col("n").desc(), F.col(key)).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col(key))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            F.col(key).cast("string").alias("key"),
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("share"),
+            (
+                F.sum("n").over(w_cum).cast("double") / F.col("n_total")
+            ).alias("cum_share"),
+        )
+    )

@@ -94,3 +94,78 @@ def test_scd2_history_collapses_runs_and_versions(spark):
     assert by[(1, 3)].attr == "a" and by[(1, 3)].valid_to is None
     assert by[(1, 3)].is_current == 1
     assert by[(2, 1)].is_current == 1
+
+
+def test_segment_dedup_drops_repeated_boilerplate(spark):
+    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
+
+    boiler = " ".join(f"b{i}" for i in range(4))   # 4-token boilerplate
+    rows = [
+        (1, boiler + " " + "u1 u2 u3 u4"),
+        (2, boiler + " " + "v1 v2 v3 v4"),  # same leading block as doc 1
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup_llm.segment_dedup(_docs(spark, rows), seg_tokens=4).collect()
+    }
+    # doc 1 keeps both blocks; doc 2 loses the shared boilerplate block
+    assert out[1].n_segments == 2 and out[1].n_kept_segments == 2
+    assert out[2].n_segments == 2 and out[2].n_kept_segments == 1
+    assert out[2].dedup_text == "v1 v2 v3 v4"
+    assert out[2].n_dropped_segments == 1
+    assert out[3].n_kept_segments == 2  # unique content untouched
+    # surviving text preserves in-document block order
+    assert out[1].dedup_text == boiler + " " + "u1 u2 u3 u4"
+
+
+def test_key_skew_report_orders_and_accumulates(spark):
+    from distributed_mobility_data_pipeline_spark.operators import skew
+
+    rows = [(i, "hot" if i < 70 else f"k{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = sorted(skew.key_skew_report(df, "k", top_k=2).collect(), key=lambda r: r.rank)
+    assert out[0].key == "hot" and out[0].n == 70
+    assert abs(out[0].share - 0.7) < 1e-12
+    assert out[1].cum_share > out[0].cum_share  # cumulative is monotone
+
+
+def test_incremental_state_merge_equals_full_aggregate(spark):
+    from distributed_mobility_data_pipeline_spark.operators import aggregates as agg
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    full = agg.finalize_daily_revenue(agg.daily_revenue_state(li))
+    merged = agg.finalize_daily_revenue(
+        agg.merge_daily_revenue_states(
+            agg.daily_revenue_state(li.filter(F.col("l_orderkey") % 3 == 0)),
+            agg.daily_revenue_state(li.filter(F.col("l_orderkey") % 3 == 1)),
+            agg.daily_revenue_state(li.filter(F.col("l_orderkey") % 3 == 2)),
+        )
+    )
+    a = {r.ship_date: r for r in full.collect()}
+    b = {r.ship_date: r for r in merged.collect()}
+    assert set(a) == set(b)
+    for k in a:  # decimal state merges are EXACT, not approximately equal
+        assert a[k].total_revenue == b[k].total_revenue
+        assert a[k].n_rows == b[k].n_rows
+        assert a[k].avg_quantity == b[k].avg_quantity
+
+
+def test_partition_layout_plan_targets_file_size(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_mobility_data_pipeline_spark.operators import layout
+
+    rows = [(i, "big" if i < 90 else "small", 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, part string, nbytes long")
+    out = {
+        r.part: r
+        for r in layout.partition_layout_plan(
+            df, ["part"], F.col("nbytes"), target_bytes=30_000
+        ).collect()
+    }
+    assert out["big"].total_bytes == 90_000 and out["big"].n_files == 3
+    assert out["big"].rows_per_file == 30
+    assert out["small"].n_files == 1  # floor of one file, never zero

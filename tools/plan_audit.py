@@ -63,6 +63,10 @@ AUDITS = {
     "sample_importance_weighted": "per-source weights from one aggregate, broadcast to the corpus; membership is a map-only hash threshold",
     "win_scd2_history": "both windows partition by the entity key: one shuffle on user_id, no global ordering",
     "pipeline_corpus_prep": "six-stage composition in one lazy plan; LSH banding equi-joins, map-only scrub/chunk, per-doc packing window",
+    "dedup_docs_segments": "segment explode is map-only; one shuffle on the segment fingerprint; reassembly one groupBy(doc_id), order via array_sort not a sort exchange",
+    "scale_skew_report": "per-key counts then TakeOrderedAndProject; rank/cum windows only over the bounded top-K",
+    "agg_incremental_daily_revenue": "two partial states union + re-agg: decimal sums merge exactly, no re-scan of finalized measures",
+    "scale_partition_plan": "one aggregation to partition-key cardinality; file-count arithmetic on the small plan table",
 }
 
 KEEP = re.compile(
