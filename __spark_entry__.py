@@ -177,6 +177,19 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
     return _IVF_CENTROIDS[sf_dir]
 
 
+# PQ codebook cache: same offline-train-once contract as the IVF
+# quantizer — sim_pq_* queries carry zero KMeans on the query path.
+_PQ_CODEBOOKS: dict[str, list] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = sim_ops.fit_pq_codebooks(
+            _t(spark, sf_dir, "embeddings")
+        )
+    return _PQ_CODEBOOKS[sf_dir]
+
+
 # Fixed demand-request batch for the serving query (inputs chosen with
 # one-decimal features so the weighted sum is 2-decimal exact and
 # round(,2) agrees bit-for-bit across engines).
@@ -287,6 +300,11 @@ _DRIVER_FIRST: list[str] = [
     "agg_exact_quantiles",
     # band 3 — oldest r03 green (fills the 50-slot cap)
     "agg_hourly_demand",
+    # past the 50-slot cap: new rows-only PQ queries (recall is guarded
+    # by tests/test_ann_quality.py; the rotation tool front-loads them
+    # next round as never-driver-checked)
+    "sim_pq_encode",
+    "sim_pq_ann",
 ]
 
 
@@ -926,6 +944,17 @@ def _all_queries() -> dict[str, QueryFn]:
         "sim_ivf_ann": lambda s, d: sim_ops.ivf_ann(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4],
             centroids=_ivf_centroids(s, d),
+        ),
+        # PQ: compressed-code similarity (rows-only — codebooks are
+        # k-means artifacts; recall guarded by tests/test_ann_quality.py)
+        "sim_pq_encode": lambda s, d: sim_ops.encode_pq(
+            _t(s, d, "embeddings"), _pq_codebooks(s, d)
+        ).select(
+            "vec_id", "label", F.concat_ws(",", F.col("codes")).alias("codes")
+        ),
+        "sim_pq_ann": lambda s, d: sim_ops.pq_ann(
+            _t(s, d, "embeddings"), [0, 1, 2, 3, 4],
+            codebooks=_pq_codebooks(s, d),
         ),
         # unpivot/melt + explicit grouping sets (relational extras)
         "agg_unpivot_measures": lambda s, d: _t(s, d, "lineitem")

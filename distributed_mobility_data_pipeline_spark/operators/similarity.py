@@ -427,3 +427,151 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         q_sum.alias("q_sum"),
         q_l1.alias("q_l1"),
     )
+
+
+# --- product quantization (round-5 extension) ------------------------------
+#
+# The memory-side scale path for similarity search: IVF prunes WHICH
+# vectors a query scores; PQ shrinks WHAT each scored vector costs —
+# m uint8 codes (m bytes) instead of dim floats. Together they are the
+# standard IVF-PQ layout for billion-vector corpora. Codebooks, like the
+# IVF centroids, are an O(m·k·dim) model artifact trained OFFLINE
+# (driver-side list), so encoding and search are pure column
+# expressions: no shuffle, no Python, no MLlib on the query path.
+
+
+def fit_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train one k-means codebook per subspace (dim/m consecutive
+    components each) offline; returns ``m`` lists of (code, centroid).
+    Run once per corpus — on a sample at scale — and reuse, exactly like
+    fit_ivf_quantizer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(embeddings.select("embedding").first()[0])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    base = embeddings.select(F.col("embedding").cast("array<double>").alias("e"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    books: list[list[tuple[int, list[float]]]] = []
+    for j in range(m):
+        sub = base.select(
+            array_to_vector(F.slice("e", j * d_sub + 1, d_sub)).alias("features")
+        )
+        km = KMeans(
+            k=k, seed=seed + j, maxIter=max_iter,
+            featuresCol="features", predictionCol="code",
+        )
+        model = km.fit(sub)
+        books.append(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        )
+    return books
+
+
+def _pq_sub(e: Column, j: int, d_sub: int) -> Column:
+    return F.slice(e, j * d_sub + 1, d_sub)
+
+
+def encode_pq(
+    embeddings: DataFrame, codebooks: list[list[tuple[int, list[float]]]]
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook indices — the compressed
+    representation a billion-vector index stores. Same shuffle-free
+    argmin-by-array_max expression as assign_ivf_cells, once per
+    subspace; output is (vec_id, codes array<int>) plus a passthrough of
+    the original columns."""
+    e = F.col("embedding").cast("array<double>")
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    codes = []
+    for j, book in enumerate(codebooks):
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(-sum(x * x for x in c) / 2.0)
+                    ).alias("half_cc_neg"),
+                    F.lit(int(code)).alias("code"),
+                    F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
+                )
+                for code, c in book
+            ]
+        )
+        sub = _pq_sub(e, j, d_sub)
+
+        # NB: the lambda must be single-parameter — transform() treats a
+        # two-arg lambda as (element, index), which would rebind a
+        # default-captured subvector to the array index
+        def _score(s, _sub=sub):
+            return F.struct(
+                (_dot(_sub, s["centroid"]) + s["half_cc_neg"]).alias("score"),
+                s["code"].alias("code"),
+            )
+
+        scored = F.transform(cent_lit, lambda s: _score(s))
+        codes.append(F.array_max(scored)["code"])
+    return embeddings.withColumn("codes", F.array(*codes))
+
+
+def pq_ann(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric-distance ANN: queries stay exact, corpus vectors are
+    their PQ codes; approx dot(q, x) = Σ_j dot(q_sub_j, centroid_j[code_j]).
+    The corpus side carries m small ints per row — at scale the scan
+    reads the code columns only, never the float vectors. Broadcast
+    probes × encoded corpus (same shape as cosine_topk), per-query top-k
+    via a partitioned window."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    enc = encode_pq(embeddings, codebooks).select(
+        F.col("vec_id").alias("vid"),
+        F.col("label").alias("c_label"),
+        "codes",
+    )
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    approx = None
+    for j, book in enumerate(codebooks):
+        # literal centroid table for subspace j, indexed by code (+1 for
+        # element_at's 1-based indexing): an O(k·d_sub) lookup constant
+        cent_arr = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for _code, c in sorted(book)
+            ]
+        )
+        term = _dot(
+            _pq_sub(F.col("qe"), j, d_sub),
+            F.element_at(cent_arr, F.element_at("codes", j + 1) + 1),
+        )
+        approx = term if approx is None else approx + term
+    scored = (
+        F.broadcast(q)
+        .crossJoin(enc)
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", "c_label", approx.alias("approx_dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_dot").desc(), F.col("vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "approx_dot", "c_label")
+    )

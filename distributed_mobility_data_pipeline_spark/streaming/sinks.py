@@ -121,3 +121,51 @@ def stream_quality_gate(
         .outputMode("append")
         .start()
     )
+
+
+def stream_drift_monitor(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    edges: list[float],
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming drift monitor: per micro-batch, compute the fixed-bin
+    PSI of ``col`` against a STATIC baseline distribution and append a
+    one-row (batch_id, psi, n_buckets, n_rows) record to ``out_path`` —
+    the continuously-updated drift dashboard feed (streaming counterpart
+    of the batch PSI at operators/drift.py; reference
+    model_monitoring.py's score-drift check run per arrival instead of
+    per job).
+
+    The baseline's bucket distribution is precomputed ONCE here (it is
+    static), so each micro-batch only buckets its own rows: per batch
+    the work is one narrow aggregation to len(edges)+1 bucket counts.
+    Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from distributed_mobility_data_pipeline_spark.operators import drift
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        psi = drift.psi_fixed_bins(baseline, batch_df, col, edges)
+        (
+            psi.select(
+                F.lit(batch_id).alias("batch_id"),
+                "psi",
+                "n_buckets",
+                F.lit(n).alias("n_rows"),
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

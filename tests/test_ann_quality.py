@@ -77,3 +77,37 @@ def test_assign_ivf_cells_is_euclidean_argmin(clustered):
         v = np.array(r.embedding, dtype=np.float64)
         best = min(cent_map, key=lambda k: float(np.sum((v - cent_map[k]) ** 2)))
         assert r.cell == best, f"vec {r.vec_id}: got {r.cell}, want {best}"
+
+
+def test_pq_encode_is_subspace_argmin(clustered):
+    books = similarity.fit_pq_codebooks(clustered, m=4, k=3)
+    assert len(books) == 4 and all(len(b) == 3 for b in books)
+    rows = similarity.encode_pq(clustered, books).collect()
+    for r in rows[:20]:
+        v = np.array(r.embedding, dtype=np.float64)
+        for j, book in enumerate(books):
+            sub = v[j * 4 : (j + 1) * 4]
+            best = min(
+                book, key=lambda kc: float(np.sum((sub - np.array(kc[1])) ** 2))
+            )[0]
+            assert r.codes[j] == best, f"vec {r.vec_id} sub {j}"
+
+
+def test_pq_ann_recall_at_1_on_separated_clusters(clustered):
+    # well-separated clusters: even 3-code-per-subspace compression must
+    # keep the top-1 neighbor inside the right cluster
+    books = similarity.fit_pq_codebooks(clustered, m=4, k=3)
+    out = similarity.pq_ann(clustered, [0, 30, 60], books, k=1).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.c_label == r.qid // 30
+
+
+def test_pq_encode_layout_independent(clustered):
+    books = similarity.fit_pq_codebooks(clustered, m=4, k=3)
+    a = {r.vec_id: list(r.codes) for r in similarity.encode_pq(clustered, books).collect()}
+    b = {
+        r.vec_id: list(r.codes)
+        for r in similarity.encode_pq(clustered.repartition(7), books).collect()
+    }
+    assert a == b

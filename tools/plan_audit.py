@@ -67,6 +67,8 @@ AUDITS = {
     "scale_skew_report": "per-key counts then TakeOrderedAndProject; rank/cum windows only over the bounded top-K",
     "agg_incremental_daily_revenue": "two partial states union + re-agg: decimal sums merge exactly, no re-scan of finalized measures",
     "scale_partition_plan": "one aggregation to partition-key cardinality; file-count arithmetic on the small plan table",
+    "sim_pq_encode": "PQ encoding is a literal-codebook expression per subspace: map-only, no shuffle, no MLlib on the query path",
+    "sim_pq_ann": "asymmetric-distance ANN: broadcast probes x m-byte codes, centroid lookup from literal arrays, per-query top-k window",
 }
 
 KEEP = re.compile(
