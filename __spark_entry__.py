@@ -32,6 +32,9 @@ from distributed_mobility_data_pipeline_spark.operators import quality as qualit
 from distributed_mobility_data_pipeline_spark.operators import setops as set_ops
 from distributed_mobility_data_pipeline_spark.operators import star as star_ops
 from distributed_mobility_data_pipeline_spark.operators import asof as asof_ops
+from distributed_mobility_data_pipeline_spark.operators import behavior as behavior_ops
+from distributed_mobility_data_pipeline_spark.operators import linkage as link_ops
+from distributed_mobility_data_pipeline_spark.operators import sketches as sketch_ops
 from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.operators import skew as skew_ops
@@ -247,7 +250,13 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    staleness hides breakage; tools/rotate_driver_order.py orders these),
 # 3) oldest r03 greens fill the remaining slots.
 _DRIVER_FIRST: list[str] = [
-    # band 1 — new/changed in round 5
+    # band 1 — new/changed in round 5 (never driver-checked first)
+    "behavior_funnel",
+    "behavior_cohort_retention",
+    "behavior_rfm_scores",
+    "link_fuzzy_pairs",
+    "agg_distinct_rollup_exact",
+    "agg_distinct_rollup_sketch",
     "text_quality_cutoff",
     "pipeline_corpus_prep",
     "sample_mixing_weights",
@@ -1180,6 +1189,29 @@ def _all_queries() -> dict[str, QueryFn]:
                 F.col("event_type").startswith("error"),
             ),
             ["value", "props"],
+        ),
+        # Behavioral analytics (round-5 extensions over the events /
+        # orders tables: funnel, cohort retention, RFM segmentation)
+        "behavior_funnel": lambda s, d: behavior_ops.funnel_stages(
+            _t(s, d, "events")
+        ),
+        "behavior_cohort_retention": lambda s, d: behavior_ops.cohort_retention(
+            _t(s, d, "events")
+        ),
+        "behavior_rfm_scores": lambda s, d: behavior_ops.rfm_scores(
+            _t(s, d, "orders")
+        ),
+        # Fuzzy record linkage: blocked candidate pairs + Levenshtein
+        "link_fuzzy_pairs": lambda s, d: link_ops.blocked_fuzzy_pairs(
+            _t(s, d, "part"), "p_partkey", "p_name", max_distance=2
+        ),
+        # Mergeable-sketch distinct rollup: exact twin is hash-checked,
+        # the HLL-union path is approximate (rows-only by design)
+        "agg_distinct_rollup_exact": lambda s, d: sketch_ops.distinct_rollup_exact(
+            _t(s, d, "events")
+        ),
+        "agg_distinct_rollup_sketch": lambda s, d: sketch_ops.distinct_rollup_sketch(
+            _t(s, d, "events")
         ),
     }
 
@@ -3464,5 +3496,118 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT br."column" AS "column", baseline_rate, current_rate,
                    abs(current_rate - baseline_rate) AS shift
             FROM br JOIN cr USING ("column")
+        """,
+        "behavior_funnel": """
+            WITH e AS (SELECT user_id, ts, event_type FROM events),
+            t0 AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+              FROM e GROUP BY user_id
+            ), t1 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'click' AND e.ts >= t0.t0
+                              THEN e.ts END) AS t1
+              FROM e JOIN t0 USING (user_id) GROUP BY e.user_id
+            ), t2 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'purchase' AND e.ts >= t1.t1
+                              THEN e.ts END) AS t2
+              FROM e JOIN t1 USING (user_id) GROUP BY e.user_id
+            ), u AS (
+              SELECT t0.user_id, t0.t0, t1.t1, t2.t2
+              FROM t0 JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+            ), c AS (
+              SELECT count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n0,
+                     count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n1,
+                     count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS n2
+              FROM u
+            )
+            SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+                   CAST(n0 AS BIGINT) AS users,
+                   CASE WHEN n0 > 0 THEN 100.0 * n0 / n0 END AS pct_of_first
+            FROM c
+            UNION ALL
+            SELECT CAST(1 AS INT), 'click', CAST(n1 AS BIGINT),
+                   CASE WHEN n0 > 0 THEN 100.0 * n1 / n0 END FROM c
+            UNION ALL
+            SELECT CAST(2 AS INT), 'purchase', CAST(n2 AS BIGINT),
+                   CASE WHEN n0 > 0 THEN 100.0 * n2 / n0 END FROM c
+        """,
+        "behavior_cohort_retention": """
+            WITH activity AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS am
+              FROM events
+            ), first AS (
+              SELECT user_id, min(am) AS cm FROM activity GROUP BY user_id
+            ), per AS (
+              SELECT f.cm,
+                     datediff('day', f.cm, a.am) // 7 AS period_offset
+              FROM activity a JOIN first f USING (user_id)
+            ), counts AS (
+              SELECT cm, period_offset, CAST(count(*) AS BIGINT) AS n_users
+              FROM per GROUP BY 1, 2
+            ), sized AS (
+              SELECT cm, period_offset, n_users,
+                     max(CASE WHEN period_offset = 0 THEN n_users END)
+                       OVER (PARTITION BY cm) AS cohort_size
+              FROM counts
+            )
+            SELECT strftime(cm, '%Y-%m-%d') AS cohort_period,
+                   CAST(period_offset AS INT) AS period_offset,
+                   n_users,
+                   CAST(cohort_size AS BIGINT) AS cohort_size,
+                   100.0 * n_users / cohort_size AS retention_pct
+            FROM sized
+        """,
+        "behavior_rfm_scores": """
+            WITH refdate AS (
+              SELECT max(CAST(o_orderdate AS DATE)) AS a FROM orders
+            ), per AS (
+              SELECT o_custkey AS custkey,
+                     max(CAST(o_orderdate AS DATE)) AS lod,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                       AS monetary
+              FROM orders GROUP BY o_custkey
+            ), r AS (
+              SELECT custkey,
+                     CAST(datediff('day', lod, (SELECT a FROM refdate)) AS INT)
+                       AS recency_days,
+                     frequency, monetary
+              FROM per
+            ), s AS (
+              SELECT custkey, recency_days, frequency, monetary,
+                     CAST(ntile(4) OVER (ORDER BY recency_days DESC, custkey ASC)
+                          AS INT) AS r_score,
+                     CAST(ntile(4) OVER (ORDER BY frequency ASC, custkey ASC)
+                          AS INT) AS f_score,
+                     CAST(ntile(4) OVER (ORDER BY monetary ASC, custkey ASC)
+                          AS INT) AS m_score
+              FROM r
+            )
+            SELECT custkey, recency_days, frequency, monetary,
+                   r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                     || CAST(m_score AS VARCHAR) AS segment
+            FROM s
+        """,
+        "link_fuzzy_pairs": """
+            WITH t AS (
+              SELECT p_partkey AS id, p_name AS name,
+                     regexp_extract(p_name, '(\\S+)$', 1) AS blk
+              FROM part
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS edit_distance,
+                   1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+                         / greatest(length(a.name), length(b.name)) AS similarity
+            FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+            WHERE levenshtein(a.name, b.name) <= 2
+        """,
+        "agg_distinct_rollup_exact": """
+            SELECT strftime(ts, '%Y-%m') AS month,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
     }

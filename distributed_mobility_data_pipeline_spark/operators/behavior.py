@@ -1,0 +1,197 @@
+"""User-behavior analytics: funnel conversion, cohort retention, RFM
+segmentation.
+
+Extensions beyond the reference's aggregate surface (the reference's
+event rollups stop at hourly demand / status distributions,
+src/transformations/gold_layer.py) — these are the standard
+behavioral-analytics shapes a mobility/product team runs on the same
+events table.
+
+Scale notes (100 TB):
+- ``funnel_stages`` does ONE shuffle: every per-user milestone is a
+  window over the same ``partitionBy(user)`` spec, and the follow-up
+  per-user collapse reuses that hash partitioning (no second exchange
+  on the event stream).
+- ``cohort_retention`` reduces events to distinct (user, month) first —
+  all later joins/aggs run on the reduced table.
+- ``rfm_scores`` runs its ntile sorts over the per-customer AGGREGATE
+  (dimension-sized), never the order fact. At billions of customers
+  swap the ntile for the broadcast histogram-cutoff machinery
+  (operators/drift.py / text.quality_cutoff_filter pattern).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users reach each stage in
+    sequence (stage i+1 counts only events at-or-after the user's first
+    stage-i event).
+
+    Returns one row per stage: (stage_idx, stage, users, pct_of_first).
+    """
+    if len(stages) < 2:
+        raise ValueError(f"funnel needs >= 2 stages, got {list(stages)}")
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev: str | None = None
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            # milestone i requires an at-or-after-the-previous-milestone
+            # event; users who never hit stage i-1 stay NULL (the
+            # condition is NULL-safe: NULL >= x is NULL, never true)
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = f"_t{i}"
+    # collapse to one row per user — the window's hash partitioning on
+    # user_col satisfies this groupBy, so no second exchange
+    milestone_cols = [f"_t{i}" for i in range(len(stages))]
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in milestone_cols]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.when(F.col(c).isNotNull(), F.lit(1))).alias(f"_n{i}")
+            for i, c in enumerate(milestone_cols)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', _n{i}" for i, s in enumerate(stages)
+    )
+    return counts.select(
+        F.col("_n0").alias("_first"),
+        F.expr(
+            f"stack({len(stages)}, {stack_args}) AS (stage_idx, stage, users)"
+        ),
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("users").cast("bigint").alias("users"),
+        F.when(
+            F.col("_first") > 0,
+            F.lit(100.0) * F.col("users") / F.col("_first"),
+        ).alias("pct_of_first"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity period
+    (``week`` — ISO Monday start — or ``month``), tracked across
+    subsequent periods.
+
+    Returns (cohort_period, period_offset, n_users, cohort_size,
+    retention_pct) — offset 0 is the cohort itself (retention 100%).
+    """
+    if period not in ("week", "month"):
+        raise ValueError(f"period must be 'week' or 'month', got {period!r}")
+    activity = events.select(
+        F.col(user_col).alias("_user"),
+        F.date_trunc(period, F.col(ts_col)).alias("_am"),
+    ).distinct()
+    first = activity.groupBy("_user").agg(F.min("_am").alias("_cm"))
+    # join on _user: both sides are hash-partitioned on _user by their
+    # own shuffles, so the join itself adds no exchange
+    if period == "week":
+        # truncated-to-Monday timestamps differ by exact multiples of 7d
+        offset = F.floor(F.datediff(F.col("_am"), F.col("_cm")) / 7)
+    else:
+        offset = (F.year("_am") * 12 + F.month("_am")) - (
+            F.year("_cm") * 12 + F.month("_cm")
+        )
+    per = activity.join(first, "_user").select(
+        "_cm", offset.alias("period_offset")
+    )
+    counts = per.groupBy("_cm", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    # cohort_size = the offset-0 row of each cohort (present by
+    # construction); the window runs over the tiny rollup, not events
+    wc = Window.partitionBy("_cm")
+    sized = counts.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("period_offset") == 0, F.col("n_users"))).over(wc),
+    )
+    fmt = "yyyy-MM-dd" if period == "week" else "yyyy-MM"
+    return sized.select(
+        F.date_format("_cm", fmt).alias("cohort_period"),
+        F.col("period_offset").cast("int").alias("period_offset"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        (F.lit(100.0) * F.col("n_users") / F.col("cohort_size")).alias(
+            "retention_pct"
+        ),
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation.
+
+    Recency is measured against the latest order date in the table (so
+    the query is reproducible, not wall-clock dependent). Each dimension
+    is scored 1..n_tiles with ntile; HIGHER is better (most recent /
+    most frequent / highest spend = n_tiles). Ties broken by customer
+    key so the result is deterministic.
+
+    The ntile windows sort the per-customer aggregate — dimension-sized,
+    not fact-sized. See module docstring for the billions-of-customers
+    variant.
+    """
+    asof = orders.agg(F.max(F.col(date_col)).alias("_asof"))
+    per = orders.groupBy(customer_col).agg(
+        F.max(date_col).alias("last_order_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    per = per.crossJoin(F.broadcast(asof)).withColumn(
+        "recency_days", F.datediff(F.col("_asof"), F.col("last_order_date"))
+    )
+    key = F.col(customer_col)
+    r_score = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("recency_days").desc(), key.asc())
+    )
+    f_score = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("frequency").asc(), key.asc())
+    )
+    m_score = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("monetary").asc(), key.asc())
+    )
+    scored = per.select(
+        key.alias("custkey"),
+        F.col("recency_days").cast("int").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        r_score.cast("int").alias("r_score"),
+        f_score.cast("int").alias("f_score"),
+        m_score.cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )

@@ -1,0 +1,70 @@
+"""Mergeable-sketch rollups (Apache DataSketches HLL via Spark 3.5+
+built-ins).
+
+The reference's distinct counts are exact per-rollup recomputes; at
+100 TB the winning pattern is different: aggregate ONCE at the finest
+grain into mergeable sketches, persist them, and answer every coarser
+rollup by unioning sketches — no second pass over raw data, and the
+sketch table is tiny (one ~2^lg_k-byte blob per group).
+
+``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate`` are
+JVM-side aggregates (DataSketches HLL), so the whole plan stays in
+codegen — no Python in the loop.
+
+Approximate results are checked rows-only by the driver; the exact
+twin (``distinct_rollup_exact``) is the hash-checked oracle query, and
+tests assert the sketch estimate lands within HLL's error envelope of
+the exact answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_distinct_sketches(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Finest-grain sketch table: one HLL sketch of ``key_col`` per day.
+    This is the artifact you'd persist — every coarser distinct-count
+    rollup derives from it without rescanning events."""
+    return events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sketch"))
+
+
+def distinct_rollup_sketch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Monthly approx-distinct users via union of the DAILY sketches —
+    the mergeable-rollup path. Returns (month, approx_users)."""
+    daily = daily_distinct_sketches(events, key_col, ts_col, lg_k)
+    return (
+        daily.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch")))
+            .cast("bigint")
+            .alias("approx_users")
+        )
+    )
+
+
+def distinct_rollup_exact(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact twin of ``distinct_rollup_sketch`` (hash-checked oracle):
+    monthly distinct users the expensive way — a full distinct per
+    rollup grain. Returns (month, n_users)."""
+    return (
+        events.groupBy(F.date_format(F.col(ts_col), "yyyy-MM").alias("month"))
+        .agg(F.countDistinct(F.col(key_col)).cast("bigint").alias("n_users"))
+    )

@@ -1,0 +1,111 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.operators import behavior, linkage, sketches
+from distributed_mobility_data_pipeline_spark.sources.readers import read_events
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return read_events(spark, f"{sf_dir}/events.parquet")
+
+
+def test_funnel_counts_monotonic_nonincreasing(events):
+    rows = behavior.funnel_stages(events).orderBy("stage_idx").collect()
+    assert [r.stage for r in rows] == ["view", "click", "purchase"]
+    users = [r.users for r in rows]
+    assert users == sorted(users, reverse=True)
+    assert rows[0].pct_of_first == 100.0
+
+
+def test_funnel_respects_stage_order(spark):
+    # user 1 does click BEFORE its first view -> that click can't count
+    rows_in = [
+        (1, "2024-01-01 00:00:00", "click"),
+        (1, "2024-01-02 00:00:00", "view"),
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-02 00:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.stage: r.users
+        for r in behavior.funnel_stages(
+            df, stages=("view", "click")
+        ).collect()
+    }
+    assert out == {"view": 2, "click": 1}
+
+
+def test_funnel_rejects_single_stage(events):
+    with pytest.raises(ValueError):
+        behavior.funnel_stages(events, stages=("view",))
+
+
+def test_cohort_offset_zero_is_full_retention(events):
+    rows = behavior.cohort_retention(events).collect()
+    assert rows, "expected at least one cohort"
+    for r in rows:
+        if r.period_offset == 0:
+            assert r.n_users == r.cohort_size
+            assert r.retention_pct == 100.0
+        assert 0 < r.n_users <= r.cohort_size
+
+
+def test_cohort_rejects_bad_period(events):
+    with pytest.raises(ValueError):
+        behavior.cohort_retention(events, period="day")
+
+
+def test_rfm_scores_in_range_and_deterministic(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = behavior.rfm_scores(orders)
+    rows = out.collect()
+    assert len(rows) == orders.select("o_custkey").distinct().count()
+    for r in rows:
+        for s in (r.r_score, r.f_score, r.m_score):
+            assert 1 <= s <= 4
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+    # deterministic across runs (ties broken by custkey)
+    again = {r.custkey: r.segment for r in behavior.rfm_scores(orders).collect()}
+    assert {r.custkey: r.segment for r in rows} == again
+
+
+def test_fuzzy_pairs_properties(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pairs = linkage.blocked_fuzzy_pairs(part, "p_partkey", "p_name", 2)
+    rows = pairs.collect()
+    assert rows, "expected some near-duplicate names"
+    seen = set()
+    for r in rows:
+        assert r.id_a < r.id_b  # unordered, no self-pairs
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
+        assert r.edit_distance <= 2
+        assert 0.0 <= r.similarity <= 1.0
+        if r.edit_distance == 0:
+            assert r.name_a == r.name_b and r.similarity == 1.0
+
+
+def test_fuzzy_pairs_rejects_negative_distance(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    with pytest.raises(ValueError):
+        linkage.blocked_fuzzy_pairs(part, "p_partkey", "p_name", -1)
+
+
+def test_sketch_rollup_within_hll_error(events):
+    exact = {
+        r.month: r.n_users
+        for r in sketches.distinct_rollup_exact(events).collect()
+    }
+    approx = {
+        r.month: r.approx_users
+        for r in sketches.distinct_rollup_sketch(events).collect()
+    }
+    assert set(exact) == set(approx)
+    for m, n in exact.items():
+        # lg_k=12 HLL is well under 5% relative error
+        assert abs(approx[m] - n) <= max(1, 0.05 * n)
