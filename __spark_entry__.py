@@ -251,6 +251,8 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3) oldest r03 greens fill the remaining slots.
 _DRIVER_FIRST: list[str] = [
     # band 1 — new/changed in round 5 (never driver-checked first)
+    "stream_static_enrich",
+    "stream_stream_conversions",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -820,6 +822,15 @@ def _all_queries() -> dict[str, QueryFn]:
         # bit-contracted; the batch ground-truth equivalence is asserted in
         # tests/test_stateful_streaming.py.
         "stream_stateful_counts": _stream_stateful_counts,
+        # stream-static broadcast enrichment + stream-stream interval
+        # self-join (batch twins of the streaming bodies; equivalence on
+        # the real file stream is proven in tests/test_streaming_joins.py)
+        "stream_static_enrich": lambda s, d: stream_ops.enriched_segment_counts(
+            _t(s, d, "events"), _t(s, d, "customer")
+        ),
+        "stream_stream_conversions": lambda s, d: stream_ops.view_purchase_conversions(
+            _t(s, d, "events")
+        ),
         # classic filter-agg / conditional-agg / ratio shapes (Q6/Q12/Q14)
         "agg_forecast_revenue_change": lambda s, d: _t(s, d, "lineitem")
         .filter(
@@ -3609,5 +3620,34 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m') AS month,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "stream_static_enrich": """
+            SELECT c.c_mktsegment, e.event_type,
+                   CAST(count(*) AS BIGINT) AS event_count,
+                   CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
+        """,
+        "stream_stream_conversions": """
+            WITH v AS (
+              SELECT user_id, event_id AS view_id,
+                     CAST(ts AS TIMESTAMP) AS view_ts
+              FROM events WHERE event_type = 'view'
+            ), p AS (
+              SELECT user_id, event_id AS purchase_id,
+                     CAST(ts AS TIMESTAMP) AS purchase_ts,
+                     value AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT v.user_id, view_id, purchase_id,
+                   strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+                   strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT)
+                     AS lag_us,
+                   purchase_value
+            FROM v JOIN p ON v.user_id = p.user_id
+                 AND purchase_ts >= view_ts
+                 AND purchase_ts < view_ts + INTERVAL 60 MINUTES
         """,
     }

@@ -188,6 +188,87 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def enriched_segment_counts(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    customer dimension (user_id → market segment), then aggregate per
+    (segment, event_type).
+
+    The dimension side of a stream-static join is re-read per
+    micro-batch but never holds streaming state; broadcast keeps the
+    join shuffle-free on the stream side. The aggregate's state is one
+    row per (segment, type) — tiny and bounded by key cardinality, so
+    no watermark is needed (complete output mode).
+
+    Same body serves batch (the driver's oracle-checked twin).
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("_ck"), "c_mktsegment"
+    )
+    joined = events.join(F.broadcast(dim), events["user_id"] == F.col("_ck"))
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def view_purchase_conversions(
+    events: DataFrame,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream self-join: purchases within ``horizon_minutes`` of
+    a view by the same user (conversion attribution).
+
+    Streaming semantics: both branches are watermarked and the join
+    condition carries an explicit time range, so Spark can bound each
+    side's state buffer to the watermark + horizon and evict behind it
+    — the state-safe form of a stream-stream join. Inner joins emit
+    eagerly on match, so results don't wait for window close.
+
+    The same body is the batch twin (plain range self-join).
+    """
+    src = (
+        events.withWatermark("ts", watermark) if events.isStreaming else events
+    )
+    views = src.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    horizon = F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + horizon),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts")))
+        .alias("lag_us"),
+        "purchase_value",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
