@@ -35,6 +35,7 @@ from distributed_mobility_data_pipeline_spark.operators import asof as asof_ops
 from distributed_mobility_data_pipeline_spark.operators import behavior as behavior_ops
 from distributed_mobility_data_pipeline_spark.operators import linkage as link_ops
 from distributed_mobility_data_pipeline_spark.operators import sketches as sketch_ops
+from distributed_mobility_data_pipeline_spark.operators import timeseries as ts_ops
 from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.operators import skew as skew_ops
@@ -253,6 +254,8 @@ _DRIVER_FIRST: list[str] = [
     # band 1 — new/changed in round 5 (never driver-checked first)
     "stream_static_enrich",
     "stream_stream_conversions",
+    "ts_resample_ffill",
+    "ts_gap_stats",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1224,6 +1227,12 @@ def _all_queries() -> dict[str, QueryFn]:
         "agg_distinct_rollup_sketch": lambda s, d: sketch_ops.distinct_rollup_sketch(
             _t(s, d, "events")
         ),
+        # Time-series regularization: per-series hourly grid with
+        # zero-filled counts + forward-filled sums, and the gap report
+        "ts_resample_ffill": lambda s, d: ts_ops.resample_ffill(
+            _t(s, d, "events")
+        ),
+        "ts_gap_stats": lambda s, d: ts_ops.gap_stats(_t(s, d, "events")),
     }
 
 
@@ -3649,5 +3658,77 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM v JOIN p ON v.user_id = p.user_id
                  AND purchase_ts >= view_ts
                  AND purchase_ts < view_ts + INTERVAL 60 MINUTES
+        """,
+        "ts_resample_ffill": """
+            WITH agg AS (
+              SELECT event_type,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(h) AS mn, max(h) AS mx
+              FROM agg GROUP BY 1
+            ), grid AS (
+              SELECT event_type,
+                     unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+              FROM bounds
+            ), j AS (
+              SELECT g.event_type, g.h, a.n_events, a.sum_value
+              FROM grid g LEFT JOIN agg a
+                ON g.event_type = a.event_type AND g.h = a.h
+            )
+            SELECT event_type,
+                   strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+                   COALESCE(n_events, 0) AS n_events,
+                   last_value(sum_value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sum_value_ffill,
+                   CAST(n_events IS NULL AS INT) AS is_gap
+            FROM j
+        """,
+        "ts_gap_stats": """
+            WITH agg AS (
+              SELECT event_type,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(h) AS mn, max(h) AS mx
+              FROM agg GROUP BY 1
+            ), grid AS (
+              SELECT event_type,
+                     unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+              FROM bounds
+            ), filled AS (
+              SELECT g.event_type, g.h,
+                     CAST(a.n_events IS NULL AS INT) AS is_gap
+              FROM grid g LEFT JOIN agg a
+                ON g.event_type = a.event_type AND g.h = a.h
+            ), rn AS (
+              SELECT event_type, h, is_gap,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rnum
+              FROM filled
+            ), gaps AS (
+              SELECT event_type,
+                     rnum - row_number()
+                       OVER (PARTITION BY event_type ORDER BY h) AS grp
+              FROM rn WHERE is_gap = 1
+            ), longest AS (
+              SELECT event_type, max(len) AS longest FROM (
+                SELECT event_type, grp, count(*) AS len
+                FROM gaps GROUP BY 1, 2
+              ) GROUP BY 1
+            ), totals AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+                     CAST(sum(is_gap) AS BIGINT) AS n_gaps
+              FROM filled GROUP BY 1
+            )
+            SELECT t.event_type, n_buckets, n_gaps,
+                   CAST(COALESCE(longest, 0) AS BIGINT) AS longest_gap_run
+            FROM totals t LEFT JOIN longest l ON t.event_type = l.event_type
         """,
     }

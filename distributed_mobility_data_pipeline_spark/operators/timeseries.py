@@ -1,0 +1,114 @@
+"""Time-series regularization: resample to a fixed grid + gap fill.
+
+The reference's hourly rollup (feature_engineering.py:58-74) leaves
+holes where no events landed — downstream models and window features
+then silently skip hours. These operators materialize the full grid per
+series and fill gaps explicitly (forward-fill for last-observation-
+carried-forward semantics, zero-fill for counts, a gap flag either way).
+
+Scale shape: the grid is generated from the per-series [min, max]
+bounds table (tiny — one row per series), exploded map-side; the only
+shuffles are the rollup groupBy and the per-series forward-fill window,
+both partitioned on the series key. Nothing is driver-side and no
+global sort exists: each series fills independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Resample each series to a regular ``step`` grid between its own
+    first and last observation, zero-filling counts and forward-filling
+    the value sum across empty buckets.
+
+    Returns (series, hour_ts, n_events, sum_value_ffill, is_gap) —
+    ``is_gap`` = 1 for grid rows with no observations.
+    """
+    trunc_unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    agg = (
+        df.groupBy(
+            F.col(series_col).alias("_series"),
+            F.date_trunc(trunc_unit, F.col(ts_col)).alias("_h"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("_sum"),
+        )
+    )
+    bounds = agg.groupBy("_series").agg(
+        F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
+    )
+    grid = bounds.select(
+        "_series",
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr(f"INTERVAL {step}"))
+        ).alias("_h"),
+    )
+    joined = grid.join(agg, ["_series", "_h"], "left")
+    w = (
+        Window.partitionBy("_series")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("_series").alias(series_col),
+        F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("_sum", ignorenulls=True).over(w).alias("sum_value_ffill"),
+        F.col("_n").isNull().cast("int").alias("is_gap"),
+    )
+
+
+def gap_stats(
+    df: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-series gap report over the regular grid: how many buckets
+    exist, how many are empty, and the longest empty run — the
+    monitoring twin of ``resample_ffill``.
+
+    The longest-run is computed with the gaps-and-islands trick
+    (bucket_index - run_index is constant within a run), all inside the
+    per-series partition — no global sort.
+    """
+    filled = resample_ffill(df, series_col, ts_col, step=step)
+    w = Window.partitionBy(series_col).orderBy("hour_ts")
+    runs = (
+        filled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("is_gap") == 1)
+        .withColumn("_grp", F.col("_rn") - F.row_number().over(w))
+    )
+    longest = (
+        runs.groupBy(series_col, "_grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy(series_col)
+        .agg(F.max("_len").alias("longest_gap_run"))
+    )
+    totals = filled.groupBy(series_col).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("is_gap").cast("bigint").alias("n_gaps"),
+    )
+    return (
+        totals.join(longest, series_col, "left")
+        .select(
+            series_col,
+            "n_buckets",
+            "n_gaps",
+            F.coalesce(F.col("longest_gap_run"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_gap_run"),
+        )
+    )

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.operators import timeseries as ts
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_type", "ts", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_resample_fills_known_gap(spark):
+    df = _mk(
+        spark,
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 00:50:00", 2.0),
+            # 01:00 and 02:00 empty
+            ("a", "2024-01-01 03:05:00", 7.0),
+            ("b", "2024-01-01 05:00:00", 9.0),
+        ],
+    )
+    out = {
+        (r.event_type, r.hour_ts): r
+        for r in ts.resample_ffill(df).collect()
+    }
+    # series a: 4 grid hours 00..03; series b: single hour
+    assert len(out) == 5
+    a1 = out[("a", "2024-01-01 01:00:00")]
+    assert a1.is_gap == 1 and a1.n_events == 0
+    assert a1.sum_value_ffill == 3.0  # carried forward from hour 00
+    a3 = out[("a", "2024-01-01 03:00:00")]
+    assert a3.is_gap == 0 and a3.sum_value_ffill == 7.0
+    assert out[("b", "2024-01-01 05:00:00")].is_gap == 0
+
+
+def test_grid_is_contiguous_per_series(spark, sf_dir):
+    from distributed_mobility_data_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    filled = ts.resample_ffill(ev)
+    # bucket count must equal (max-min)/step + 1 for every series
+    check = (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                (
+                    F.unix_timestamp(F.max("hour_ts"))
+                    - F.unix_timestamp(F.min("hour_ts"))
+                )
+                / 3600
+                + 1
+            ).alias("expected"),
+        )
+        .collect()
+    )
+    for r in check:
+        assert r.n == r.expected
+
+
+def test_gap_stats_longest_run(spark):
+    df = _mk(
+        spark,
+        [
+            ("a", "2024-01-01 00:00:00", 1.0),
+            # 3-hour gap: 01,02,03
+            ("a", "2024-01-01 04:00:00", 1.0),
+            # 1-hour gap: 05
+            ("a", "2024-01-01 06:00:00", 1.0),
+        ],
+    )
+    row = ts.gap_stats(df).collect()[0]
+    assert row.n_buckets == 7
+    assert row.n_gaps == 4
+    assert row.longest_gap_run == 3
