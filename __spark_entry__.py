@@ -36,6 +36,7 @@ from distributed_mobility_data_pipeline_spark.operators import behavior as behav
 from distributed_mobility_data_pipeline_spark.operators import linkage as link_ops
 from distributed_mobility_data_pipeline_spark.operators import sketches as sketch_ops
 from distributed_mobility_data_pipeline_spark.operators import timeseries as ts_ops
+from distributed_mobility_data_pipeline_spark.operators import graph as graph_ops
 from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.operators import skew as skew_ops
@@ -256,6 +257,7 @@ _DRIVER_FIRST: list[str] = [
     "stream_stream_conversions",
     "ts_resample_ffill",
     "ts_gap_stats",
+    "graph_pagerank",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1233,6 +1235,24 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "events")
         ),
         "ts_gap_stats": lambda s, d: ts_ops.gap_stats(_t(s, d, "events")),
+        # Fixed-point PageRank over the customer–supplier bipartite graph
+        # (integer micro-rank units → bit-exact across engines, so the
+        # iterative algorithm is hash-checkable, not just rows-only)
+        "graph_pagerank": lambda s, d: graph_ops.pagerank_fixed_point(
+            graph_ops.symmetrize(
+                _t(s, d, "orders")
+                .join(
+                    _t(s, d, "lineitem"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .select(
+                    F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+                )
+                .distinct()
+            ),
+            iterations=3,
+        ),
     }
 
 
@@ -3730,5 +3750,65 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT t.event_type, n_buckets, n_gaps,
                    CAST(COALESCE(longest, 0) AS BIGINT) AS longest_gap_run
             FROM totals t LEFT JOIN longest l ON t.event_type = l.event_type
+        """,
+        "graph_pagerank": """
+            WITH e0 AS (
+              SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                              's' || CAST(l_suppkey AS VARCHAR) AS s
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ), edges AS (
+              SELECT c AS src, s AS dst FROM e0
+              UNION ALL
+              SELECT s AS src, c AS dst FROM e0
+            ), deg AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+              FROM edges GROUP BY 1
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+            ), params AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST((3 * 1000000000000) // (20 * count(*)) AS BIGINT)
+                       AS teleport
+              FROM nodes
+            ), r0 AS (
+              SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank_fp
+              FROM nodes, params
+            ), c1 AS (
+              SELECT e.dst AS node, sum(r.rank_fp // d.outdeg) AS insum
+              FROM edges e JOIN r0 r ON e.src = r.node
+                           JOIN deg d ON e.src = d.src
+              GROUP BY 1
+            ), r1 AS (
+              SELECT nodes.node,
+                     CAST(teleport + (17 * COALESCE(c1.insum, 0)) // 20
+                          AS BIGINT) AS rank_fp
+              FROM nodes CROSS JOIN params
+                   LEFT JOIN c1 ON nodes.node = c1.node
+            ), c2 AS (
+              SELECT e.dst AS node, sum(r.rank_fp // d.outdeg) AS insum
+              FROM edges e JOIN r1 r ON e.src = r.node
+                           JOIN deg d ON e.src = d.src
+              GROUP BY 1
+            ), r2 AS (
+              SELECT nodes.node,
+                     CAST(teleport + (17 * COALESCE(c2.insum, 0)) // 20
+                          AS BIGINT) AS rank_fp
+              FROM nodes CROSS JOIN params
+                   LEFT JOIN c2 ON nodes.node = c2.node
+            ), c3 AS (
+              SELECT e.dst AS node, sum(r.rank_fp // d.outdeg) AS insum
+              FROM edges e JOIN r2 r ON e.src = r.node
+                           JOIN deg d ON e.src = d.src
+              GROUP BY 1
+            ), r3 AS (
+              SELECT nodes.node,
+                     CAST(teleport + (17 * COALESCE(c3.insum, 0)) // 20
+                          AS BIGINT) AS rank_fp
+              FROM nodes CROSS JOIN params
+                   LEFT JOIN c3 ON nodes.node = c3.node
+            )
+            SELECT node, rank_fp,
+                   rank_fp / 1000000000000.0 AS rank
+            FROM r3
         """,
     }
