@@ -42,6 +42,7 @@ from distributed_mobility_data_pipeline_spark.operators import scalars as scalar
 from distributed_mobility_data_pipeline_spark.operators import skew as skew_ops
 from distributed_mobility_data_pipeline_spark.operators import layout as layout_ops
 from distributed_mobility_data_pipeline_spark.plans import corpus as corpus_plan
+from distributed_mobility_data_pipeline_spark.ml import basket as basket_ops
 from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
 from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
 from distributed_mobility_data_pipeline_spark.ml import serving as serve_ops
@@ -258,6 +259,7 @@ _DRIVER_FIRST: list[str] = [
     "ts_resample_ffill",
     "ts_gap_stats",
     "graph_pagerank",
+    "ml_freq_itemsets",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1238,6 +1240,12 @@ def _all_queries() -> dict[str, QueryFn]:
         # Fixed-point PageRank over the customer–supplier bipartite graph
         # (integer micro-rank units → bit-exact across engines, so the
         # iterative algorithm is hash-checkable, not just rows-only)
+        # MLlib FPGrowth frequent itemsets, normalized to a sorted
+        # itemset string and truncated to pairs so the SQL co-occurrence
+        # oracle checks the identical set
+        "ml_freq_itemsets": lambda s, d: basket_ops.frequent_itemsets(
+            _t(s, d, "lineitem"), min_support=0.001, max_len=2
+        ),
         "graph_pagerank": lambda s, d: graph_ops.pagerank_fixed_point(
             graph_ops.symmetrize(
                 _t(s, d, "orders")
@@ -3750,6 +3758,29 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT t.event_type, n_buckets, n_gaps,
                    CAST(COALESCE(longest, 0) AS BIGINT) AS longest_gap_run
             FROM totals t LEFT JOIN longest l ON t.event_type = l.event_type
+        """,
+        "ml_freq_itemsets": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), n AS (
+              SELECT CAST(ceiling(0.001 * count(DISTINCT o)) AS BIGINT)
+                AS min_count
+              FROM op
+            ), singles AS (
+              SELECT CAST(p AS VARCHAR) AS itemset, CAST(1 AS INT) AS n_items,
+                     CAST(count(*) AS BIGINT) AS freq
+              FROM op GROUP BY p
+            ), pairs AS (
+              SELECT CAST(a.p AS VARCHAR) || ',' || CAST(b.p AS VARCHAR)
+                       AS itemset,
+                     CAST(2 AS INT) AS n_items,
+                     CAST(count(*) AS BIGINT) AS freq
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p
+            )
+            SELECT itemset, n_items, freq
+            FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs), n
+            WHERE freq >= min_count
         """,
         "graph_pagerank": """
             WITH e0 AS (

@@ -1,0 +1,62 @@
+"""Market-basket analysis: distributed frequent itemsets (MLlib
+FPGrowth).
+
+Extends the ML surface (ml/training.py counterparts of the reference's
+demand models) with the classic co-occurrence miner: which parts are
+ordered together. FPGrowth builds parallel FP-trees per partition — no
+candidate-generation blowup like Apriori — and is the 100 TB-appropriate
+algorithm for this.
+
+Itemsets are deterministic for a given (corpus, min_support); only
+MLlib's output ordering varies, so results are normalized to a sorted
+itemset string. Truncated to ``max_len`` so the SQL oracle (singles +
+pair co-occurrence self-join) checks the exact same set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def order_baskets(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """One row per order with the distinct set of parts it contains."""
+    return (
+        lineitem.select(order_col, item_col)
+        .distinct()
+        .groupBy(order_col)
+        .agg(F.collect_set(item_col).alias("items"))
+    )
+
+
+def frequent_itemsets(
+    lineitem: DataFrame,
+    min_support: float = 0.001,
+    max_len: int = 2,
+) -> DataFrame:
+    """Frequent part combinations across orders via FPGrowth.
+
+    Returns (itemset, n_items, freq): the numerically-sorted
+    comma-joined item list, its size, and the number of orders
+    containing all of its items. Only itemsets up to ``max_len`` are
+    kept (the oracle-checkable slice; FPGrowth itself mines all sizes).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = order_baskets(lineitem)
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=0.5
+    ).fit(baskets)
+    out = model.freqItemsets.filter(F.size("items") <= max_len)
+    return out.select(
+        F.concat_ws(
+            ",",
+            F.transform(F.array_sort("items"), lambda x: x.cast("string")),
+        ).alias("itemset"),
+        F.size("items").alias("n_items"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )

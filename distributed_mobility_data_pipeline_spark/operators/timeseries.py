@@ -32,8 +32,19 @@ def resample_ffill(
 
     Returns (series, hour_ts, n_events, sum_value_ffill, is_gap) —
     ``is_gap`` = 1 for grid rows with no observations.
+
+    ``step`` must be a single whole unit ("1 minute" / "1 hour" /
+    "1 day" / "1 week"): bucketing uses date_trunc, which only aligns
+    with the grid for unit steps (a "15 minutes" grid would need
+    time_bucket-style arithmetic instead).
     """
-    trunc_unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    allowed = {"1 minute", "1 hour", "1 day", "1 week"}
+    if step not in allowed:
+        raise ValueError(
+            f"step must be one of {sorted(allowed)} (date_trunc-aligned), "
+            f"got {step!r}"
+        )
+    trunc_unit = step.split()[-1]  # "1 hour" -> "hour"
     agg = (
         df.groupBy(
             F.col(series_col).alias("_series"),

@@ -100,6 +100,18 @@ def write_bucketed(
     )
 
 
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (mode=overwrite) — the interop twin of readers.read_orc
+    for warehouses standardized on ORC. Same pushdown/pruning behavior
+    as parquet on the read side."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def optimize_layout(
     spark: SparkSession,
     path: str,

@@ -82,3 +82,27 @@ def test_parquet_schema_evolution_read(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows[2] == 9.5 and rows[1] is None  # old rows surface NULL
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from distributed_mobility_data_pipeline_spark.sources import writers
+
+    p = str(tmp_path / "orc_tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    writers.write_orc(df, p)
+    back = readers.read_orc(spark, p)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_orc_partitioned_write(spark, tmp_path):
+    from distributed_mobility_data_pipeline_spark.sources import writers
+
+    p = str(tmp_path / "orc_part")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "id long, part string"
+    )
+    writers.write_orc(df, p, partition_by=["part"])
+    back = readers.read_orc(spark, p)
+    assert back.filter("part = 'x'").count() == 2

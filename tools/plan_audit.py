@@ -69,6 +69,15 @@ AUDITS = {
     "scale_partition_plan": "one aggregation to partition-key cardinality; file-count arithmetic on the small plan table",
     "sim_pq_encode": "PQ encoding is a literal-codebook expression per subspace: map-only, no shuffle, no MLlib on the query path",
     "sim_pq_ann": "asymmetric-distance ANN: broadcast probes x m-byte codes, centroid lookup from literal arrays, per-query top-k window",
+    "behavior_funnel": "milestone windows + per-user collapse share one hash partitioning on user_id (one event-stream exchange; the second is the one-row global-agg combine)",
+    "behavior_cohort_retention": "events reduced to distinct (user, week) first; cohort-size window runs over the tiny rollup",
+    "behavior_rfm_scores": "ntile sorts run over the per-customer aggregate (dimension-sized), never the order fact; as-of date broadcast",
+    "link_fuzzy_pairs": "candidates from a blocking-key equi-join (sum of block^2, never n^2); Levenshtein JVM-side post-join",
+    "agg_distinct_rollup_sketch": "daily HLL sketches union-merged to monthly: raw events aggregated once, rollup reads sketch blobs only",
+    "stream_static_enrich": "customer dimension broadcast onto the event stream; aggregate state = one row per (segment, type)",
+    "stream_stream_conversions": "interval self-join stays an equi-join on user_id with a post-join range filter, not a nested loop",
+    "ts_resample_ffill": "grid exploded map-side from the per-series bounds table; fill window partitioned per series, no global sort",
+    "graph_pagerank": "per iteration: rank-onto-edges equi-join + one groupBy(dst) with map-side partial sums; loop-invariant tables persisted",
 }
 
 KEEP = re.compile(
