@@ -155,6 +155,27 @@ def _scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pit_status_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction: for every event, the SCD2 status
+    version in effect at that event's timestamp (the feature-store
+    leakage-safe join over the win_scd2_history intervals)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = win_ops.scd2_history(
+        ev, "user_id", "event_type", "ts", tiebreak=["event_id"]
+    ).withColumnRenamed("event_type", "status")
+    probes = ev.select("user_id", "event_id", "ts")
+    out = asof_ops.point_in_time_join(probes, hist, "user_id", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "status",
+        "version",
+    )
+
+
 def _contaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-copies of the first 50 docs (one token dropped,
     doc_id + 500000) — a corpus with KNOWN benchmark contamination so
@@ -260,6 +281,7 @@ _DRIVER_FIRST: list[str] = [
     "ts_gap_stats",
     "graph_pagerank",
     "ml_freq_itemsets",
+    "join_point_in_time",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1243,6 +1265,8 @@ def _all_queries() -> dict[str, QueryFn]:
         # MLlib FPGrowth frequent itemsets, normalized to a sorted
         # itemset string and truncated to pairs so the SQL co-occurrence
         # oracle checks the identical set
+        # PIT join over SCD2 validity intervals (leakage-safe feature join)
+        "join_point_in_time": _pit_status_at_event,
         "ml_freq_itemsets": lambda s, d: basket_ops.frequent_itemsets(
             _t(s, d, "lineitem"), min_support=0.001, max_len=2
         ),
@@ -3758,6 +3782,32 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT t.event_type, n_buckets, n_gaps,
                    CAST(COALESCE(longest, 0) AS BIGINT) AS longest_gap_run
             FROM totals t LEFT JOIN longest l ON t.event_type = l.event_type
+        """,
+        "join_point_in_time": """
+            WITH m AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER w AS prev,
+                     row_number() OVER w AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            ch AS (SELECT user_id, event_type, ts, event_id FROM m
+                   WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+            hist AS (
+              SELECT user_id, event_type AS status,
+                     CAST(row_number() OVER w2 AS INT) AS version,
+                     ts AS valid_from,
+                     lead(ts) OVER w2 AS valid_to
+              FROM ch
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT e.event_id, e.user_id,
+                   strftime(CAST(e.ts AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   h.status, h.version
+            FROM events e JOIN hist h ON e.user_id = h.user_id
+                 AND e.ts >= h.valid_from
+                 AND (h.valid_to IS NULL OR e.ts < h.valid_to)
         """,
         "ml_freq_itemsets": """
             WITH op AS (

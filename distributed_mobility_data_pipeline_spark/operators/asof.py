@@ -108,3 +108,32 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         *[F.col("_asof").getField(c).alias(f"asof_{c}") for c in value_cols],
     )
+
+
+def point_in_time_join(
+    probes: DataFrame,
+    history: DataFrame,
+    key: str,
+    probe_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (PIT) join: attach to each probe row the history
+    version whose validity interval contains the probe timestamp
+    (``valid_from <= ts < valid_to``, open ``valid_to`` = current).
+
+    The feature-store primitive that prevents training-data leakage:
+    features joined AS OF the label timestamp, never from the future.
+    Pairs with ``windows.scd2_history`` (whose intervals partition time
+    per key, so each probe matches at most one version).
+
+    Scale shape: an equi-join on the entity key + an interval filter —
+    candidates per probe are that key's version count (bounded by
+    change frequency, not table size). For adversarially hot keys,
+    pre-bucket with ``range_join_bucketed`` instead.
+    """
+    j = probes.join(history, key)
+    cond = (F.col(probe_ts) >= F.col(valid_from)) & (
+        F.col(valid_to).isNull() | (F.col(probe_ts) < F.col(valid_to))
+    )
+    return j.filter(cond)

@@ -96,3 +96,39 @@ def test_range_join_matches_naive_inequality_join(spark):
     a = {(r.lid, r.rid) for r in fast.collect()}
     b = {(r.lid, r.rid) for r in naive.collect()}
     assert a == b and len(a) > 0
+
+
+def test_point_in_time_join_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+            (1, "gold", "2024-01-10 00:00:00", None),
+            (2, "silver", "2024-01-05 00:00:00", None),
+        ],
+        ["user_id", "status", "valid_from", "valid_to"],
+    ).select(
+        "user_id",
+        "status",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, "2024-01-05 12:00:00"),  # inside v1
+            (1, "2024-01-10 00:00:00"),  # exactly at change -> new version
+            (1, "2024-02-01 00:00:00"),  # open interval
+            (2, "2024-01-01 00:00:00"),  # before first interval -> dropped
+        ],
+        ["user_id", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.user_id, str(r.ts)): r.status
+        for r in asof.point_in_time_join(probes, hist, "user_id", "ts").collect()
+    }
+    assert out == {
+        (1, "2024-01-05 12:00:00"): "bronze",
+        (1, "2024-01-10 00:00:00"): "gold",
+        (1, "2024-02-01 00:00:00"): "gold",
+    }

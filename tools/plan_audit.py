@@ -78,6 +78,8 @@ AUDITS = {
     "stream_stream_conversions": "interval self-join stays an equi-join on user_id with a post-join range filter, not a nested loop",
     "ts_resample_ffill": "grid exploded map-side from the per-series bounds table; fill window partitioned per series, no global sort",
     "graph_pagerank": "per iteration: rank-onto-edges equi-join + one groupBy(dst) with map-side partial sums; loop-invariant tables persisted",
+    "join_point_in_time": "PIT = equi-join on the entity key + interval filter; candidates per probe bounded by that key's version count",
+    "ml_freq_itemsets": "FPGrowth: parallel FP-trees per partition, no Apriori candidate blowup; baskets from one distinct+collect_set pass",
 }
 
 KEEP = re.compile(
