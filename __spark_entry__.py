@@ -37,6 +37,7 @@ from distributed_mobility_data_pipeline_spark.operators import linkage as link_o
 from distributed_mobility_data_pipeline_spark.operators import sketches as sketch_ops
 from distributed_mobility_data_pipeline_spark.operators import timeseries as ts_ops
 from distributed_mobility_data_pipeline_spark.operators import graph as graph_ops
+from distributed_mobility_data_pipeline_spark.operators import reconcile as recon_ops
 from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.operators import skew as skew_ops
@@ -282,6 +283,8 @@ _DRIVER_FIRST: list[str] = [
     "graph_pagerank",
     "ml_freq_itemsets",
     "join_point_in_time",
+    "scale_table_checksum",
+    "scale_checksum_diff",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1267,6 +1270,27 @@ def _all_queries() -> dict[str, QueryFn]:
         # oracle checks the identical set
         # PIT join over SCD2 validity intervals (leakage-safe feature join)
         "join_point_in_time": _pit_status_at_event,
+        # Anti-entropy reconciliation: bucketed checksums + bucket diff
+        # against a replica with known tampering (status flipped on
+        # every 97th order key)
+        "scale_table_checksum": lambda s, d: recon_ops.table_checksum(
+            _t(s, d, "orders"),
+            "o_orderkey",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+            n_buckets=256,
+        ),
+        "scale_checksum_diff": lambda s, d: recon_ops.checksum_diff(
+            _t(s, d, "orders"),
+            _t(s, d, "orders").withColumn(
+                "o_orderstatus",
+                F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+                    F.col("o_orderstatus")
+                ),
+            ),
+            "o_orderkey",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+            n_buckets=256,
+        ),
         "ml_freq_itemsets": lambda s, d: basket_ops.frequent_itemsets(
             _t(s, d, "lineitem"), min_support=0.001, max_len=2
         ),
@@ -3782,6 +3806,60 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT t.event_type, n_buckets, n_gaps,
                    CAST(COALESCE(longest, 0) AS BIGINT) AS longest_gap_run
             FROM totals t LEFT JOIN longest l ON t.event_type = l.event_type
+        """,
+        "scale_table_checksum": """
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                               || 'ck'), 1, 8)) AS BIGINT) % 256 AS INT)
+                     AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|'
+                       || CAST(o_custkey AS VARCHAR) || '|'
+                       || o_orderstatus || '|' || o_orderpriority
+                     ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+            FROM orders GROUP BY 1
+        """,
+        "scale_checksum_diff": """
+            WITH tampered AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     o_orderpriority
+              FROM orders
+            ), ca AS (
+              SELECT CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                 || 'ck'), 1, 8)) AS BIGINT) % 256 AS INT)
+                       AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_rows_a,
+                     CAST(sum(CAST(('0x' || substr(md5(
+                         CAST(o_orderkey AS VARCHAR) || '|'
+                         || CAST(o_custkey AS VARCHAR) || '|'
+                         || o_orderstatus || '|' || o_orderpriority
+                       ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum_a
+              FROM orders GROUP BY 1
+            ), cb AS (
+              SELECT CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                 || 'ck'), 1, 8)) AS BIGINT) % 256 AS INT)
+                       AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_rows_b,
+                     CAST(sum(CAST(('0x' || substr(md5(
+                         CAST(o_orderkey AS VARCHAR) || '|'
+                         || CAST(o_custkey AS VARCHAR) || '|'
+                         || o_orderstatus || '|' || o_orderpriority
+                       ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum_b
+              FROM tampered GROUP BY 1
+            )
+            SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+                   COALESCE(n_rows_a, 0) AS n_rows_a,
+                   COALESCE(n_rows_b, 0) AS n_rows_b,
+                   COALESCE(checksum_a, 0) AS checksum_a,
+                   COALESCE(checksum_b, 0) AS checksum_b,
+                   CASE WHEN COALESCE(n_rows_a, 0) <> COALESCE(n_rows_b, 0)
+                        THEN 'count_mismatch'
+                        ELSE 'checksum_mismatch' END AS status
+            FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+            WHERE COALESCE(n_rows_a, 0) <> COALESCE(n_rows_b, 0)
+               OR COALESCE(checksum_a, 0) <> COALESCE(checksum_b, 0)
         """,
         "join_point_in_time": """
             WITH m AS (

@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.operators import reconcile
+
+
+def _orders(spark):
+    return spark.createDataFrame(
+        [(i, i % 7, "O" if i % 2 else "F", "3-MEDIUM") for i in range(200)],
+        ["k", "c", "status", "prio"],
+    )
+
+
+COLS = ["k", "c", "status", "prio"]
+
+
+def test_identical_tables_have_empty_diff(spark):
+    a = _orders(spark)
+    out = reconcile.checksum_diff(a, _orders(spark), "k", COLS, 32)
+    assert out.count() == 0
+
+
+def test_single_value_change_is_detected(spark):
+    a = _orders(spark)
+    b = a.withColumn(
+        "status", F.when(F.col("k") == 42, F.lit("X")).otherwise(F.col("status"))
+    )
+    rows = reconcile.checksum_diff(a, b, "k", COLS, 32).collect()
+    assert len(rows) == 1
+    assert rows[0].status == "checksum_mismatch"
+    assert rows[0].n_rows_a == rows[0].n_rows_b
+
+
+def test_missing_rows_flag_count_mismatch(spark):
+    a = _orders(spark)
+    b = a.filter(F.col("k") != 17)
+    rows = reconcile.checksum_diff(a, b, "k", COLS, 32).collect()
+    assert len(rows) == 1
+    assert rows[0].status == "count_mismatch"
+    assert rows[0].n_rows_a == rows[0].n_rows_b + 1
+
+
+def test_checksum_is_partitioning_independent(spark):
+    a = _orders(spark)
+    c1 = {tuple(r) for r in reconcile.table_checksum(a, "k", COLS, 32).collect()}
+    c2 = {
+        tuple(r)
+        for r in reconcile.table_checksum(
+            a.repartition(13), "k", COLS, 32
+        ).collect()
+    }
+    assert c1 == c2
+
+
+def test_empty_cols_rejected(spark):
+    with pytest.raises(ValueError):
+        reconcile.table_checksum(_orders(spark), "k", [], 32)

@@ -80,6 +80,7 @@ AUDITS = {
     "graph_pagerank": "per iteration: rank-onto-edges equi-join + one groupBy(dst) with map-side partial sums; loop-invariant tables persisted",
     "join_point_in_time": "PIT = equi-join on the entity key + interval filter; candidates per probe bounded by that key's version count",
     "ml_freq_itemsets": "FPGrowth: parallel FP-trees per partition, no Apriori candidate blowup; baskets from one distinct+collect_set pass",
+    "scale_checksum_diff": "replica diff joins two K-row checksum summaries; each data table scanned exactly once",
 }
 
 KEEP = re.compile(
