@@ -285,6 +285,7 @@ _DRIVER_FIRST: list[str] = [
     "join_point_in_time",
     "scale_table_checksum",
     "scale_checksum_diff",
+    "win_ewma_demand",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1270,6 +1271,26 @@ def _all_queries() -> dict[str, QueryFn]:
         # oracle checks the identical set
         # PIT join over SCD2 validity intervals (leakage-safe feature join)
         "join_point_in_time": _pit_status_at_event,
+        # EWMA demand feature (dyadic weights -> bit-exact, oracle-checked)
+        "win_ewma_demand": lambda s, d: win_ops.ewma_dyadic(
+            _t(s, d, "events")
+            .groupBy(
+                "event_type",
+                F.date_format(
+                    F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+                ).alias("hour_ts"),
+            )
+            .agg(F.count(F.lit(1)).alias("n")),
+            "event_type",
+            "hour_ts",
+            "n",
+            window_rows=20,
+        ).select(
+            "event_type",
+            "hour_ts",
+            F.col("n").cast("bigint").alias("n"),
+            "ewma",
+        ),
         # Anti-entropy reconciliation: bucketed checksums + bucket diff
         # against a replica with known tampering (status flipped on
         # every 97th order key)
@@ -3806,6 +3827,26 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT t.event_type, n_buckets, n_gaps,
                    CAST(COALESCE(longest, 0) AS BIGINT) AS longest_gap_run
             FROM totals t LEFT JOIN longest l ON t.event_type = l.event_type
+        """,
+        "win_ewma_demand": """
+            WITH hourly AS (
+              SELECT event_type,
+                     strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                              '%Y-%m-%d %H:%M:%S') AS hour_ts,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), framed AS (
+              SELECT event_type, hour_ts, n,
+                     list(CAST(n AS DOUBLE)) OVER (
+                       PARTITION BY event_type ORDER BY hour_ts
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+              FROM hourly
+            )
+            SELECT event_type, hour_ts, n,
+                   list_sum(list_transform(arr,
+                     (x, i) -> x * power(0.5, len(arr) - i)))
+                   / (2.0 - power(0.5, len(arr) - 1)) AS ewma
+            FROM framed
         """,
         "scale_table_checksum": """
             SELECT CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)

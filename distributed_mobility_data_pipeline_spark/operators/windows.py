@@ -227,3 +227,43 @@ def scd2_history(
             "is_current"
         ),
     )
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 20,
+) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) of
+    ``value_col`` over the last ``window_rows`` observations per key —
+    the classic recency-weighted demand feature (W2's lag features give
+    point lags; this is their smoothed aggregate).
+
+    Determinism: dyadic weights (2^-i) and integer observations are
+    exactly representable in binary floating point, so the weighted sum
+    is BIT-exact at any parallelism and the operator is hash-checkable
+    against a SQL oracle — no summation-order noise. The window frame
+    is ordered rows per key: one shuffle on the key, nothing global.
+
+    Emits ``ewma`` normalized by the realized weight mass
+    (2 - 2^(1-m) for m observations), so early rows with short history
+    are unbiased.
+    """
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    out = df.withColumn("_arr", arr)
+    weighted = F.expr(
+        "aggregate(zip_with(_arr, sequence(size(_arr) - 1, 0), "
+        "(x, p) -> x * power(0.5, p)), cast(0.0 as double), "
+        "(acc, v) -> acc + v)"
+    )
+    norm = F.expr("2.0 - power(0.5, size(_arr) - 1)")
+    return out.withColumn("ewma", weighted / norm).drop("_arr")

@@ -76,3 +76,31 @@ def test_gap_stats_longest_run(spark):
     assert row.n_buckets == 7
     assert row.n_gaps == 4
     assert row.longest_gap_run == 3
+
+
+def test_ewma_dyadic_known_values(spark):
+    from distributed_mobility_data_pipeline_spark.operators import windows as win
+
+    df = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 2), ("a", 3, 1), ("b", 1, 10)],
+        ["k", "t", "n"],
+    )
+    out = {
+        (r.k, r.t): r.ewma
+        for r in win.ewma_dyadic(df, "k", "t", "n", window_rows=20).collect()
+    }
+    assert out[("a", 1)] == 4.0  # single obs: ewma == value
+    # m=2: (2*1 + 4*0.5) / 1.5
+    assert out[("a", 2)] == (2 + 4 * 0.5) / 1.5
+    # m=3: (1 + 2*0.5 + 4*0.25) / 1.75
+    assert out[("a", 3)] == 3.0 / 1.75
+    assert out[("b", 1)] == 10.0
+
+
+def test_ewma_rejects_bad_window(spark):
+    import pytest
+    from distributed_mobility_data_pipeline_spark.operators import windows as win
+
+    df = spark.createDataFrame([("a", 1, 1)], ["k", "t", "n"])
+    with pytest.raises(ValueError):
+        win.ewma_dyadic(df, "k", "t", "n", window_rows=0)
