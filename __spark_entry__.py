@@ -286,6 +286,7 @@ _DRIVER_FIRST: list[str] = [
     "scale_table_checksum",
     "scale_checksum_diff",
     "win_ewma_demand",
+    "sim_hard_negatives",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -794,6 +795,10 @@ def _all_queries() -> dict[str, QueryFn]:
             ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
         ),
         # North-star: embedding similarity search
+        # hard-negative mining: nearest candidates with a different label
+        "sim_hard_negatives": lambda s, d: sim_ops.hard_negatives(
+            _t(s, d, "embeddings"), [0, 1, 2, 3, 4], k=5
+        ),
         "sim_cosine_topk": lambda s, d: sim_ops.cosine_topk(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4], 3
         ),
@@ -2851,6 +2856,29 @@ def _all_oracle_sql() -> dict[str, str]:
                         AS INT) AS hamming
             FROM sims o JOIN sims d ON d.doc_id = o.doc_id + 100000
             WHERE o.doc_id < 100000
+        """,
+        "sim_hard_negatives": f"""
+            WITH n2 AS (
+              SELECT vec_id, embedding, label,
+                     {_norm2_sql("embedding")} AS nrm2
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS qid, q.label AS q_label,
+                     c.vec_id AS vid, c.label AS neg_label,
+                     {_dot_sql("q.embedding", "c.embedding")}
+                     / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos_sim
+              FROM n2 q JOIN n2 c
+                ON q.vec_id != c.vec_id AND q.label != c.label
+              WHERE q.vec_id IN (0, 1, 2, 3, 4)
+            )
+            SELECT qid, q_label, vid, neg_label,
+                   CAST(rank AS INT) AS rank, cos_sim
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_sim DESC, vid) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "sim_cosine_topk": f"""
             WITH n2 AS (

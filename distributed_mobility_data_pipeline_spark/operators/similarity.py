@@ -575,3 +575,55 @@ def pq_ann(
         .filter(F.col("rank") <= k)
         .select("qid", "vid", "rank", "approx_dot", "c_label")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-SIMILAR candidates with a DIFFERENT label. Random
+    negatives (sampling.negative_samples) are easy; these are the
+    near-miss pairs that actually move an embedding model.
+
+    Same scale shape as cosine_topk: broadcast anchors x corpus, one
+    per-anchor top-k window — the label filter runs before ranking so
+    the window sees only true negatives. Deterministic (ties by vid),
+    fully oracle-checkable.
+    """
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+        F.col("label").alias("q_label"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("neg_label"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("qid") != F.col("vid"))
+            & (F.col("q_label") != F.col("neg_label"))
+        )
+        .select(
+            "qid",
+            "q_label",
+            "vid",
+            "neg_label",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "q_label", "vid", "neg_label", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )

@@ -111,3 +111,20 @@ def test_pq_encode_layout_independent(clustered):
         for r in similarity.encode_pq(clustered.repartition(7), books).collect()
     }
     assert a == b
+
+
+def test_hard_negatives_label_and_order(spark, sf_dir):
+    from distributed_mobility_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = sim.hard_negatives(emb, [0, 1, 2], k=4).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert labels[r.qid] == r.q_label
+        assert r.neg_label != r.q_label  # every mined pair is a true negative
+        by_q.setdefault(r.qid, []).append((r.rank, r.cos_sim))
+    for sims in by_q.values():
+        ordered = [s for _, s in sorted(sims)]
+        assert ordered == sorted(ordered, reverse=True)  # similarity desc by rank
