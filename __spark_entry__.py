@@ -37,6 +37,7 @@ from distributed_mobility_data_pipeline_spark.operators import linkage as link_o
 from distributed_mobility_data_pipeline_spark.operators import sketches as sketch_ops
 from distributed_mobility_data_pipeline_spark.operators import timeseries as ts_ops
 from distributed_mobility_data_pipeline_spark.operators import graph as graph_ops
+from distributed_mobility_data_pipeline_spark.operators import bpe as bpe_ops
 from distributed_mobility_data_pipeline_spark.operators import reconcile as recon_ops
 from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
@@ -287,6 +288,7 @@ _DRIVER_FIRST: list[str] = [
     "scale_checksum_diff",
     "win_ewma_demand",
     "sim_hard_negatives",
+    "text_bpe_learn",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1276,6 +1278,12 @@ def _all_queries() -> dict[str, QueryFn]:
         # oracle checks the identical set
         # PIT join over SCD2 validity intervals (leakage-safe feature join)
         "join_point_in_time": _pit_status_at_event,
+        # BPE tokenizer training (iterative; driver sees one scalar per
+        # round). Rows-only by design — exactness proven against a
+        # pure-Python reference in tests/test_bpe.py on the same corpus.
+        "text_bpe_learn": lambda s, d: bpe_ops.learn_bpe_merges(
+            _t(s, d, "documents"), n_merges=8
+        ),
         # EWMA demand feature (dyadic weights -> bit-exact, oracle-checked)
         "win_ewma_demand": lambda s, d: win_ops.ewma_dyadic(
             _t(s, d, "events")
