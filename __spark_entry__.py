@@ -289,6 +289,8 @@ _DRIVER_FIRST: list[str] = [
     "win_ewma_demand",
     "sim_hard_negatives",
     "text_bpe_learn",
+    "sim_label_centroids",
+    "sim_prototype_confusion",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -797,6 +799,18 @@ def _all_queries() -> dict[str, QueryFn]:
             ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
         ),
         # North-star: embedding similarity search
+        # class prototypes: per-label mean embedding + nearest-centroid
+        # classification confusion (decimal-accumulated -> oracle-exact)
+        # (exploded to scalar rows: array reprs differ between engines'
+        # client layers even when every element is bit-identical)
+        "sim_label_centroids": lambda s, d: sim_ops.label_centroids(
+            _t(s, d, "embeddings")
+        ).select(
+            "label", F.posexplode("centroid").alias("pos", "c")
+        ),
+        "sim_prototype_confusion": lambda s, d: sim_ops.prototype_confusion(
+            _t(s, d, "embeddings")
+        ),
         # hard-negative mining: nearest candidates with a different label
         "sim_hard_negatives": lambda s, d: sim_ops.hard_negatives(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4], k=5
@@ -2864,6 +2878,47 @@ def _all_oracle_sql() -> dict[str, str]:
                         AS INT) AS hamming
             FROM sims o JOIN sims d ON d.doc_id = o.doc_id + 100000
             WHERE o.doc_id < 100000
+        """,
+        "sim_label_centroids": """
+            WITH ex AS (
+              SELECT label, CAST(i AS INT) AS pos,
+                     embedding[CAST(i AS INT) + 1] AS v
+              FROM embeddings, unnest(range(len(embedding))) AS t(i)
+            )
+            SELECT label, pos,
+                   CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+                        AS DOUBLE) / count(*) AS c
+            FROM ex GROUP BY 1, 2
+        """,
+        "sim_prototype_confusion": f"""
+            WITH ex AS (
+              SELECT label, CAST(i AS INT) AS pos,
+                     embedding[CAST(i AS INT) + 1] AS v
+              FROM embeddings, unnest(range(len(embedding))) AS t(i)
+            ), cent AS (
+              SELECT label, pos,
+                     CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+                          AS DOUBLE) / count(*) AS c
+              FROM ex GROUP BY 1, 2
+            ), cents AS (
+              SELECT label AS predicted_label,
+                     list(c ORDER BY pos) AS centroid
+              FROM cent GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, e.label AS true_label, p.predicted_label,
+                     {_dot_sql("e.embedding", "p.centroid")}
+                     / (sqrt({_norm2_sql("e.embedding")})
+                        * sqrt({_norm2_sql("p.centroid")})) AS cos_sim
+              FROM embeddings e CROSS JOIN cents p
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_sim DESC, predicted_label) AS rank
+              FROM scored
+            )
+            SELECT true_label, predicted_label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ranked WHERE rank = 1
+            GROUP BY 1, 2
         """,
         "sim_hard_negatives": f"""
             WITH n2 AS (

@@ -627,3 +627,72 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("qid", "q_label", "vid", "neg_label", F.col("rank").cast("int").alias("rank"), "cos_sim")
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean embedding (class prototype) — the nearest-centroid
+    classifier's model and the cheapest embedding-space summary.
+
+    Per-dimension sums accumulate in DECIMAL (order-free), so the
+    centroid doubles are bit-identical at any partitioning and in the
+    DuckDB oracle. One explode + one (label, pos) aggregation — the
+    rollup has |labels| x dim rows, tiny at any corpus size.
+    """
+    ex = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    agg = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return agg.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+
+
+def prototype_confusion(
+    embeddings: DataFrame, centroids: DataFrame | None = None
+) -> DataFrame:
+    """Nearest-centroid classification confusion counts: each vector is
+    assigned the label of its most-cosine-similar class prototype, then
+    (true_label, predicted_label) pairs are counted.
+
+    The centroid table is |labels| rows → broadcast; the corpus is
+    scanned once. Deterministic (prototype ties broken by label).
+    """
+    cent = centroids if centroids is not None else label_centroids(embeddings)
+    c = cent.select(
+        F.col("label").alias("predicted_label"),
+        "centroid",
+        _norm(F.col("centroid")).alias("cn"),
+    )
+    e = embeddings.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "embedding",
+        _norm(F.col("embedding")).alias("en"),
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "true_label",
+        "predicted_label",
+        (
+            _dot(F.col("embedding"), F.col("centroid"))
+            / (F.col("en") * F.col("cn"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("predicted_label")
+    )
+    pred = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") == 1
+    )
+    return (
+        pred.groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

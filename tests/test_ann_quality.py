@@ -128,3 +128,29 @@ def test_hard_negatives_label_and_order(spark, sf_dir):
     for sims in by_q.values():
         ordered = [s for _, s in sorted(sims)]
         assert ordered == sorted(ordered, reverse=True)  # similarity desc by rank
+
+
+def test_prototype_confusion_sums_and_diagonal(spark, sf_dir):
+    from distributed_mobility_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    conf = sim.prototype_confusion(emb).collect()
+    total = sum(r.n for r in conf)
+    assert total == emb.count()  # every vector classified exactly once
+    diag = sum(r.n for r in conf if r.true_label == r.predicted_label)
+    # embeddings are generated in label clusters -> nearest-centroid
+    # should beat random assignment by a wide margin
+    n_labels = emb.select("label").distinct().count()
+    assert diag / total > 2.0 / n_labels
+
+
+def test_label_centroids_partitioning_independent(spark, sf_dir):
+    from distributed_mobility_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {(r.label, tuple(r.centroid)) for r in sim.label_centroids(emb).collect()}
+    b = {
+        (r.label, tuple(r.centroid))
+        for r in sim.label_centroids(emb.repartition(17)).collect()
+    }
+    assert a == b  # decimal accumulation: bit-identical at any layout
