@@ -291,6 +291,7 @@ _DRIVER_FIRST: list[str] = [
     "text_bpe_learn",
     "sim_label_centroids",
     "sim_prototype_confusion",
+    "sim_cross_contamination",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -810,6 +811,13 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "sim_prototype_confusion": lambda s, d: sim_ops.prototype_confusion(
             _t(s, d, "embeddings")
+        ),
+        # embedding-level decontamination: train vectors too close to a
+        # held-out benchmark slice (first 25 ids as the benchmark set)
+        "sim_cross_contamination": lambda s, d: sim_ops.cross_set_contamination(
+            _t(s, d, "embeddings").filter(F.col("vec_id") < 25),
+            _t(s, d, "embeddings").filter(F.col("vec_id") >= 25),
+            threshold=0.3,
         ),
         # hard-negative mining: nearest candidates with a different label
         "sim_hard_negatives": lambda s, d: sim_ops.hard_negatives(
@@ -2919,6 +2927,26 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM ranked WHERE rank = 1
             GROUP BY 1, 2
+        """,
+        "sim_cross_contamination": f"""
+            WITH n2 AS (
+              SELECT vec_id, embedding,
+                     {_norm2_sql("embedding")} AS nrm2
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+                     {_dot_sql("t.embedding", "b.embedding")}
+                     / (sqrt(t.nrm2) * sqrt(b.nrm2)) AS cos_sim
+              FROM n2 t JOIN n2 b
+                ON t.vec_id >= 25 AND b.vec_id < 25
+            )
+            SELECT train_id, bench_id, cos_sim
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY train_id
+                        ORDER BY cos_sim DESC, bench_id) AS rank
+              FROM scored WHERE cos_sim >= 0.3
+            ) WHERE rank = 1
         """,
         "sim_hard_negatives": f"""
             WITH n2 AS (

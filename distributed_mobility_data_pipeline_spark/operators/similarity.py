@@ -696,3 +696,46 @@ def prototype_confusion(
         pred.groupBy("true_label", "predicted_label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def cross_set_contamination(
+    benchmark: DataFrame, train: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-level decontamination: train vectors whose cosine to
+    ANY benchmark vector clears ``threshold`` — the semantic twin of the
+    n-gram decontamination in text.py (which catches verbatim overlap;
+    this catches paraphrases living in embedding space).
+
+    The benchmark side is small by nature → broadcast; the training
+    corpus is scanned once. Returns one row per contaminated train
+    vector with its closest benchmark hit (deterministic argmax).
+    """
+    b = benchmark.select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("be"),
+        _norm(F.col("embedding")).alias("bn"),
+    )
+    t = train.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("te"),
+        _norm(F.col("embedding")).alias("tn"),
+    )
+    scored = (
+        t.crossJoin(F.broadcast(b))
+        .select(
+            "train_id",
+            "bench_id",
+            (_dot(F.col("te"), F.col("be")) / (F.col("tn") * F.col("bn"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cos_sim").desc(), F.col("bench_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("train_id", "bench_id", "cos_sim")
+    )

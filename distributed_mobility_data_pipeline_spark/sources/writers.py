@@ -241,6 +241,66 @@ def merge_upsert(
     _atomic_replace(spark, tmp, path)
 
 
+def apply_cdc_batch(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Apply a CDC change batch (op ∈ {I, U, D} + change timestamp) to
+    the table at ``path`` — the change-data-feed consumer the Delta/
+    Debezium world expects, on the parquet emulation layer.
+
+    Within the batch, only each key's LATEST change applies (row_number
+    over the key ordered by ts desc — out-of-order and duplicate change
+    events collapse deterministically). Deletes drop the key; inserts/
+    updates upsert whole rows. Re-applying the same batch is a no-op
+    (idempotent), the property replayed CDC streams rely on.
+
+    Scale: one window over the change batch (keyed shuffle), one
+    anti-join against the target on the key, one rewrite via the same
+    atomic swap as merge_upsert. With ``partition_by``, scope rewrites
+    by partition on a real table format.
+    """
+    from pyspark.sql import Window
+
+    # op desc breaks same-timestamp ties deterministically
+    # ('U' > 'I' > 'D': an upsert at the same instant beats a delete)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
+    if not table_exists(spark, path):
+        write_overwrite(upserts, path, partition_by)
+        return
+    target = spark.read.parquet(path)
+    all_keys = latest.select(*keys).dropDuplicates(keys).alias("_cdc_s")
+    tgt = target.alias("_cdc_t")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_cdc_t.`{k}`").eqNullSafe(F.col(f"_cdc_s.`{k}`"))
+            for k in keys
+        ],
+    )
+    kept = tgt.join(all_keys, on=cond, how="left_anti")
+    merged = kept.unionByName(upserts, allowMissingColumns=True)
+    tmp = path + "._tmp_cdc"
+    writer = merged.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
+    _atomic_replace(spark, tmp, path)
+
+
 def _spread_bits16(x):
     """Spread the low 16 bits of ``x`` so a zero sits between every bit
     (the magic-number Morton spread; exact integer ops)."""

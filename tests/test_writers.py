@@ -160,3 +160,39 @@ def test_optimize_layout_morton_clusters_and_preserves(spark, tmp_path):
         .count()
     )
     assert files <= 2
+
+
+def test_apply_cdc_batch_insert_update_delete(spark, tmp_path):
+    p = str(tmp_path / "cdc_tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    writers.write_overwrite(base, p)
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 10, "U"),   # update
+            (3, None, 10, "D"),   # delete
+            (4, "d", 10, "I"),    # insert
+            (4, "d2", 11, "U"),   # later change to same key wins
+            (4, "dX", 9, "U"),    # out-of-order older change loses
+        ],
+        "k long, v string, ts long, op string",
+    )
+    writers.apply_cdc_batch(spark, changes, p, ["k"], "ts")
+    got = {r.k: r.v for r in spark.read.parquet(p).collect()}
+    assert got == {1: "a", 2: "b2", 4: "d2"}
+    # idempotent replay
+    writers.apply_cdc_batch(spark, changes, p, ["k"], "ts")
+    again = {r.k: r.v for r in spark.read.parquet(p).collect()}
+    assert again == got
+
+
+def test_apply_cdc_batch_creates_table(spark, tmp_path):
+    p = str(tmp_path / "cdc_new")
+    changes = spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 1, "D")],
+        "k long, v string, ts long, op string",
+    )
+    writers.apply_cdc_batch(spark, changes, p, ["k"], "ts")
+    got = {r.k: r.v for r in spark.read.parquet(p).collect()}
+    assert got == {1: "a"}  # the delete for an absent key is a no-op
