@@ -292,6 +292,7 @@ _DRIVER_FIRST: list[str] = [
     "sim_label_centroids",
     "sim_prototype_confusion",
     "sim_cross_contamination",
+    "quality_robust_outliers",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1300,6 +1301,10 @@ def _all_queries() -> dict[str, QueryFn]:
         # oracle checks the identical set
         # PIT join over SCD2 validity intervals (leakage-safe feature join)
         "join_point_in_time": _pit_status_at_event,
+        # robust per-group outlier census (median/MAD modified z-score)
+        "quality_robust_outliers": lambda s, d: quality_ops.robust_outlier_report(
+            _t(s, d, "events"), "event_type", "value"
+        ),
         # BPE tokenizer training (iterative; driver sees one scalar per
         # round). Rows-only by design — exactness proven against a
         # pure-Python reference in tests/test_bpe.py on the same corpus.
@@ -2927,6 +2932,32 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM ranked WHERE rank = 1
             GROUP BY 1, 2
+        """,
+        "quality_robust_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS median
+              FROM events GROUP BY 1
+            ), wm AS (
+              SELECT e.event_type, e.value, m.median
+              FROM events e JOIN med m USING (event_type)
+            ), madt AS (
+              SELECT event_type,
+                     quantile_cont(abs(value - median), 0.5) AS mad,
+                     min(median) AS median
+              FROM wm GROUP BY 1
+            ), sc AS (
+              SELECT w.event_type, w.value, w.median, d.mad
+              FROM wm w JOIN (SELECT event_type, mad FROM madt) d
+                USING (event_type)
+            ), counts AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN mad > 0
+                                    AND 0.6745 * abs(value - median) / mad > 3.5
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM sc GROUP BY 1
+            )
+            SELECT c.event_type, n, m.median, m.mad, n_outliers
+            FROM counts c JOIN madt m USING (event_type)
         """,
         "sim_cross_contamination": f"""
             WITH n2 AS (

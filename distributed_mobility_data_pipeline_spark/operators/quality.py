@@ -146,3 +146,54 @@ def volume_check(
             F.col("current_rows").cast("double") / F.col("baseline_rows"),
         ).alias("volume_ratio"),
     )
+
+
+def robust_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_cutoff: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier census via median/MAD (the modified
+    z-score, |0.6745·(x−median)/MAD| > cutoff). Mean/stddev outlier
+    rules break exactly when outliers are present — median and MAD
+    don't, which is why monitoring uses them.
+
+    Two exact percentile passes (median of values, then median of
+    absolute deviations) + one counting pass, all grouped by
+    ``group_col`` — work distributes per group. Exact `percentile`
+    buffers a group's values on its reducer: right for bounded-size
+    groups (monitoring dimensions); for billion-row groups switch to
+    `percentile_approx` (same shape, rows-only checkable).
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("median")
+    )
+    with_med = df.join(med, group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({value_col} - median), 0.5)").alias("mad"),
+        F.first("median").alias("median"),
+    )
+    scored = with_med.join(mad.select(group_col, "mad"), group_col)
+    # the mad > 0 guard must wrap the division (ANSI mode evaluates all
+    # conjuncts: a bare AND still divides by zero on constant groups)
+    z = (
+        F.lit(0.6745)
+        * F.abs(F.col(value_col) - F.col("median"))
+        / F.col("mad")
+    )
+    is_outlier = F.when(F.col("mad") > 0, z > z_cutoff).otherwise(F.lit(False))
+    counts = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(is_outlier.cast("int")).alias("n_outliers"),
+    )
+    return (
+        counts.join(mad, group_col)
+        .select(
+            group_col,
+            F.col("n").cast("bigint").alias("n"),
+            "median",
+            "mad",
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )

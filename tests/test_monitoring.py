@@ -56,3 +56,18 @@ def test_latency_stats_distributed(spark, tmp_path):
     assert out.n_requests == 101
     assert out.n_errors == 1
     assert out.p50_ms <= out.p95_ms <= out.p99_ms
+
+
+def test_robust_outliers_known_data(spark):
+    from distributed_mobility_data_pipeline_spark.operators import quality
+
+    # group a: tight cluster + one wild point; group b: constant (MAD 0)
+    rows = [("a", float(v)) for v in [10, 10, 11, 9, 10, 11, 9, 10, 1000]]
+    rows += [("b", 5.0)] * 6
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    out = {r.grp: r for r in quality.robust_outlier_report(df, "grp", "value").collect()}
+    assert out["a"].median == 10.0
+    assert out["a"].mad == 1.0  # devs [0,0,0,0,1,1,1,1,990] -> median 1
+    assert out["a"].n_outliers == 1  # only the 1000
+    assert out["b"].mad == 0.0
+    assert out["b"].n_outliers == 0  # MAD 0 guard: constants never flag

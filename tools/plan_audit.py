@@ -81,6 +81,10 @@ AUDITS = {
     "join_point_in_time": "PIT = equi-join on the entity key + interval filter; candidates per probe bounded by that key's version count",
     "ml_freq_itemsets": "FPGrowth: parallel FP-trees per partition, no Apriori candidate blowup; baskets from one distinct+collect_set pass",
     "scale_checksum_diff": "replica diff joins two K-row checksum summaries; each data table scanned exactly once",
+    "win_ewma_demand": "per-key ordered frame feeds the dyadic weighted fold; one shuffle on the series key",
+    "sim_hard_negatives": "broadcast anchors x corpus; label filter runs before the per-anchor top-k window",
+    "sim_prototype_confusion": "|labels|-row centroid table broadcast; corpus scanned once; per-vector argmax window",
+    "sim_cross_contamination": "benchmark side broadcast onto one training-corpus scan; threshold filter before the argmax window",
 }
 
 KEEP = re.compile(
