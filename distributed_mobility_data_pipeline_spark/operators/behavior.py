@@ -43,6 +43,9 @@ def funnel_stages(
     """
     if len(stages) < 2:
         raise ValueError(f"funnel needs >= 2 stages, got {list(stages)}")
+    if any("'" in s for s in stages):
+        # stage names are spliced into a stack() expression literal
+        raise ValueError("stage names must not contain single quotes")
     w = Window.partitionBy(user_col)
     df = events.select(user_col, ts_col, type_col)
     prev: str | None = None

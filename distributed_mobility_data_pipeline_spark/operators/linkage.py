@@ -55,21 +55,38 @@ def blocked_fuzzy_pairs(
         F.col(name_col).alias("name_b"),
         block.alias("_block"),
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # two cheap pre-filters before the expensive edit distance:
+    # |len(a)-len(b)| is a Levenshtein lower bound (prunes in codegen
+    # before the DP), and the threshold form of levenshtein abandons
+    # the DP as soon as the bound is exceeded (returns -1) — together
+    # they make giant blocks pay O(short-circuit), not O(len^2) per pair
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_distance)
     return (
         a.join(b, "_block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b"))
+                <= max_distance
+            )
+        )
         .select(
             "id_a",
             "id_b",
             "name_a",
             "name_b",
             dist.cast("int").alias("edit_distance"),
-            (
+            # two empty names are identical (similarity 1); the guard
+            # also keeps ANSI mode from dividing by zero on them
+            F.when(
+                F.greatest(F.length("name_a"), F.length("name_b")) > 0,
                 F.lit(1.0)
                 - dist.cast("double")
-                / F.greatest(F.length("name_a"), F.length("name_b"))
-            ).alias("similarity"),
+                / F.greatest(F.length("name_a"), F.length("name_b")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("similarity"),
         )
-        .filter(F.col("edit_distance") <= max_distance)
+        # threshold levenshtein marks beyond-bound pairs with -1
+        .filter(F.col("edit_distance").between(0, max_distance))
     )
