@@ -60,11 +60,15 @@ def pagerank_fixed_point(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0 < damping_num < damping_den):
         raise ValueError("damping must be a proper fraction")
-    # edges/deg/nodes are loop-invariant and referenced every iteration:
-    # persist them once (memory-and-disk, the iterative-algorithm
-    # standard) instead of re-deriving from the base scan per round
-    edges = edges.select("src", "dst").persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # Loop-invariant tables are built once and persisted (memory-and-
+    # disk, the iterative-algorithm standard). Two shuffle-avoidance
+    # moves: the out-degree joins into the edge table ONCE (saves a
+    # join per round), and the combined table is hash-partitioned on
+    # src so each round's rank join only shuffles the rank table (node-
+    # sized) — the edge table (the big side) never moves again.
+    edges = edges.select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(deg, "src").repartition("src").persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -78,8 +82,7 @@ def pagerank_fixed_point(
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n).cast("bigint"))
     for _ in range(iterations):
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_fp div outdeg").alias("contrib"),
