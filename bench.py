@@ -46,6 +46,21 @@ HEADLINE = [
 ]
 
 
+# Extended panel (round-5 operator families): timed warm-only and
+# reported under queries_extended/extended_total — deliberately NOT part
+# of `value`, so headline totals stay comparable across rounds.
+EXTENDED = [
+    "behavior_funnel",
+    "graph_pagerank",
+    "ts_resample_ffill",
+    "join_point_in_time",
+    "ml_freq_itemsets",
+    "win_ewma_demand",
+    "scale_table_checksum",
+    "sim_prototype_confusion",
+]
+
+
 def _run_pass(spark, qs, names: list[str], errors: dict[str, str]) -> dict[str, float]:
     # One broken query must not zero the whole artifact: record its error
     # and keep timing the rest (r03 lost all numbers to a single
@@ -108,6 +123,10 @@ def main() -> None:
         except Exception:
             pass
     timings = _run_pass(spark, qs, names, errors)
+    errors_ext: dict[str, str] = {}
+    extended = _run_pass(
+        spark, qs, [n for n in EXTENDED if n in qs], errors_ext
+    )
     calibration = _calibration(spark)
     total = round(sum(timings.values()), 3)
     payload = {
@@ -132,12 +151,18 @@ def main() -> None:
         "n_timed": len(timings),
         "n_errors": len(errors),
         "n_errors_cold": len(errors_cold),
+        # round-5 operator panel, warm-only, excluded from `value`
+        "queries_extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "n_errors_extended": len(errors_ext),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         payload["errors"] = errors
     if errors_cold:
         payload["errors_cold"] = errors_cold
+    if errors_ext:
+        payload["errors_extended"] = errors_ext
     print(json.dumps(payload))
     spark.stop()
 

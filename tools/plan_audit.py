@@ -85,6 +85,7 @@ AUDITS = {
     "sim_hard_negatives": "broadcast anchors x corpus; label filter runs before the per-anchor top-k window",
     "sim_prototype_confusion": "|labels|-row centroid table broadcast; corpus scanned once; per-vector argmax window",
     "sim_cross_contamination": "benchmark side broadcast onto one training-corpus scan; threshold filter before the argmax window",
+    "quality_robust_outliers": "two exact percentile passes + one counting pass, all grouped by the monitoring dimension; medians broadcast back",
 }
 
 KEEP = re.compile(
