@@ -296,6 +296,8 @@ _DRIVER_FIRST: list[str] = [
     "sim_prototype_confusion",
     "sim_cross_contamination",
     "quality_robust_outliers",
+    "agg_rolling_distinct_exact",
+    "agg_rolling_distinct_sketch",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1288,6 +1290,14 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "events")
         ),
         "agg_distinct_rollup_sketch": lambda s, d: sketch_ops.distinct_rollup_sketch(
+            _t(s, d, "events")
+        ),
+        # rolling N-day distinct: sketch-table window union (rows-only)
+        # + exact range-join twin (hash-checked)
+        "agg_rolling_distinct_sketch": lambda s, d: sketch_ops.rolling_distinct_sketch(
+            _t(s, d, "events")
+        ),
+        "agg_rolling_distinct_exact": lambda s, d: sketch_ops.rolling_distinct_exact(
             _t(s, d, "events")
         ),
         # Time-series regularization: per-series hourly grid with
@@ -3879,6 +3889,19 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m') AS month,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "agg_rolling_distinct_exact": """
+            WITH activity AS (
+              SELECT DISTINCT user_id AS k, date_trunc('day', ts) AS d
+              FROM events
+            ), days AS (
+              SELECT DISTINCT d AS day FROM activity
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_users
+            FROM days JOIN activity
+              ON d <= day AND d > day - INTERVAL 7 DAY
+            GROUP BY 1
         """,
         "stream_static_enrich": """
             SELECT c.c_mktsegment, e.event_type,

@@ -19,7 +19,7 @@ the exact answer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,4 +67,65 @@ def distinct_rollup_exact(
     return (
         events.groupBy(F.date_format(F.col(ts_col), "yyyy-MM").alias("month"))
         .agg(F.countDistinct(F.col(key_col)).cast("bigint").alias("n_users"))
+    )
+
+
+def rolling_distinct_sketch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Rolling N-day distinct ``key_col`` per day from the DAILY sketch
+    table: ``hll_union_agg`` runs as a WINDOW aggregate over the last N
+    daily sketches — the rolling-retention metric without ever
+    rescanning events (the second reuse of the persisted sketch table,
+    after the monthly rollup).
+
+    Approximate → rows-only checked; the exact twin below is the
+    hash-checked oracle query."""
+    daily = daily_distinct_sketches(events, key_col, ts_col, lg_k)
+    # the un-partitioned window runs over the DAILY table — one row per
+    # day (bounded dimension), never event rows
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w))
+        .cast("bigint")
+        .alias("approx_users"),
+    )
+
+
+def rolling_distinct_exact(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact twin of ``rolling_distinct_sketch``: distinct keys in the
+    trailing N-day window of each observed day.
+
+    COUNT(DISTINCT) over a window frame isn't supported directly, so
+    the classic shape: reduce to distinct (key, day), join the day list
+    against activity within the range, count distinct per day. The
+    range join is day-list x distinct-activity — both reduced tables,
+    never raw events."""
+    activity = events.select(
+        F.col(key_col).alias("_k"),
+        F.date_trunc("day", F.col(ts_col)).alias("_d"),
+    ).distinct()
+    days = activity.select("_d").distinct().withColumnRenamed("_d", "_day")
+    joined = days.join(
+        activity,
+        (F.col("_d") <= F.col("_day"))
+        & (F.col("_d") > F.date_sub(F.col("_day"), window_days)),
+    )
+    return (
+        joined.groupBy("_day")
+        .agg(F.countDistinct("_k").cast("bigint").alias("n_users"))
+        .select(F.date_format("_day", "yyyy-MM-dd").alias("day"), "n_users")
     )

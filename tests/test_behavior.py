@@ -109,3 +109,24 @@ def test_sketch_rollup_within_hll_error(events):
     for m, n in exact.items():
         # lg_k=12 HLL is well under 5% relative error
         assert abs(approx[m] - n) <= max(1, 0.05 * n)
+
+
+def test_rolling_distinct_sketch_tracks_exact(events):
+    exact = {
+        r.day: r.n_users
+        for r in sketches.rolling_distinct_exact(events).collect()
+    }
+    approx = {
+        r.day: r.approx_users
+        for r in sketches.rolling_distinct_sketch(events).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(1, 0.05 * n)
+    # rolling window >= any single day's distinct count
+    daily = {
+        r.day: r.n_users
+        for r in sketches.rolling_distinct_exact(events, window_days=1).collect()
+    }
+    for d in exact:
+        assert exact[d] >= daily[d]
