@@ -1,0 +1,50 @@
+"""Physical-plan regression net: no driver query may compile to the
+two unconditional scale-killers — a non-broadcast CartesianProduct or
+row-at-a-time Python evaluation (BatchEvalPython). Arrow-batched pandas
+UDFs (ArrowEvalPython) and broadcast nested-loop joins (the
+broadcast-scalar / broadcast-probe crossJoin pattern) stay allowed.
+
+PLANS.md documents the plans we want; this test pins the floor.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+# queries whose CONSTRUCTION already executes jobs (iterative training,
+# driver-looped learning, streaming harnesses) — heavyweight to build,
+# covered by their own tests
+BUILD_EXECUTES = {
+    "text_bpe_learn",
+    "graph_pagerank",
+    "ml_train_demand_models",
+    "ml_train_classifier",
+    "stream_stateful_counts",
+    "sim_ivf_ann",
+    "sim_pq_encode",
+    "sim_pq_ann",
+    "serve_demand_batch",
+}
+
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+def test_no_cartesian_or_rowwise_python(spark, sf_dir):
+    qs = entrymod.queries()
+    offenders: dict[str, str] = {}
+    for name, fn in qs.items():
+        if name in BUILD_EXECUTES:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        except Exception as exc:  # construction failure is its own bug
+            offenders[name] = f"construction failed: {exc}"
+            continue
+        for marker in FORBIDDEN:
+            if marker in plan:
+                offenders[name] = marker
+    assert not offenders, f"scale-killer plans: {offenders}"
