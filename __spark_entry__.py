@@ -298,6 +298,7 @@ _DRIVER_FIRST: list[str] = [
     "quality_robust_outliers",
     "agg_rolling_distinct_exact",
     "agg_rolling_distinct_sketch",
+    "dedup_canonical_quality",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -792,6 +793,15 @@ def _all_queries() -> dict[str, QueryFn]:
             ddllm_ops.minhash_lsh_pairs(
                 ddllm_ops.with_mutated_copies(_t(s, d, "documents")), 3
             ).filter(F.col("is_dup") == 1),
+        ),
+        # quality-aware canonical selection: keep the LONGEST variant
+        # per near-dup cluster (vs min-doc_id keep in dedup_docs_clusters)
+        "dedup_canonical_quality": lambda s, d: ddllm_ops.canonical_docs(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
+            ddllm_ops.minhash_lsh_pairs(
+                ddllm_ops.with_mutated_copies(_t(s, d, "documents")), 3
+            ).filter(F.col("is_dup") == 1),
+            F.length("text").cast("bigint"),
         ),
         "dedup_docs_clusters_jaccard": lambda s, d: ddllm_ops.dup_clusters(
             ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
@@ -2524,6 +2534,94 @@ def _all_oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+        """,
+        "dedup_canonical_quality": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ),
+            norm AS (SELECT doc_id,
+                            string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+                     FROM base),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(len(toks) - 2),
+                                           i -> array_to_string(toks[i+1:i+3], ' '))
+                       ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM norm
+            ),
+            sig AS (
+              SELECT doc_id,
+                   """ + _MH_COLS + """
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     sha256(mh_0::VARCHAR || '|' || mh_1::VARCHAR || '|' || mh_2::VARCHAR || '|' || mh_3::VARCHAR) AS bhash FROM sig
+              UNION ALL
+              SELECT doc_id, 1,
+                     sha256(mh_4::VARCHAR || '|' || mh_5::VARCHAR || '|' || mh_6::VARCHAR || '|' || mh_7::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 2,
+                     sha256(mh_8::VARCHAR || '|' || mh_9::VARCHAR || '|' || mh_10::VARCHAR || '|' || mh_11::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 3,
+                     sha256(mh_12::VARCHAR || '|' || mh_13::VARCHAR || '|' || mh_14::VARCHAR || '|' || mh_15::VARCHAR) FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jacv AS (
+              SELECT doc_a, doc_b,
+                     CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            ),
+            dup_pairs AS (
+              SELECT cand.doc_a, cand.doc_b
+              FROM cand LEFT JOIN jacv
+                ON cand.doc_a = jacv.doc_a AND cand.doc_b = jacv.doc_b
+              WHERE COALESCE(jaccard, 0.0) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+              UNION
+              SELECT doc_b, doc_a FROM dup_pairs
+            ),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS r FROM base
+              UNION
+              SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+            ),
+            comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+            scored AS (
+              SELECT comp.node, comp.cluster_id,
+                     CAST(length(base.text) AS BIGINT) AS len
+              FROM comp JOIN base ON base.doc_id = comp.node
+            ),
+            ranked AS (
+              SELECT cluster_id, node, len,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY len DESC, node) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM scored
+            )
+            SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+                   node AS keep_doc_id, len AS keep_score
+            FROM ranked WHERE rn = 1
         """,
         "dedup_docs_clusters": """
             WITH RECURSIVE base AS (

@@ -261,12 +261,12 @@ def minhash_lsh_pairs(
     )
 
 
-def dup_clusters(
+def dup_labels(
     docs: DataFrame, pairs: DataFrame, max_iters: int = 10
 ) -> DataFrame:
-    """Transitive near-dup clustering: connected components over the
-    candidate-pair graph by iterative min-label propagation WITH pointer
-    doubling, then one canonical doc per cluster (min doc_id).
+    """Per-document cluster assignment (doc_id, cluster_id): connected
+    components over the candidate-pair graph by iterative min-label
+    propagation WITH pointer doubling.
 
     Each iteration takes the min label over graph neighbors and then
     chases one pointer hop (adopts the current label's own label), so
@@ -329,16 +329,59 @@ def dup_clusters(
         labels = mat.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """Cluster summary over ``dup_labels``: one canonical doc per
+    near-dup cluster (min doc_id) + cluster size — the 'keep one per
+    duplicate cluster' step that follows MinHash/SimHash candidate
+    generation at corpus scale."""
     return (
-        labels.groupBy("label")
+        dup_labels(docs, pairs, max_iters)
+        .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
             F.min("doc_id").alias("keep_doc_id"),
         )
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the doc with the highest ``score`` (ties by doc_id) — the
+    policy upgrade over min-doc_id keep: when near-dups differ (one
+    truncated, one clean), the corpus keeps the best variant.
+
+    Returns (cluster_id, cluster_size, keep_doc_id, keep_score). The
+    argmax is a per-cluster window over the labels table — cluster-
+    partitioned, no global sort."""
+    from pyspark.sql import Window
+
+    labels = dup_labels(docs, pairs, max_iters)
+    scored = labels.join(
+        docs.select("doc_id", score.alias("_score")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == 1)
         .select(
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
-            "keep_doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("_score").alias("keep_score"),
         )
     )
 

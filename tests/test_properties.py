@@ -117,3 +117,44 @@ def test_dup_clusters_matches_union_find(spark, n_nodes, raw_edges):
     out = dedup_llm.dup_clusters(docs, pairs, max_iters=32)
     got = {(r.keep_doc_id, r.cluster_size) for r in out.collect()}
     assert got == _union_find_components(n_nodes, edges)
+
+
+def test_canonical_docs_picks_highest_score(spark):
+    from pyspark.sql import functions as F
+    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "much longer text"), (3, "mid text"), (4, "loner")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    out = {
+        r.cluster_id: r
+        for r in dedup_llm.canonical_docs(
+            docs, pairs, F.length("text").cast("bigint")
+        ).collect()
+    }
+    # cluster {1,2,3}: doc 2 has the longest text
+    assert out[1].keep_doc_id == 2 and out[1].cluster_size == 3
+    assert out[1].keep_score == len("much longer text")
+    # singleton keeps itself
+    assert out[4].keep_doc_id == 4 and out[4].cluster_size == 1
+
+
+def test_dup_labels_matches_cluster_summary(spark):
+    from pyspark.sql import functions as F
+    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["doc_a", "doc_b"])
+    labels = dedup_llm.dup_labels(docs, pairs).collect()
+    summary = {
+        r.cluster_id: r.cluster_size
+        for r in dedup_llm.dup_clusters(docs, pairs).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(r.cluster_id for r in labels)
+    assert dict(counts) == summary
