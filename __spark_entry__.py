@@ -299,6 +299,7 @@ _DRIVER_FIRST: list[str] = [
     "agg_rolling_distinct_exact",
     "agg_rolling_distinct_sketch",
     "dedup_canonical_quality",
+    "ml_seq_patterns",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1374,6 +1375,11 @@ def _all_queries() -> dict[str, QueryFn]:
             "o_orderkey",
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
             n_buckets=256,
+        ),
+        # PrefixSpan sequential patterns (the ordered twin of FPGrowth),
+        # truncated to length 2 so the ordered-pair EXISTS oracle is exact
+        "ml_seq_patterns": lambda s, d: basket_ops.sequential_patterns(
+            _t(s, d, "events"), min_support=0.5, max_pattern_length=2
         ),
         "ml_freq_itemsets": lambda s, d: basket_ops.frequent_itemsets(
             _t(s, d, "lineitem"), min_support=0.001, max_len=2
@@ -4201,6 +4207,27 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM events e JOIN hist h ON e.user_id = h.user_id
                  AND e.ts >= h.valid_from
                  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        """,
+        "ml_seq_patterns": """
+            WITH seq_users AS (
+              SELECT count(DISTINCT user_id) AS n FROM events
+            ), singles AS (
+              SELECT event_type AS pattern, CAST(1 AS INT) AS n_steps,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS freq
+              FROM events GROUP BY event_type
+            ), pairs AS (
+              SELECT a.event_type || '>' || b.event_type AS pattern,
+                     CAST(2 AS INT) AS n_steps,
+                     CAST(count(DISTINCT a.user_id) AS BIGINT) AS freq
+              FROM events a JOIN events b ON a.user_id = b.user_id
+                   AND (a.ts < b.ts
+                        OR (a.ts = b.ts AND a.event_id < b.event_id))
+              GROUP BY 1
+            )
+            SELECT pattern, n_steps, freq
+            FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs),
+                 seq_users
+            WHERE freq >= ceiling(0.5 * n)
         """,
         "ml_freq_itemsets": """
             WITH op AS (

@@ -60,3 +60,54 @@ def frequent_itemsets(
         F.size("items").alias("n_items"),
         F.col("freq").cast("bigint").alias("freq"),
     )
+
+
+def user_event_sequences(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """One row per user: the time-ordered event-type sequence in
+    PrefixSpan's shape (array of singleton itemsets). Ordering ties
+    break on ``tiebreak`` so sequences are deterministic."""
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col), F.col(tiebreak), F.col(type_col))
+        )
+    )
+    return events.groupBy(user_col).agg(
+        F.transform(ordered, lambda s: F.array(s[type_col])).alias("sequence")
+    )
+
+
+def sequential_patterns(
+    events: DataFrame,
+    min_support: float = 0.5,
+    max_pattern_length: int = 2,
+) -> DataFrame:
+    """Frequent event-type sequences across users (MLlib PrefixSpan —
+    the sequential twin of FPGrowth's co-occurrence itemsets).
+
+    Support = the number of users whose ordered event sequence contains
+    the pattern as a subsequence. Truncated to ``max_pattern_length``
+    (<= 2 keeps the SQL oracle exact: length-2 subsequence containment
+    is an ordered-pair EXISTS). Returns (pattern, n_steps, freq) with
+    the pattern rendered as 'a>b'.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+
+    seqs = user_event_sequences(events)
+    model = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        sequenceCol="sequence",
+    )
+    out = model.findFrequentSequentialPatterns(seqs)
+    flat = F.transform(F.col("sequence"), lambda s: s[0])
+    return out.select(
+        F.concat_ws(">", flat).alias("pattern"),
+        F.size("sequence").alias("n_steps"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )
