@@ -300,6 +300,7 @@ _DRIVER_FIRST: list[str] = [
     "agg_rolling_distinct_sketch",
     "dedup_canonical_quality",
     "ml_seq_patterns",
+    "agg_revenue_gini",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1375,6 +1376,16 @@ def _all_queries() -> dict[str, QueryFn]:
             "o_orderkey",
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
             n_buckets=256,
+        ),
+        # revenue concentration: per-nation Gini over customer revenue
+        "agg_revenue_gini": lambda s, d: agg_ops.gini_by_group(
+            _t(s, d, "orders").join(
+                _t(s, d, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            "c_nationkey",
+            "c_custkey",
+            "o_totalprice",
         ),
         # PrefixSpan sequential patterns (the ordered twin of FPGrowth),
         # truncated to length 2 so the ordered-pair EXISTS oracle is exact
@@ -4207,6 +4218,32 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM events e JOIN hist h ON e.user_id = h.user_id
                  AND e.ts >= h.valid_from
                  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        """,
+        "agg_revenue_gini": """
+            WITH per_key AS (
+              SELECT c_nationkey, c_custkey,
+                     sum(CAST(o_totalprice AS DECIMAL(18,6))) AS x
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT c_nationkey, x,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY x ASC, c_custkey ASC) AS i
+              FROM per_key
+            ), agg AS (
+              SELECT c_nationkey,
+                     count(*) AS n,
+                     CAST(sum(x) AS DOUBLE) AS total,
+                     CAST(sum(i * x) AS DOUBLE) AS weighted
+              FROM ranked GROUP BY 1
+            )
+            SELECT c_nationkey,
+                   CAST(n AS BIGINT) AS n_keys,
+                   total AS total_value,
+                   CASE WHEN total <> 0
+                        THEN 2.0 * weighted / (n * total) - (n + 1.0) / n
+                   END AS gini
+            FROM agg
         """,
         "ml_seq_patterns": """
             WITH seq_users AS (

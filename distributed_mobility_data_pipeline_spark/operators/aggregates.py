@@ -782,3 +782,44 @@ def finalize_daily_revenue(state: DataFrame) -> DataFrame:
             "avg_discount"
         ),
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini concentration of per-key value within each group — e.g.,
+    how concentrated customer revenue is inside each nation. 0 = every
+    key equal, ->1 = one key holds everything.
+
+    Uses the rank formulation over ascending per-key totals:
+        G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n
+    Per-key totals accumulate in exact DECIMAL and ranks are integers,
+    so every input to the final double arithmetic is bit-exact at any
+    partitioning (oracle-checkable). The rank window partitions by the
+    group — no global sort.
+    """
+    per_key = df.groupBy(group_col, key_col).agg(
+        F.sum(dec(value_col)).alias("_x")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_x").asc(), F.col(key_col).asc()
+    )
+    ranked = per_key.withColumn("_i", F.row_number().over(w))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").cast("double").alias("_total"),
+        F.sum(F.col("_i") * F.col("_x")).cast("double").alias("_weighted"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("_weighted") / (F.col("_n") * F.col("_total"))
+        - (F.col("_n") + F.lit(1.0)) / F.col("_n")
+    )
+    return agg.select(
+        group_col,
+        F.col("_n").cast("bigint").alias("n_keys"),
+        F.col("_total").alias("total_value"),
+        F.when(F.col("_total") != 0, gini).alias("gini"),
+    )

@@ -81,3 +81,17 @@ def test_top_k_per_group_exact(spark):
     out = aggregates.top_k(df, "v", 2, "g").collect()
     got = sorted((r.g, r.v) for r in out)
     assert got == [("a", 8), ("a", 9), ("b", 1), ("b", 2)]
+
+
+def test_gini_extremes(spark):
+    from distributed_mobility_data_pipeline_spark.operators import aggregates as agg
+
+    # group e: perfectly equal -> gini 0; group c: one key has all value
+    rows = [("e", k, 10.0) for k in range(4)]
+    rows += [("c", 0, 100.0), ("c", 1, 0.0), ("c", 2, 0.0), ("c", 3, 0.0)]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    out = {r.g: r for r in agg.gini_by_group(df, "g", "k", "v").collect()}
+    assert out["e"].gini == 0.0
+    # max gini for n=4 with one holder = (n-1)/n = 0.75
+    assert out["c"].gini == 0.75
+    assert out["e"].n_keys == 4 and out["e"].total_value == 40.0
