@@ -301,6 +301,7 @@ _DRIVER_FIRST: list[str] = [
     "dedup_canonical_quality",
     "ml_seq_patterns",
     "agg_revenue_gini",
+    "behavior_type_entropy",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1376,6 +1377,10 @@ def _all_queries() -> dict[str, QueryFn]:
             "o_orderkey",
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
             n_buckets=256,
+        ),
+        # per-user behavioral diversity (Shannon entropy of event types)
+        "behavior_type_entropy": lambda s, d: behavior_ops.type_entropy(
+            _t(s, d, "events")
         ),
         # revenue concentration: per-nation Gini over customer revenue
         "agg_revenue_gini": lambda s, d: agg_ops.gini_by_group(
@@ -4218,6 +4223,21 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM events e JOIN hist h ON e.user_id = h.user_id
                  AND e.ts >= h.valid_from
                  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        """,
+        "behavior_type_entropy": """
+            WITH counts AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2
+            ), tot AS (
+              SELECT user_id, sum(c) AS n, count(*) AS k
+              FROM counts GROUP BY 1
+            )
+            SELECT c.user_id,
+                   CAST(min(t.n) AS BIGINT) AS n_events,
+                   CAST(min(t.k) AS INT) AS n_types,
+                   -sum((c.c / t.n) * ln(c.c / t.n)) AS entropy
+            FROM counts c JOIN tot t USING (user_id)
+            GROUP BY c.user_id
         """,
         "agg_revenue_gini": """
             WITH per_key AS (

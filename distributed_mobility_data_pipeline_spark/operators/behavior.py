@@ -198,3 +198,35 @@ def rfm_scores(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def type_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy (nats) of the
+    user's event-type distribution. 0 = one-track users; ln(k) = uses
+    all k types uniformly. The standard engagement-breadth feature.
+
+    Two grouped aggregations (user x type counts, then per-user fold);
+    counts are exact integers so the only floating-point steps are the
+    per-type p*ln(p) terms — identical expressions on both engines.
+    """
+    counts = events.groupBy(user_col, type_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = counts.groupBy(user_col).agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_k")
+    )
+    # join on the user key both sides are already hash-partitioned on
+    p = F.col("_c") / F.col("_n")
+    return (
+        counts.join(totals, user_col)
+        .groupBy(user_col)
+        .agg(
+            F.first("_n").cast("bigint").alias("n_events"),
+            F.first("_k").cast("int").alias("n_types"),
+            (-F.sum(p * F.log(p))).alias("entropy"),
+        )
+    )

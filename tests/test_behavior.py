@@ -130,3 +130,14 @@ def test_rolling_distinct_sketch_tracks_exact(events):
     }
     for d in exact:
         assert exact[d] >= daily[d]
+
+
+def test_type_entropy_bounds(spark):
+    import math
+
+    rows = [(1, "a")] * 4 + [(2, "a"), (2, "b"), (2, "c"), (2, "d")]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = {r.user_id: r for r in behavior.type_entropy(ev).collect()}
+    assert out[1].entropy == 0.0  # single-type user
+    assert abs(out[2].entropy - math.log(4)) < 1e-12  # uniform over 4 types
+    assert out[2].n_events == 4 and out[2].n_types == 4
