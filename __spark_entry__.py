@@ -302,6 +302,7 @@ _DRIVER_FIRST: list[str] = [
     "ml_seq_patterns",
     "agg_revenue_gini",
     "behavior_type_entropy",
+    "clean_pseudonymize",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1377,6 +1378,12 @@ def _all_queries() -> dict[str, QueryFn]:
             "o_orderkey",
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
             n_buckets=256,
+        ),
+        # keyed pseudonymization (salted sha256, map-only)
+        "clean_pseudonymize": lambda s, d: clean_ops.pseudonymize(
+            _t(s, d, "events").select("event_id", "user_id", "event_type"),
+            ["user_id"],
+            "pepper-1",
         ),
         # per-user behavioral diversity (Shannon entropy of event types)
         "behavior_type_entropy": lambda s, d: behavior_ops.type_entropy(
@@ -4223,6 +4230,14 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM events e JOIN hist h ON e.user_id = h.user_id
                  AND e.ts >= h.valid_from
                  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        """,
+        "clean_pseudonymize": """
+            SELECT event_id,
+                   CASE WHEN user_id IS NOT NULL
+                        THEN sha256('pepper-1' || CAST(user_id AS VARCHAR))
+                   END AS user_id,
+                   event_type
+            FROM events
         """,
         "behavior_type_entropy": """
             WITH counts AS (

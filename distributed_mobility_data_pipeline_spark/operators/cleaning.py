@@ -88,3 +88,26 @@ def clean_events(events: DataFrame) -> DataFrame:
         "value",
         F.to_date("ts").cast("string").alias("event_date"),
     )
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], salt: str
+) -> DataFrame:
+    """Keyed pseudonymization: replace identifier columns with salted
+    sha256 digests — joins still work (same input -> same digest under
+    one salt) but raw identifiers never leave the pipeline. Rotating
+    the salt unlinks all historical pseudonyms at once.
+
+    Map-only column algebra (one sha2 per cell, no shuffle)."""
+    if not cols:
+        raise ValueError("pseudonymize needs at least one column")
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256),
+            ),
+        )
+    return out

@@ -324,3 +324,32 @@ def morton_key_2d(a, b):
     a64 = a.cast("long")
     b64 = b.cast("long")
     return _spread_bits16(a64).bitwiseOR(F.shiftleft(_spread_bits16(b64), 1))
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: "F.Column",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Compliance-style delete: rewrite the table at ``path`` without
+    rows matching ``predicate`` (the parquet stand-in for Delta's
+    DELETE WHERE — right-to-erasure and retention-window enforcement).
+
+    Returns the number of rows deleted. Uses the same atomic-swap path
+    as merge_upsert, so a crash mid-rewrite keeps the old table; on a
+    real table format with ``partition_by``, only affected partitions
+    need rewriting.
+    """
+    df = spark.read.parquet(path)
+    kept = df.filter(~predicate | predicate.isNull())
+    n_deleted = df.count() - kept.count()
+    if n_deleted == 0:
+        return 0
+    tmp = path + "._tmp_delete"
+    writer = kept.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
+    _atomic_replace(spark, tmp, path)
+    return n_deleted

@@ -196,3 +196,34 @@ def test_apply_cdc_batch_creates_table(spark, tmp_path):
     writers.apply_cdc_batch(spark, changes, p, ["k"], "ts")
     got = {r.k: r.v for r in spark.read.parquet(p).collect()}
     assert got == {1: "a"}  # the delete for an absent key is a no-op
+
+
+def test_delete_where(spark, tmp_path):
+    p = str(tmp_path / "del_tbl")
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(10)], "k long, tag string"
+    )
+    writers.write_overwrite(df, p)
+    from pyspark.sql import functions as F
+
+    n = writers.delete_where(spark, p, F.col("tag") == "drop")
+    assert n == 5
+    left = spark.read.parquet(p)
+    assert left.count() == 5
+    assert left.filter("tag = 'drop'").count() == 0
+    # no-op delete leaves the table untouched
+    assert writers.delete_where(spark, p, F.col("tag") == "absent") == 0
+    assert spark.read.parquet(p).count() == 5
+
+
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    p = str(tmp_path / "del_null")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "k long, tag string"
+    )
+    writers.write_overwrite(df, p)
+    from pyspark.sql import functions as F
+
+    n = writers.delete_where(spark, p, F.col("tag") == "x")
+    assert n == 1
+    assert {r.k for r in spark.read.parquet(p).collect()} == {2, 3}
