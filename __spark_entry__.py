@@ -43,6 +43,7 @@ from distributed_mobility_data_pipeline_spark.operators import sampling as sampl
 from distributed_mobility_data_pipeline_spark.operators import scalars as scalar_ops
 from distributed_mobility_data_pipeline_spark.operators import skew as skew_ops
 from distributed_mobility_data_pipeline_spark.operators import layout as layout_ops
+from distributed_mobility_data_pipeline_spark.plans import behavior as behavior_plan
 from distributed_mobility_data_pipeline_spark.plans import corpus as corpus_plan
 from distributed_mobility_data_pipeline_spark.ml import basket as basket_ops
 from distributed_mobility_data_pipeline_spark.ml import features as mlfeat
@@ -303,6 +304,7 @@ _DRIVER_FIRST: list[str] = [
     "agg_revenue_gini",
     "behavior_type_entropy",
     "clean_pseudonymize",
+    "pipeline_user_insights",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1378,6 +1380,11 @@ def _all_queries() -> dict[str, QueryFn]:
             "o_orderkey",
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
             n_buckets=256,
+        ),
+        # composed behavioral pipeline: sessionization + funnel
+        # milestones + diversity + recency in ONE lazy plan, hash-checked
+        "pipeline_user_insights": lambda s, d: behavior_plan.user_insights(
+            _t(s, d, "events")
         ),
         # keyed pseudonymization (salted sha256, map-only)
         "clean_pseudonymize": lambda s, d: clean_ops.pseudonymize(
@@ -4230,6 +4237,83 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM events e JOIN hist h ON e.user_id = h.user_id
                  AND e.ts >= h.valid_from
                  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        """,
+        "pipeline_user_insights": """
+            WITH counts AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2
+            ), tot AS (
+              SELECT user_id, sum(c) AS n, count(*) AS k
+              FROM counts GROUP BY 1
+            ), ent AS (
+              SELECT c.user_id,
+                     CAST(min(t.n) AS BIGINT) AS n_events,
+                     CAST(min(t.k) AS INT) AS n_types,
+                     -sum((c.c / t.n) * ln(c.c / t.n)) AS entropy
+              FROM counts c JOIN tot t USING (user_id)
+              GROUP BY c.user_id
+            ), o AS (
+              SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                     lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            ), flagged AS (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                               OR epoch_us(ts) - epoch_us(prev_ts)
+                                  > 1800000000 THEN 1
+                             ELSE 0 END AS is_new
+              FROM o
+            ), sess AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_seq
+              FROM flagged
+            ), sess_g AS (
+              SELECT user_id, session_seq, count(*) AS ne
+              FROM sess GROUP BY 1, 2
+            ), sessions AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_sessions,
+                     CAST(sum(ne) AS BIGINT) AS se
+              FROM sess_g GROUP BY 1
+            ), t0 AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+              FROM events GROUP BY 1
+            ), t1 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'click' AND e.ts >= t0.t0
+                              THEN e.ts END) AS t1
+              FROM events e JOIN t0 USING (user_id) GROUP BY 1
+            ), t2 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'purchase' AND e.ts >= t1.t1
+                              THEN e.ts END) AS t2
+              FROM events e JOIN t1 USING (user_id) GROUP BY 1
+            ), miles AS (
+              SELECT t0.user_id,
+                     CAST(t0 IS NOT NULL AS INT) AS reached_view,
+                     CAST(t1 IS NOT NULL AS INT) AS reached_click,
+                     CAST(t2 IS NOT NULL AS INT) AS reached_purchase
+              FROM t0 JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+            ), refd AS (
+              SELECT max(CAST(ts AS DATE)) AS a FROM events
+            ), rec AS (
+              SELECT user_id,
+                     CAST(datediff('day', max(CAST(ts AS DATE)),
+                                   (SELECT a FROM refd)) AS INT)
+                       AS days_since_last
+              FROM events GROUP BY user_id
+            )
+            SELECT e.user_id, e.n_events, e.n_types, e.entropy,
+                   s.n_sessions, s.se / s.n_sessions AS events_per_session,
+                   m.reached_view, m.reached_click, m.reached_purchase,
+                   r.days_since_last
+            FROM ent e JOIN sessions s USING (user_id)
+                 JOIN miles m USING (user_id)
+                 JOIN rec r USING (user_id)
         """,
         "clean_pseudonymize": """
             SELECT event_id,

@@ -28,18 +28,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def funnel_stages(
+def user_milestones(
     events: DataFrame,
     stages: Sequence[str] = ("view", "click", "purchase"),
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """Ordered-funnel conversion: how many users reach each stage in
-    sequence (stage i+1 counts only events at-or-after the user's first
-    stage-i event).
+    """Per-user sequential funnel milestones: one row per user with
+    ``_t0.._tk`` — the first timestamp at which the user reached each
+    stage IN ORDER (stage i+1 counts only events at-or-after the user's
+    first stage-i event; unreached stages are NULL).
 
-    Returns one row per stage: (stage_idx, stage, users, pct_of_first).
+    Every milestone is a window over ONE hash partitioning on the user
+    and the collapse reuses it — a single exchange on the event stream.
     """
     if len(stages) < 2:
         raise ValueError(f"funnel needs >= 2 stages, got {list(stages)}")
@@ -58,12 +60,27 @@ def funnel_stages(
             cond = cond & (F.col(ts_col) >= F.col(prev))
         df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
         prev = f"_t{i}"
-    # collapse to one row per user — the window's hash partitioning on
-    # user_col satisfies this groupBy, so no second exchange
     milestone_cols = [f"_t{i}" for i in range(len(stages))]
-    per_user = df.groupBy(user_col).agg(
+    return df.groupBy(user_col).agg(
         *[F.max(c).alias(c) for c in milestone_cols]
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users reach each stage in
+    sequence (stage i+1 counts only events at-or-after the user's first
+    stage-i event).
+
+    Returns one row per stage: (stage_idx, stage, users, pct_of_first).
+    """
+    per_user = user_milestones(events, stages, user_col, ts_col, type_col)
+    milestone_cols = [f"_t{i}" for i in range(len(stages))]
     counts = per_user.agg(
         *[
             F.count(F.when(F.col(c).isNotNull(), F.lit(1))).alias(f"_n{i}")

@@ -46,6 +46,12 @@ QUERIES = [
     "ml_freq_itemsets",
     "stream_stream_conversions",
     "agg_distinct_rollup_sketch",
+    # added in the later round-5 batch (relational-table ops only — the
+    # probe slice has no documents/embeddings tables)
+    "behavior_type_entropy",
+    "agg_revenue_gini",
+    "ml_seq_patterns",
+    "agg_rolling_distinct_exact",
 ]
 
 
