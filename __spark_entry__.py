@@ -305,6 +305,8 @@ _DRIVER_FIRST: list[str] = [
     "behavior_type_entropy",
     "clean_pseudonymize",
     "pipeline_user_insights",
+    "behavior_transition_matrix",
+    "behavior_period_growth",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1391,6 +1393,14 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "events").select("event_id", "user_id", "event_type"),
             ["user_id"],
             "pepper-1",
+        ),
+        # event-type transition matrix (Markov counts + row shares)
+        "behavior_transition_matrix": lambda s, d: behavior_ops.transition_matrix(
+            _t(s, d, "events")
+        ),
+        # week-over-week growth of volume and value
+        "behavior_period_growth": lambda s, d: behavior_ops.period_growth(
+            _t(s, d, "events")
         ),
         # per-user behavioral diversity (Shannon entropy of event types)
         "behavior_type_entropy": lambda s, d: behavior_ops.type_entropy(
@@ -4237,6 +4247,44 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM events e JOIN hist h ON e.user_id = h.user_id
                  AND e.ts >= h.valid_from
                  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        """,
+        "behavior_transition_matrix": """
+            WITH pairs AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS from_type,
+                     event_type AS to_type
+              FROM events
+            ), counts AS (
+              SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM pairs WHERE from_type IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   n / sum(n) OVER (PARTITION BY from_type) AS row_share
+            FROM counts
+        """,
+        "behavior_period_growth": """
+            WITH agg AS (
+              SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS p,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+              FROM events GROUP BY 1
+            ), lagged AS (
+              SELECT p, n_events, sum_value,
+                     lag(n_events) OVER (ORDER BY p) AS prev_n,
+                     lag(sum_value) OVER (ORDER BY p) AS prev_v
+              FROM agg
+            )
+            SELECT strftime(p, '%Y-%m-%d') AS period, n_events, sum_value,
+                   CASE WHEN prev_n > 0
+                        THEN 100.0 * (n_events - prev_n) / prev_n
+                   END AS events_growth_pct,
+                   CASE WHEN prev_v <> 0
+                        THEN 100.0 * (sum_value - prev_v) / prev_v
+                   END AS value_growth_pct
+            FROM lagged
         """,
         "pipeline_user_insights": """
             WITH counts AS (

@@ -247,3 +247,77 @@ def type_entropy(
             (-F.sum(p * F.log(p))).alias("entropy"),
         )
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Event-type transition counts (the Markov matrix of user
+    behavior): for each consecutive pair of events per user, count
+    (from_type, to_type) and its share of all transitions leaving
+    from_type.
+
+    One lag window per user (single shuffle on the key) + one grouped
+    count; the row-share denominator comes from a window over the tiny
+    (k x k) matrix, not the event stream.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") / F.sum("n").over(wrow)).alias("row_share"),
+    )
+
+
+def period_growth(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "week",
+) -> DataFrame:
+    """Period-over-period growth of event volume and value sum (the
+    WoW/MoM dashboard shape): per period, counts, exact decimal value
+    sums, and percent change vs the previous period.
+
+    The lag window runs over the aggregated period series (tiny); the
+    event stream is touched once by the rollup.
+    """
+    if period not in ("week", "month", "day"):
+        raise ValueError(f"period must be day/week/month, got {period!r}")
+    fmt = {"day": "yyyy-MM-dd", "week": "yyyy-MM-dd", "month": "yyyy-MM"}[period]
+    agg = events.groupBy(
+        F.date_trunc(period, F.col(ts_col)).alias("_p")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    w = Window.orderBy("_p")  # over the period rollup, not events
+    prev_n = F.lag("n_events").over(w)
+    prev_v = F.lag("sum_value").over(w)
+    return agg.select(
+        F.date_format("_p", fmt).alias("period"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value",
+        F.when(prev_n > 0, F.lit(100.0) * (F.col("n_events") - prev_n) / prev_n)
+        .alias("events_growth_pct"),
+        F.when(prev_v != 0, F.lit(100.0) * (F.col("sum_value") - prev_v) / prev_v)
+        .alias("value_growth_pct"),
+    )

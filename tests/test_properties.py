@@ -158,3 +158,96 @@ def test_dup_labels_matches_cluster_summary(spark):
 
     counts = Counter(r.cluster_id for r in labels)
     assert dict(counts) == summary
+
+
+def test_funnel_matches_bruteforce_on_random_events(spark):
+    import random
+
+    from distributed_mobility_data_pipeline_spark.operators import behavior
+
+    rng = random.Random(7)
+    stages = ("view", "click", "purchase")
+    types = list(stages) + ["error", "signup"]
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(rng.randint(1, 12)):
+            rows.append(
+                (u, f"2024-01-{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:00:00",
+                 rng.choice(types), eid)
+            )
+            eid += 1
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_type", "event_id"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.stage: r.users
+        for r in behavior.funnel_stages(ev, stages).collect()
+    }
+    # brute force per user
+    per_user = {}
+    for u, ts, et, _ in rows:
+        per_user.setdefault(u, []).append((ts, et))
+    expected = {s: 0 for s in stages}
+    for evs in per_user.values():
+        evs.sort()
+        t_prev = None
+        for i, s in enumerate(stages):
+            cand = [t for t, et in evs if et == s and (t_prev is None or t >= t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            expected[s] += 1
+    assert got == expected
+
+
+def test_gini_matches_python_reference(spark):
+    import random
+
+    from distributed_mobility_data_pipeline_spark.operators import aggregates as agg
+
+    rng = random.Random(11)
+    rows = [("g", k, round(rng.uniform(0, 100), 2)) for k in range(50)]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    got = agg.gini_by_group(df, "g", "k", "v").collect()[0]
+    xs = sorted(v for _, _, v in rows)
+    n = len(xs)
+    weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    ref = 2 * weighted / (n * sum(xs)) - (n + 1) / n
+    assert abs(got.gini - ref) < 1e-9
+
+
+def test_ewma_matches_python_reference(spark):
+    import random
+
+    from distributed_mobility_data_pipeline_spark.operators import windows as win
+
+    rng = random.Random(3)
+    series = [rng.randint(0, 50) for _ in range(40)]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(series)], ["k", "t", "n"]
+    )
+    got = {
+        r.t: r.ewma for r in win.ewma_dyadic(df, "k", "t", "n", 20).collect()
+    }
+    for t in range(len(series)):
+        window = series[max(0, t - 19) : t + 1]
+        m = len(window)
+        weighted = sum(v * 0.5 ** (m - 1 - i) for i, v in enumerate(window))
+        norm = 2.0 - 0.5 ** (m - 1)
+        assert got[t] == weighted / norm  # bit-exact: dyadic weights
+
+
+def test_transition_matrix_shares_sum_to_one(spark, sf_dir):
+    from distributed_mobility_data_pipeline_spark.operators import behavior
+    from distributed_mobility_data_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    rows = behavior.transition_matrix(ev).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.row_share)
+    for shares in by_from.values():
+        assert abs(sum(shares) - 1.0) < 1e-9
