@@ -51,6 +51,7 @@ from distributed_mobility_data_pipeline_spark.ml import scoring as mlscore
 from distributed_mobility_data_pipeline_spark.ml import serving as serve_ops
 from distributed_mobility_data_pipeline_spark.ml import training as mltrain
 from distributed_mobility_data_pipeline_spark.operators import windows as win_ops
+from distributed_mobility_data_pipeline_spark.sources.catalog import register_views
 from distributed_mobility_data_pipeline_spark.sources.readers import read_events
 from distributed_mobility_data_pipeline_spark.sources.writers import morton_key_2d
 from distributed_mobility_data_pipeline_spark.streaming import events as stream_ops
@@ -156,6 +157,34 @@ def _scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", fmt).alias("valid_to"),
         "is_current",
     )
+
+
+# Pure-SQL surface (sources/catalog.py registers the dataset as temp
+# views; Catalyst treats the SQL text identically to DataFrame code).
+# The same ANSI text runs on DuckDB as the oracle.
+_SEGMENT_LTV_SQL = """
+    WITH per_cust AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS ltv,
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ltv AS DECIMAL(18,6))) AS DOUBLE) AS total_ltv,
+           CAST(SUM(CAST(ltv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_ltv
+    FROM per_cust GROUP BY 1
+"""
+
+
+def _sql_segment_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API twin query: per-segment customer lifetime value."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SEGMENT_LTV_SQL)
 
 
 def _pit_status_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,6 +336,7 @@ _DRIVER_FIRST: list[str] = [
     "pipeline_user_insights",
     "behavior_transition_matrix",
     "behavior_period_growth",
+    "sql_segment_ltv",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1394,6 +1424,9 @@ def _all_queries() -> dict[str, QueryFn]:
             ["user_id"],
             "pepper-1",
         ),
+        # pure-SQL surface over registered temp views (one ANSI text,
+        # both engines)
+        "sql_segment_ltv": _sql_segment_ltv,
         # event-type transition matrix (Markov counts + row shares)
         "behavior_transition_matrix": lambda s, d: behavior_ops.transition_matrix(
             _t(s, d, "events")
@@ -4248,6 +4281,7 @@ def _all_oracle_sql() -> dict[str, str]:
                  AND e.ts >= h.valid_from
                  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
         """,
+        "sql_segment_ltv": _SEGMENT_LTV_SQL,
         "behavior_transition_matrix": """
             WITH pairs AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id

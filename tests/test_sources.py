@@ -106,3 +106,16 @@ def test_orc_partitioned_write(spark, tmp_path):
     writers.write_orc(df, p, partition_by=["part"])
     back = readers.read_orc(spark, p)
     assert back.filter("part = 'x'").count() == 2
+
+
+def test_register_views_and_sql(spark, sf_dir):
+    from distributed_mobility_data_pipeline_spark.sources.catalog import register_views
+
+    names = register_views(spark, sf_dir)
+    assert "orders" in names and "events" in names
+    n = spark.sql("SELECT count(*) AS c FROM orders").collect()[0]["c"]
+    assert n == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    # events view went through the ns-normalizing reader
+    assert dict(spark.sql("SELECT * FROM events").dtypes)["ts"] in (
+        "timestamp",
+    )

@@ -54,3 +54,38 @@ def test_conversions_within_horizon(spark, sf_dir):
     ).collect()
     for r in out:
         assert 0 <= r.lag_us < 60 * 60 * 1_000_000
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """A file-source stream restarted from its checkpoint must not
+    reprocess already-committed input (exactly-once file sink)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(ids):
+        spark.createDataFrame([(i,) for i in ids], "id long").write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("id long").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_batch(range(0, 5))
+    run_once()
+    first = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert first == list(range(5))
+
+    write_batch(range(5, 8))
+    run_once()  # restart from the same checkpoint
+    second = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert second == list(range(8))  # old rows exactly once, new rows added
