@@ -100,6 +100,27 @@ def write_bucketed(
     )
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving all other partitions of the table untouched —
+    the incremental-reload primitive (a day's re-run replaces that
+    day's folder, never the table).
+
+    Static overwrite mode (the default) would truncate the whole table
+    first; the dynamic session-local option scopes the delete to
+    partitions the write actually produces."""
+    if not partition_by:
+        raise ValueError("overwrite_partitions requires partition columns")
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_orc(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> None:

@@ -227,3 +227,42 @@ def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
     n = writers.delete_where(spark, p, F.col("tag") == "x")
     assert n == 1
     assert {r.k for r in spark.read.parquet(p).collect()} == {2, 3}
+
+
+def test_overwrite_partitions_is_dynamic(spark, tmp_path):
+    p = str(tmp_path / "dyn_part")
+    base = spark.createDataFrame(
+        [(1, "day1"), (2, "day2"), (3, "day3")], "k long, d string"
+    )
+    writers.write_overwrite(base, p, partition_by=["d"])
+    # re-run only day2 with corrected data
+    fixed = spark.createDataFrame([(20, "day2")], "k long, d string")
+    writers.overwrite_partitions(fixed, p, ["d"])
+    got = {(r.k, r.d) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "day1"), (20, "day2"), (3, "day3")}
+
+
+def test_overwrite_partitions_requires_columns(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "k long, d string")
+    with pytest.raises(ValueError):
+        writers.overwrite_partitions(df, str(tmp_path / "x"), [])
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    p = str(tmp_path / "pruned")
+    df = spark.createDataFrame(
+        [(i, f"day{1 + i % 3}") for i in range(30)], "k long, d string"
+    )
+    writers.write_overwrite(df, p, partition_by=["d"])
+    q = spark.read.parquet(p).filter("d = 'day2'")
+    assert q.count() == 10
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the partition predicate must reach the scan's PartitionFilters
+    # (directory-level pruning), not a post-scan Filter
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "day2" in m.group(1)
