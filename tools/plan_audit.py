@@ -86,6 +86,11 @@ AUDITS = {
     "sim_prototype_confusion": "|labels|-row centroid table broadcast; corpus scanned once; per-vector argmax window",
     "sim_cross_contamination": "benchmark side broadcast onto one training-corpus scan; threshold filter before the argmax window",
     "quality_robust_outliers": "two exact percentile passes + one counting pass, all grouped by the monitoring dimension; medians broadcast back",
+    "pipeline_user_insights": "four user-keyed branches (entropy, sessions, milestones, recency) joined on user_id; the one broadcast is the one-row as-of scalar",
+    "behavior_transition_matrix": "lag window per user, one grouped count; row-share window over the k x k matrix, not events",
+    "agg_rolling_distinct_exact": "trailing-window distinct via day-list x reduced-activity range join — raw events reduced before any join",
+    "agg_revenue_gini": "rank window partitions by nation; final arithmetic over the 25-row per-group aggregate",
+    "sql_segment_ltv": "SQL text through the same Catalyst path: pruned ReadSchema + broadcast customer join, identical to DataFrame plans",
 }
 
 KEEP = re.compile(
