@@ -337,6 +337,7 @@ _DRIVER_FIRST: list[str] = [
     "behavior_transition_matrix",
     "behavior_period_growth",
     "sql_segment_ltv",
+    "sim_ivfpq_ann",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1087,6 +1088,14 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "embeddings"), _pq_codebooks(s, d)
         ).select(
             "vec_id", "label", F.concat_ws(",", F.col("codes")).alias("codes")
+        ),
+        # composed IVF-PQ index: coarse cells prune, PQ codes compress;
+        # both models from the offline caches (zero training in-query)
+        "sim_ivfpq_ann": lambda s, d: sim_ops.ivfpq_ann(
+            _t(s, d, "embeddings"),
+            [0, 1, 2, 3, 4],
+            _ivf_centroids(s, d),
+            _pq_codebooks(s, d),
         ),
         "sim_pq_ann": lambda s, d: sim_ops.pq_ann(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4],

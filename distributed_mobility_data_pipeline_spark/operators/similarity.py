@@ -523,6 +523,32 @@ def encode_pq(
     return embeddings.withColumn("codes", F.array(*codes))
 
 
+def _pq_approx_dot(
+    codebooks: list[list[tuple[int, list[float]]]],
+) -> Column:
+    """Asymmetric PQ dot product as a column expression over columns
+    ``qe`` (exact query vector) and ``codes`` (corpus PQ codes):
+    approx dot(q, x) = Σ_j dot(q_sub_j, centroid_j[code_j]). Each
+    subspace is an O(k·d_sub) literal lookup constant."""
+    d_sub = len(codebooks[0][0][1])
+    approx = None
+    for j, book in enumerate(codebooks):
+        # literal centroid table for subspace j, indexed by code (+1 for
+        # element_at's 1-based indexing)
+        cent_arr = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for _code, c in sorted(book)
+            ]
+        )
+        term = _dot(
+            _pq_sub(F.col("qe"), j, d_sub),
+            F.element_at(cent_arr, F.element_at("codes", j + 1) + 1),
+        )
+        approx = term if approx is None else approx + term
+    return approx
+
+
 def pq_ann(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -546,21 +572,7 @@ def pq_ann(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qe"),
     )
-    approx = None
-    for j, book in enumerate(codebooks):
-        # literal centroid table for subspace j, indexed by code (+1 for
-        # element_at's 1-based indexing): an O(k·d_sub) lookup constant
-        cent_arr = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for _code, c in sorted(book)
-            ]
-        )
-        term = _dot(
-            _pq_sub(F.col("qe"), j, d_sub),
-            F.element_at(cent_arr, F.element_at("codes", j + 1) + 1),
-        )
-        approx = term if approx is None else approx + term
+    approx = _pq_approx_dot(codebooks)
     scored = (
         F.broadcast(q)
         .crossJoin(enc)
@@ -738,4 +750,80 @@ def cross_set_contamination(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") == 1)
         .select("train_id", "bench_id", "cos_sim")
+    )
+
+
+def ivfpq_ann(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    n_probe: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Composed IVF-PQ index — the standard billion-vector ANN layout:
+    the IVF coarse quantizer PRUNES (each query touches only its
+    ``n_probe`` nearest cells; at scale the cell is a partition column
+    and each probe is a partition-pruned scan), and PQ codes COMPRESS
+    what's left (m small ints per row instead of the float vector).
+
+    Queries stay exact (asymmetric distance); both models are trained
+    OFFLINE (fit_ivf_quantizer / fit_pq_codebooks) and enter the plan
+    as broadcast literals — the query path does zero training and zero
+    Python. Non-residual variant: PQ encodes raw vectors, not
+    cell-relative residuals (one shared codebook set across cells).
+
+    Rows-only checked; recall is pinned by tests/test_ann_quality.py.
+    """
+    assigned = assign_ivf_cells(
+        embeddings.select("vec_id", "embedding", "label"), centroids
+    )
+    enc = encode_pq(assigned, codebooks).select(
+        F.col("vec_id").alias("vid"),
+        F.col("label").alias("c_label"),
+        "cell",
+        "codes",
+    )
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cell), [float(x) for x in c]) for cell, c in centroids],
+        "cell int, centroid array<double>",
+    ).select(
+        "cell",
+        "centroid",
+        _dot(F.col("centroid"), F.col("centroid")).alias("cc"),
+    )
+    # rank cells per query by Euclidean distance (the k-means metric):
+    # argmin ||q-c||^2 = argmax(q.c - ||c||^2/2)
+    wq = Window.partitionBy("qid").orderBy(
+        (_dot(F.col("qe"), F.col("centroid")) - F.col("cc") / 2).desc(),
+        F.col("cell"),
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("qid", "qe", "cell")
+    )
+    # the pruning join: probes hit only their cells' code lists
+    cand = (
+        probes.join(enc, "cell")
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", "c_label", "qe", "codes")
+    )
+    scored = cand.select(
+        "qid", "vid", "c_label", _pq_approx_dot(codebooks).alias("approx_dot")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_dot").desc(), F.col("vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "approx_dot", "c_label")
     )

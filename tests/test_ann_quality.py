@@ -154,3 +154,34 @@ def test_label_centroids_partitioning_independent(spark, sf_dir):
         for r in sim.label_centroids(emb.repartition(17)).collect()
     }
     assert a == b  # decimal accumulation: bit-identical at any layout
+
+
+def test_ivfpq_recall_at_1_on_separated_clusters(clustered):
+    # the composed index: cells prune + codes compress; on well-
+    # separated clusters the top-1 must stay in the anchor's cluster
+    cents = similarity.fit_ivf_quantizer(clustered, n_clusters=6)
+    books = similarity.fit_pq_codebooks(clustered, m=4, k=3)
+    out = similarity.ivfpq_ann(
+        clustered, [0, 30, 60], cents, books, n_probe=2, k=1
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.c_label == r.qid // 30
+
+
+def test_ivfpq_prunes_to_probed_cells(clustered):
+    cents = similarity.fit_ivf_quantizer(clustered, n_clusters=6)
+    books = similarity.fit_pq_codebooks(clustered, m=4, k=3)
+    # n_probe = all cells degenerates to full PQ ranking: results must
+    # match pq_ann exactly (same codes, same asymmetric distance)
+    full = {
+        (r.qid, r.rank): r.vid
+        for r in similarity.pq_ann(clustered, [0, 30], books, k=3).collect()
+    }
+    probed = {
+        (r.qid, r.rank): r.vid
+        for r in similarity.ivfpq_ann(
+            clustered, [0, 30], cents, books, n_probe=6, k=3
+        ).collect()
+    }
+    assert probed == full
