@@ -338,6 +338,7 @@ _DRIVER_FIRST: list[str] = [
     "behavior_period_growth",
     "sql_segment_ltv",
     "sim_ivfpq_ann",
+    "behavior_funnel_timing",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1436,6 +1437,10 @@ def _all_queries() -> dict[str, QueryFn]:
         # pure-SQL surface over registered temp views (one ANSI text,
         # both engines)
         "sql_segment_ltv": _sql_segment_ltv,
+        # time-to-convert between funnel stages (exact integer-us lags)
+        "behavior_funnel_timing": lambda s, d: behavior_ops.funnel_timing(
+            _t(s, d, "events")
+        ),
         # event-type transition matrix (Markov counts + row shares)
         "behavior_transition_matrix": lambda s, d: behavior_ops.transition_matrix(
             _t(s, d, "events")
@@ -4291,6 +4296,46 @@ def _all_oracle_sql() -> dict[str, str]:
                  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
         """,
         "sql_segment_ltv": _SEGMENT_LTV_SQL,
+        "behavior_funnel_timing": """
+            WITH t0 AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+              FROM events GROUP BY 1
+            ), t1 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'click' AND e.ts >= t0.t0
+                              THEN e.ts END) AS t1
+              FROM events e JOIN t0 USING (user_id) GROUP BY 1
+            ), t2 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'purchase' AND e.ts >= t1.t1
+                              THEN e.ts END) AS t2
+              FROM events e JOIN t1 USING (user_id) GROUP BY 1
+            ), m AS (
+              SELECT t0.user_id,
+                     CAST(t0.t0 AS TIMESTAMP) AS t0,
+                     CAST(t1.t1 AS TIMESTAMP) AS t1,
+                     CAST(t2.t2 AS TIMESTAMP) AS t2
+              FROM t0 JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+            ), lag1 AS (
+              SELECT epoch_us(t1) - epoch_us(t0) AS lag FROM m
+              WHERE t1 IS NOT NULL
+            ), lag2 AS (
+              SELECT epoch_us(t2) - epoch_us(t1) AS lag FROM m
+              WHERE t2 IS NOT NULL
+            )
+            SELECT 'view>click' AS transition,
+                   CAST(count(*) AS BIGINT) AS n_converted,
+                   CAST(sum(lag) AS DOUBLE) / count(*) AS avg_lag_us,
+                   quantile_cont(lag, 0.5) AS median_lag_us
+            FROM lag1
+            UNION ALL
+            SELECT 'click>purchase',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(lag) AS DOUBLE) / count(*),
+                   quantile_cont(lag, 0.5)
+            FROM lag2
+        """,
         "behavior_transition_matrix": """
             WITH pairs AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -321,3 +321,47 @@ def period_growth(
         F.when(prev_v != 0, F.lit(100.0) * (F.col("sum_value") - prev_v) / prev_v)
         .alias("value_growth_pct"),
     )
+
+
+def funnel_timing(
+    events: DataFrame,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert between consecutive funnel stages: for users who
+    reached stage i+1, the lag from their stage-i milestone — converted
+    count, exact mean, and exact median of the lag in microseconds.
+
+    Lags are exact integer microseconds, so the mean (integer sum / one
+    IEEE division) and interpolated median are bit-reproducible. The
+    percentile aggregates run per stage-pair over the converted-user
+    lags (user-count-sized, not event-sized).
+    """
+    miles = user_milestones(events, stages, user_col, ts_col, type_col)
+    spark = events.sparkSession
+    outs = []
+    for i in range(len(stages) - 1):
+        lag = F.unix_micros(F.col(f"_t{i+1}")) - F.unix_micros(F.col(f"_t{i}"))
+        outs.append(
+            miles.filter(F.col(f"_t{i+1}").isNotNull())
+            .select(lag.alias("_lag"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+                (F.sum("_lag").cast("double") / F.count(F.lit(1))).alias(
+                    "avg_lag_us"
+                ),
+                F.expr("percentile(_lag, 0.5)").alias("median_lag_us"),
+            )
+            .select(
+                F.lit(f"{stages[i]}>{stages[i+1]}").alias("transition"),
+                "n_converted",
+                "avg_lag_us",
+                "median_lag_us",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -141,3 +141,26 @@ def test_type_entropy_bounds(spark):
     assert out[1].entropy == 0.0  # single-type user
     assert abs(out[2].entropy - math.log(4)) < 1e-12  # uniform over 4 types
     assert out[2].n_events == 4 and out[2].n_types == 4
+
+
+def test_funnel_timing_known_lags(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "view", 1),
+        (1, "2024-01-01 01:00:00", "click", 2),     # 1h lag
+        (1, "2024-01-01 01:30:00", "purchase", 3),  # 30m lag
+        (2, "2024-01-01 00:00:00", "view", 4),
+        (2, "2024-01-01 03:00:00", "click", 5),     # 3h lag, no purchase
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_type", "event_id"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.transition: r for r in behavior.funnel_timing(ev).collect()}
+    vc = out["view>click"]
+    assert vc.n_converted == 2
+    assert vc.avg_lag_us == (1 + 3) / 2 * 3600 * 1e6
+    assert vc.median_lag_us == 2 * 3600 * 1e6  # interpolated between 1h and 3h
+    cp = out["click>purchase"]
+    assert cp.n_converted == 1
+    assert cp.median_lag_us == 30 * 60 * 1e6
