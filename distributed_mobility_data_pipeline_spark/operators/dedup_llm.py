@@ -581,3 +581,40 @@ def segment_dedup(docs: DataFrame, seg_tokens: int = 16) -> DataFrame:
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def band_hash_table(
+    docs: DataFrame,
+    n: int = 3,
+    n_perm: int = N_PERM,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Persistable LSH index rows: (doc_id, band, bhash) — one sha256
+    per band over its consecutive minhashes. This is the artifact an
+    INCREMENTAL near-dedup stores: a new document is a near-dup
+    candidate iff it shares any (band, bhash) with the index, so
+    membership is an equi-join against the index table, never a scan
+    of admitted documents' text."""
+    sig = minhash_signatures(docs, n, n_perm)
+    n_bands = n_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.sha2(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
+                    ),
+                    256,
+                ).alias("bhash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))

@@ -79,3 +79,73 @@ def dedup_stream_within_watermark(
     return fp.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def stream_neardedup_sink(
+    docs: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    n: int = 3,
+):
+    """Streaming NEAR-dup corpus admission: each micro-batch is checked
+    against a persisted LSH band-hash index of everything admitted so
+    far (operators/dedup_llm.band_hash_table), near/exact dups are
+    rejected, survivors are appended and their band hashes added to the
+    index — the online form of the batch MinHash/LSH dedup.
+
+    Per micro-batch cost: minhash the batch (bounded), ONE left-semi
+    equi-join of the batch's band rows against the index on
+    (band, bhash) — membership never scans admitted TEXT — plus the
+    intra-batch LSH pass among the batch's own docs. Greedy online
+    semantics: a doc is admitted iff it is not a near-dup of anything
+    ALREADY admitted (arrival order matters across chain-shaped
+    clusters, as in any online dedup).
+
+    Returns the started StreamingQuery.
+    """
+    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            bands = dedup_llm.band_hash_table(batch, n)
+            try:
+                idx = spark.read.parquet(index_path).select("band", "bhash")
+                has_index = True
+            except Exception:
+                has_index = False
+            if has_index:
+                dup_ids = (
+                    bands.join(idx, ["band", "bhash"], "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                fresh = batch.join(dup_ids, "doc_id", "left_anti")
+            else:
+                fresh = batch
+            # intra-batch near-dups among the fresh docs: verified LSH
+            # pairs, keep the lower doc_id of each pair
+            pairs = dedup_llm.minhash_lsh_pairs(fresh, n).filter(
+                F.col("is_dup") == 1
+            )
+            losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+            survivors = fresh.join(losers, "doc_id", "left_anti").persist()
+            if not survivors.isEmpty():
+                survivors.write.mode("append").parquet(out_path)
+                dedup_llm.band_hash_table(survivors, n).write.mode(
+                    "append"
+                ).parquet(index_path)
+            survivors.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )
