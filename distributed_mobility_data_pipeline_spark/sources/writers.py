@@ -145,10 +145,11 @@ def optimize_layout(
 
     Delta path: OPTIMIZE ... ZORDER BY. Parquet path: range-repartition
     + in-partition sort so min/max row-group stats prune on the locality
-    columns. With ``morton=True`` and exactly two integer columns, the
-    sort key is a true interleaved-bit Z-order key (``morton_key_2d``)
-    — multi-dimensional locality like Delta's ZORDER, not just
-    lexicographic — so predicates on EITHER column prune row groups."""
+    columns. With ``morton=True`` and integer columns, the sort key is a
+    true interleaved-bit Z-order key (``morton_key_2d`` for two columns,
+    ``morton_key_nd`` for three or more) — multi-dimensional locality
+    like Delta's ZORDER, not just lexicographic — so predicates on ANY
+    of the columns prune row groups."""
     if has_delta():
         cols = ", ".join(f"`{c}`" for c in zorder_by)
         spark.sql(f"OPTIMIZE delta.`{path}` ZORDER BY ({cols})")
@@ -165,8 +166,8 @@ def optimize_layout(
         )
         n = max(in_parts // 4, 1)
     if morton:
-        if len(zorder_by) != 2:
-            raise ValueError("morton=True needs exactly two columns")
+        if len(zorder_by) < 2:
+            raise ValueError("morton=True needs at least two columns")
         # guard the integer contract: non-numeric columns would
         # cast('long') to NULL and silently degenerate the layout into
         # one giant unclustered partition
@@ -178,7 +179,10 @@ def optimize_layout(
                 f"morton=True needs integer columns; got "
                 f"{[(c, dtypes.get(c)) for c in bad]}"
             )
-        key = morton_key_2d(F.col(zorder_by[0]), F.col(zorder_by[1]))
+        if len(zorder_by) == 2:
+            key = morton_key_2d(F.col(zorder_by[0]), F.col(zorder_by[1]))
+        else:
+            key = morton_key_nd([F.col(c) for c in zorder_by])
         clustered = df.withColumn("_zkey", key)
         out = (
             clustered.repartitionByRange(n, "_zkey")
@@ -374,3 +378,28 @@ def delete_where(
     writer.save(tmp)
     _atomic_replace(spark, tmp, path)
     return n_deleted
+
+
+def morton_key_nd(cols, bits_per: int | None = None):
+    """Interleaved-bit Z-order key over ``k`` integer columns
+    (generalizes ``morton_key_2d``): bit ``b`` of column ``j`` lands at
+    position ``b*k + j``, so rows close in ALL dimensions get close
+    keys. ``bits_per`` defaults to 63 // k (each column truncated to
+    its low bits — callers bucket/normalize first, as with any Z-order).
+
+    Built from plain shift/and/or terms (63 at k=3) — deterministic,
+    engine-portable, whole-stage-codegen'd.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("morton_key_nd needs >= 2 columns")
+    bits = bits_per or (63 // k)
+    if bits * k > 63:
+        raise ValueError(f"bits_per={bits} x {k} columns exceeds 63 bits")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cl = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            bit = F.shiftright(cl, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * k + j))
+    return key

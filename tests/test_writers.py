@@ -266,3 +266,68 @@ def test_partition_pruning_in_plan(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "day2" in m.group(1)
+
+
+def test_morton_nd_matches_python_reference(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [
+        (rng.randrange(1 << 21), rng.randrange(1 << 21), rng.randrange(1 << 21))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    got = [
+        r.key
+        for r in df.select(
+            writers.morton_key_nd([F.col("x"), F.col("y"), F.col("z")]).alias("key")
+        ).collect()
+    ]
+
+    def ref(vals, bits=21):
+        key = 0
+        for j, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for b in range(bits):
+                key |= ((v >> b) & 1) << (b * len(vals) + j)
+        return key
+
+    assert got == [ref(r) for r in rows]
+
+
+def test_morton_nd_2col_matches_2d(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 5), (65535, 1), (0, 0)], ["a", "b"])
+    nd = df.select(
+        writers.morton_key_nd([F.col("a"), F.col("b")], bits_per=16).alias("k")
+    ).collect()
+    d2 = df.select(
+        writers.morton_key_2d(F.col("a"), F.col("b")).alias("k")
+    ).collect()
+    assert [r.k for r in nd] == [r.k for r in d2]
+
+
+def test_morton_nd_validates(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError):
+        writers.morton_key_nd([F.col("a")])
+    with pytest.raises(ValueError):
+        writers.morton_key_nd([F.col("a"), F.col("b")], bits_per=40)
+
+
+def test_optimize_layout_morton_3col_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "z3")
+    df = spark.createDataFrame(
+        [(i, i * 7 % 100, i * 13 % 100, i * 31 % 100) for i in range(500)],
+        "k long, x long, y long, z long",
+    )
+    df.write.parquet(p)
+    writers.optimize_layout(spark, p, ["x", "y", "z"], morton=True)
+    back = spark.read.parquet(p)
+    assert back.count() == 500
+    assert {r.k for r in back.collect()} == set(range(500))
