@@ -53,7 +53,10 @@ from distributed_mobility_data_pipeline_spark.ml import training as mltrain
 from distributed_mobility_data_pipeline_spark.operators import windows as win_ops
 from distributed_mobility_data_pipeline_spark.sources.catalog import register_views
 from distributed_mobility_data_pipeline_spark.sources.readers import read_events
-from distributed_mobility_data_pipeline_spark.sources.writers import morton_key_2d
+from distributed_mobility_data_pipeline_spark.sources.writers import (
+    morton_key_2d,
+    morton_key_nd,
+)
 from distributed_mobility_data_pipeline_spark.streaming import events as stream_ops
 from distributed_mobility_data_pipeline_spark.streaming import stateful as stateful_ops
 from distributed_mobility_data_pipeline_spark.streaming import corpus as stream_corpus
@@ -157,6 +160,18 @@ def _scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", fmt).alias("valid_to"),
         "is_current",
     )
+
+
+def _morton_nd_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of writers.morton_key_nd: the same shift/and
+    arithmetic, summed (bit positions are disjoint, so + == |)."""
+    k = len(cols)
+    mask = (1 << bits) - 1
+    terms = []
+    for j, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(f"(((({c}) & {mask}) >> {b}) & 1) * {1 << (b * k + j)}")
+    return "(" + " + ".join(terms) + ")"
 
 
 # Pure-SQL surface (sources/catalog.py registers the dataset as temp
@@ -339,6 +354,7 @@ _DRIVER_FIRST: list[str] = [
     "sql_segment_ltv",
     "sim_ivfpq_ann",
     "behavior_funnel_timing",
+    "scalar_morton3_key",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -798,6 +814,19 @@ def _all_queries() -> dict[str, QueryFn]:
             "source",
             "doc_id",
             k=5,
+        ),
+        # 3-D Z-order key (morton_key_nd): bit-interleave three integer
+        # dimensions; oracle mirrors the shift/and/or arithmetic exactly
+        "scalar_morton3_key": lambda s, d: _t(s, d, "orders").select(
+            "o_orderkey",
+            morton_key_nd(
+                [
+                    F.col("o_custkey") % 256,
+                    F.col("o_orderkey") % 256,
+                    F.dayofmonth(F.to_date("o_orderdate")).cast("long"),
+                ],
+                bits_per=21,
+            ).alias("zkey"),
         ),
         "scalar_morton_key": lambda s, d: _t(s, d, "orders").select(
             "o_orderkey",
@@ -2404,6 +2433,18 @@ def _all_oracle_sql() -> dict[str, str]:
                                 doc_id) AS rn
               FROM documents
             ) WHERE rn <= 5
+        """,
+        "scalar_morton3_key": f"""
+            WITH t AS (SELECT o_orderkey,
+                              CAST(o_custkey % 256 AS BIGINT) AS c0,
+                              CAST(o_orderkey % 256 AS BIGINT) AS c1,
+                              CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT)
+                                AS c2
+                       FROM orders)
+            SELECT o_orderkey,
+                   CAST({_morton_nd_sql(["c0", "c1", "c2"], 21)} AS BIGINT)
+                     AS zkey
+            FROM t
         """,
         "scalar_morton_key": """
             WITH t AS (SELECT o_orderkey,
