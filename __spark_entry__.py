@@ -355,6 +355,7 @@ _DRIVER_FIRST: list[str] = [
     "sim_ivfpq_ann",
     "behavior_funnel_timing",
     "scalar_morton3_key",
+    "ts_resample_interpolate",
     "behavior_funnel",
     "behavior_cohort_retention",
     "behavior_rfm_scores",
@@ -1393,6 +1394,9 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "events")
         ),
         "ts_gap_stats": lambda s, d: ts_ops.gap_stats(_t(s, d, "events")),
+        "ts_resample_interpolate": lambda s, d: ts_ops.resample_interpolate(
+            _t(s, d, "events")
+        ),
         # Fixed-point PageRank over the customer–supplier bipartite graph
         # (integer micro-rank units → bit-exact across engines, so the
         # iterative algorithm is hash-checkable, not just rows-only)
@@ -4193,6 +4197,62 @@ def _all_oracle_sql() -> dict[str, str]:
                      AS sum_value_ffill,
                    CAST(n_events IS NULL AS INT) AS is_gap
             FROM j
+        """,
+        "ts_resample_interpolate": """
+            WITH agg AS (
+              SELECT event_type,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(h) AS mn, max(h) AS mx
+              FROM agg GROUP BY 1
+            ), grid AS (
+              SELECT event_type,
+                     unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+              FROM bounds
+            ), j AS (
+              SELECT g.event_type, g.h, a.n_events, a.sum_value
+              FROM grid g LEFT JOIN agg a
+                ON g.event_type = a.event_type AND g.h = a.h
+            ), base AS (
+              SELECT event_type, h,
+                     COALESCE(n_events, 0) AS n_events,
+                     CAST(n_events IS NULL AS INT) AS is_gap,
+                     last_value(sum_value IGNORE NULLS) OVER wp AS ff,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS idx
+              FROM j
+              WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), ext AS (
+              SELECT *,
+                     last_value(CASE WHEN is_gap = 0 THEN ff END IGNORE NULLS)
+                       OVER wp AS prev_v,
+                     last_value(CASE WHEN is_gap = 0 THEN idx END IGNORE NULLS)
+                       OVER wp AS prev_i,
+                     first_value(CASE WHEN is_gap = 0 THEN ff END IGNORE NULLS)
+                       OVER wn AS next_v,
+                     first_value(CASE WHEN is_gap = 0 THEN idx END IGNORE NULLS)
+                       OVER wn AS next_i
+              FROM base
+              WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_type,
+                   strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+                   n_events,
+                   CASE WHEN is_gap = 0 THEN ff
+                        WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                          THEN prev_v + (next_v - prev_v) * (idx - prev_i)
+                               / (next_i - prev_i)
+                        ELSE COALESCE(prev_v, next_v) END AS sum_value_interp,
+                   is_gap
+            FROM ext
         """,
         "ts_gap_stats": """
             WITH agg AS (

@@ -123,3 +123,63 @@ def gap_stats(
             .alias("longest_gap_run"),
         )
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Linear-interpolation twin of ``resample_ffill``: empty grid
+    buckets take the straight line between the nearest observed buckets
+    on each side (the reconstruction a charting/feature layer wants
+    when last-observation-carried-forward would bias trends).
+
+    v = prev + (next - prev) * steps_since_prev / gap_len — all inputs
+    exact (decimal-accumulated sums, integer bucket indices), one IEEE
+    multiply/divide, so the result is deterministic and oracle-exact.
+    Boundary buckets (no observation on one side) keep the one-sided
+    neighbor (ffill/bfill degenerate). Same per-series window shapes as
+    resample_ffill — no global sort.
+    """
+    filled = resample_ffill(df, series_col, ts_col, value_col, step)
+    w = Window.partitionBy(series_col).orderBy("hour_ts")
+    wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = w.rowsBetween(0, Window.unboundedFollowing)
+    idx = F.row_number().over(w)
+    obs_val = F.when(F.col("is_gap") == 0, F.col("sum_value_ffill"))
+    base = filled.withColumn("_idx", idx)
+    base = base.withColumn("_prev_v", F.last(obs_val, ignorenulls=True).over(wprev))
+    base = base.withColumn(
+        "_prev_i",
+        F.last(F.when(F.col("is_gap") == 0, F.col("_idx")), ignorenulls=True).over(
+            wprev
+        ),
+    )
+    base = base.withColumn(
+        "_next_v", F.first(obs_val, ignorenulls=True).over(wnext)
+    )
+    base = base.withColumn(
+        "_next_i",
+        F.first(F.when(F.col("is_gap") == 0, F.col("_idx")), ignorenulls=True).over(
+            wnext
+        ),
+    )
+    interp = F.when(F.col("is_gap") == 0, F.col("sum_value_ffill")).otherwise(
+        F.when(
+            F.col("_prev_v").isNotNull() & F.col("_next_v").isNotNull(),
+            F.col("_prev_v")
+            + (F.col("_next_v") - F.col("_prev_v"))
+            * (F.col("_idx") - F.col("_prev_i"))
+            / (F.col("_next_i") - F.col("_prev_i")),
+        ).otherwise(F.coalesce("_prev_v", "_next_v"))
+    )
+    return base.select(
+        series_col,
+        "hour_ts",
+        "n_events",
+        interp.alias("sum_value_interp"),
+        "is_gap",
+    )
