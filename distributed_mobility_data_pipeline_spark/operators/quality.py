@@ -197,3 +197,27 @@ def robust_outlier_report(
             F.col("n_outliers").cast("bigint").alias("n_outliers"),
         )
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema diff between two table versions: one row per drifted
+    column — added / removed / type_changed — the contract check a
+    pipeline runs before trusting an upstream refresh.
+
+    Operates on schema METADATA (parquet footers), not data: zero scan
+    cost at any table size. Identical schemas yield an empty frame.
+    """
+    spark = old.sparkSession
+    old_t = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(old_t) | set(new_t)):
+        if c not in new_t:
+            rows.append((c, "removed", old_t[c], None))
+        elif c not in old_t:
+            rows.append((c, "added", None, new_t[c]))
+        elif old_t[c] != new_t[c]:
+            rows.append((c, "type_changed", old_t[c], new_t[c]))
+    return spark.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

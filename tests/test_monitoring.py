@@ -71,3 +71,24 @@ def test_robust_outliers_known_data(spark):
     assert out["a"].n_outliers == 1  # only the 1000
     assert out["b"].mad == 0.0
     assert out["b"].n_outliers == 0  # MAD 0 guard: constants never flag
+
+
+def test_schema_drift_detects_all_changes(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_mobility_data_pipeline_spark.operators import quality
+
+    old = spark.createDataFrame([(1, "a", 1.5)], "id long, name string, v double")
+    new = (
+        old.withColumn("v", F.col("v").cast("float"))  # type change
+        .withColumn("extra", F.lit(1))                 # added
+        .drop("name")                                  # removed
+    )
+    got = {r.column: (r.status, r.old_type, r.new_type)
+           for r in quality.schema_drift(old, new).collect()}
+    assert got == {
+        "extra": ("added", None, "int"),
+        "name": ("removed", "string", None),
+        "v": ("type_changed", "double", "float"),
+    }
+    assert quality.schema_drift(old, old).count() == 0
