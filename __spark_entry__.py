@@ -314,15 +314,16 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations):
-# 1) never-driver-checked queries added this round (34: behavioral
+# 1) never-driver-checked queries added this round (49: behavioral
 #    analytics, streaming joins, time series, graph, linkage, sketches,
-#    reconciliation, BPE, prototypes, plus the earlier round-5 batch) —
-#    new queries always outrank stale greens,
-# 2) the band whose latest driver green is r02 fills the remaining
-#    slots (tools/rotate_driver_order.py orders these); the rest of
-#    that band rolls to the r06 rotation. All 170 queries were
-#    locally oracle-verified on current data this session
-#    (tools/verify_local.py), so the staleness risk is bounded.
+#    reconciliation, BPE, prototypes, IVF-PQ, SQL surface, plus the
+#    earlier round-5 batch) — new queries always outrank stale greens;
+#    the 50-slot window covers band 1 almost exactly,
+# 2) the band whose latest driver green is r02 rolls to the r06
+#    rotation (tools/rotate_driver_order.py orders it). All 183
+#    queries were locally oracle-verified on current data this session
+#    (tools/verify_local.py: 168 hash-pass / 15 rows-only / 0 fail),
+#    so the staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
     # band 1 — new/changed in round 5 (never driver-checked first)
     "stream_static_enrich",

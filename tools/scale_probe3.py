@@ -52,6 +52,10 @@ QUERIES = [
     "agg_revenue_gini",
     "ml_seq_patterns",
     "agg_rolling_distinct_exact",
+    "behavior_funnel_timing",
+    "pipeline_user_insights",
+    "ts_resample_interpolate",
+    "scalar_morton3_key",
 ]
 
 
