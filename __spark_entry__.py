@@ -326,6 +326,8 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    so the staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
     # band 1 — new/changed in round 5 (never driver-checked first)
+    "behavior_attribution",
+    "behavior_attribution_credit",
     "stream_static_enrich",
     "stream_stream_conversions",
     "ts_resample_ffill",
@@ -1486,6 +1488,22 @@ def _all_queries() -> dict[str, QueryFn]:
         # per-user behavioral diversity (Shannon entropy of event types)
         "behavior_type_entropy": lambda s, d: behavior_ops.type_entropy(
             _t(s, d, "events")
+        ),
+        # first/last-touch attribution per conversion (strict 7-day
+        # lookback; single user-hash window exchange, never a self-join)
+        "behavior_attribution": lambda s, d: behavior_ops.touch_attribution(
+            _t(s, d, "events")
+        ).select(
+            "conv_id",
+            "user_id",
+            "first_touch_type",
+            "last_touch_type",
+            "n_touches",
+        ),
+        # channel-credit rollup: conversions credited to each touch type
+        # under the first-touch vs last-touch model
+        "behavior_attribution_credit": lambda s, d: (
+            behavior_ops.attribution_credit(_t(s, d, "events"))
         ),
         # revenue concentration: per-nation Gini over customer revenue
         "agg_revenue_gini": lambda s, d: agg_ops.gini_by_group(
@@ -4475,6 +4493,63 @@ def _all_oracle_sql() -> dict[str, str]:
                         THEN 100.0 * (sum_value - prev_v) / prev_v
                    END AS value_growth_pct
             FROM lagged
+        """,
+        "behavior_attribution": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us
+              FROM events
+            ), t AS (
+              SELECT event_id AS conv_id, user_id, event_type,
+                     first_value(CASE WHEN event_type <> 'purchase'
+                                      THEN event_type END IGNORE NULLS)
+                       OVER w AS first_touch_type,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                     THEN event_type END IGNORE NULLS)
+                       OVER w AS last_touch_type,
+                     count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                       OVER w AS n_touches
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 604800000000 PRECEDING
+                                     AND 1 PRECEDING)
+            )
+            SELECT conv_id, user_id, first_touch_type, last_touch_type,
+                   CAST(n_touches AS BIGINT) AS n_touches
+            FROM t WHERE event_type = 'purchase'
+        """,
+        "behavior_attribution_credit": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us
+              FROM events
+            ), t AS (
+              SELECT user_id, event_type,
+                     first_value(CASE WHEN event_type <> 'purchase'
+                                      THEN event_type END IGNORE NULLS)
+                       OVER w AS first_touch_type,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                     THEN event_type END IGNORE NULLS)
+                       OVER w AS last_touch_type
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 604800000000 PRECEDING
+                                     AND 1 PRECEDING)
+            ), attr AS (
+              SELECT * FROM t WHERE event_type = 'purchase'
+            ), f AS (
+              SELECT coalesce(first_touch_type, '(none)') AS touch_type,
+                     count(*) AS c
+              FROM attr GROUP BY 1
+            ), l AS (
+              SELECT coalesce(last_touch_type, '(none)') AS touch_type,
+                     count(*) AS c
+              FROM attr GROUP BY 1
+            )
+            SELECT coalesce(f.touch_type, l.touch_type) AS touch_type,
+                   CAST(coalesce(f.c, 0) AS BIGINT) AS first_touch_credits,
+                   CAST(coalesce(l.c, 0) AS BIGINT) AS last_touch_credits
+            FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
         """,
         "pipeline_user_insights": """
             WITH counts AS (

@@ -365,3 +365,97 @@ def funnel_timing(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First/last-touch attribution: for every conversion event, the
+    earliest and latest non-conversion event by the same user inside a
+    strict lookback window ``(conv_ts - lookback_days, conv_ts)``.
+
+    One row per conversion: ``conv_id, user_id, conv_ts_us,
+    first_touch_type, last_touch_type, n_touches`` (NULL types / zero
+    count when the user had no touch in the window).
+
+    Scale shape (100 TB): ONE exchange — all three window functions
+    share a single ``partitionBy(user)`` ordered-by-microseconds spec
+    with a RANGE frame, so the event stream is hashed once and never
+    self-joined (the naive form is a per-conversion range self-join;
+    this is the window rewrite of it, same trick as the as-of join
+    twin in operators/asof.py). The frame end is ``-1`` microsecond:
+    touches strictly BEFORE the conversion, never peers at the same
+    timestamp. Deterministic cross-engine because (user, ts) pairs are
+    unique in the event stream and the frame is value-based, not
+    row-based. Extension beyond the reference's event rollups
+    (src/transformations/gold_layer.py stops at hourly aggregates).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    lookback_us = int(lookback_days) * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us)
+        .rangeBetween(-lookback_us, -1)
+    )
+    touch_type = F.when(F.col(type_col) != conversion, F.col(type_col))
+    # first/last over the value-range frame: earliest / latest touch
+    # inside the lookback (ignorenulls skips conversion events, which
+    # never count as touches)
+    annotated = events.select(
+        F.col(id_col).alias("conv_id"),
+        F.col(user_col).alias("user_id"),
+        us.alias("conv_ts_us"),
+        F.col(type_col).alias("_type"),
+        F.first(touch_type, ignorenulls=True).over(w).alias(
+            "first_touch_type"
+        ),
+        F.last(touch_type, ignorenulls=True).over(w).alias(
+            "last_touch_type"
+        ),
+        F.count(touch_type).over(w).cast("bigint").alias("n_touches"),
+    )
+    return annotated.filter(F.col("_type") == conversion).drop("_type")
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion: str = "purchase",
+    lookback_days: int = 7,
+    **kwargs,
+) -> DataFrame:
+    """Channel-credit rollup of :func:`touch_attribution`: per touch
+    event type, how many conversions credit it under the first-touch
+    vs the last-touch model (untouched conversions roll up under the
+    NULL-type row as ``'(none)'``).
+
+    The rollup runs on the conversion-sized attribution table, so the
+    only event-stream-sized work is the single window exchange of the
+    underlying operator.
+    """
+    attr = touch_attribution(
+        events, conversion=conversion, lookback_days=lookback_days, **kwargs
+    )
+    first = attr.groupBy(
+        F.coalesce("first_touch_type", F.lit("(none)")).alias("touch_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("first_touch_credits"))
+    last = attr.groupBy(
+        F.coalesce("last_touch_type", F.lit("(none)")).alias("touch_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("last_touch_credits"))
+    return (
+        first.join(last, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch_credits", F.lit(0)).alias(
+                "first_touch_credits"
+            ),
+            F.coalesce("last_touch_credits", F.lit(0)).alias(
+                "last_touch_credits"
+            ),
+        )
+    )

@@ -164,3 +164,57 @@ def test_funnel_timing_known_lags(spark):
     cp = out["click>purchase"]
     assert cp.n_converted == 1
     assert cp.median_lag_us == 30 * 60 * 1e6
+
+
+def test_touch_attribution_known_case(spark):
+    # user 1: view(d1) -> click(d2) -> purchase(d3): first=view last=click
+    # user 2: purchase with no prior touch -> NULLs, 0 touches
+    # user 3: touch 10 days before purchase -> outside 7-day lookback
+    rows_in = [
+        (10, 1, "2024-01-01 00:00:00", "view"),
+        (11, 1, "2024-01-02 00:00:00", "click"),
+        (12, 1, "2024-01-03 00:00:00", "purchase"),
+        (20, 2, "2024-01-05 00:00:00", "purchase"),
+        (30, 3, "2024-01-01 00:00:00", "view"),
+        (31, 3, "2024-01-11 00:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.conv_id: r for r in behavior.touch_attribution(df).collect()
+    }
+    assert set(out) == {12, 20, 31}
+    assert (out[12].first_touch_type, out[12].last_touch_type) == (
+        "view",
+        "click",
+    )
+    assert out[12].n_touches == 2
+    assert out[20].first_touch_type is None
+    assert out[20].n_touches == 0
+    assert out[31].first_touch_type is None  # 10 days > 7-day lookback
+
+
+def test_touch_attribution_excludes_prior_conversions_as_touches(spark):
+    rows_in = [
+        (1, 7, "2024-01-01 00:00:00", "purchase"),
+        (2, 7, "2024-01-02 00:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.conv_id: r for r in behavior.touch_attribution(df).collect()}
+    # the earlier purchase is in the lookback but is not a touch
+    assert out[2].n_touches == 0 and out[2].last_touch_type is None
+
+
+def test_attribution_credit_conserves_conversions(events):
+    attr = behavior.touch_attribution(events)
+    n_conv = attr.count()
+    credit = behavior.attribution_credit(events)
+    agg = credit.agg(
+        F.sum("first_touch_credits").alias("f"),
+        F.sum("last_touch_credits").alias("l"),
+    ).collect()[0]
+    # every conversion gets exactly one credit under each model
+    assert agg.f == n_conv and agg.l == n_conv
