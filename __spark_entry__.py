@@ -328,6 +328,8 @@ _DRIVER_FIRST: list[str] = [
     # band 1 — new/changed in round 5 (never driver-checked first)
     "behavior_attribution",
     "behavior_attribution_credit",
+    "mm_sample_frames",
+    "mm_resize_meta",
     "stream_static_enrich",
     "stream_stream_conversions",
     "ts_resample_ffill",
@@ -1345,6 +1347,15 @@ def _all_queries() -> dict[str, QueryFn]:
             mm_ops.media_from_documents(_t(s, d, "documents"))
         ),
         "mm_extract_features": lambda s, d: mm_ops.extract_features(
+            mm_ops.media_from_documents(_t(s, d, "documents"))
+        ),
+        # video-frame-sampling shape: 4 evenly spaced 16-byte windows
+        # per payload, long format (byte slice = decode stub)
+        "mm_sample_frames": lambda s, d: mm_ops.sample_frames(
+            mm_ops.media_from_documents(_t(s, d, "documents"))
+        ),
+        # resize-to-budget shape: truncate-over-32B stub + routed metadata
+        "mm_resize_meta": lambda s, d: mm_ops.resize_media(
             mm_ops.media_from_documents(_t(s, d, "documents"))
         ),
         "drift_missing_rate_shift": lambda s, d: drift_ops.missing_rate_shift(
@@ -4004,6 +4015,33 @@ def _all_oracle_sql() -> dict[str, str]:
                    'text/plain' AS mime,
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                    sha256(text) AS payload_sha256
+            FROM documents
+        """,
+        "mm_sample_frames": """
+            -- byte == char here (documents are ASCII; the verify suite
+            -- asserts octet_length(encode(text)) = length(text))
+            WITH media AS (
+              SELECT doc_id AS media_id, text AS payload FROM documents
+            ), f AS (
+              SELECT media_id, CAST(i AS INT) AS frame_idx,
+                     CAST((i * greatest(length(payload) - 16, 0)) // 3
+                          AS BIGINT) AS frame_offset,
+                     substring(payload,
+                               CAST((i * greatest(length(payload) - 16, 0))
+                                    // 3 + 1 AS BIGINT),
+                               CAST(16 AS BIGINT)) AS frame
+              FROM media, (SELECT unnest(range(4)) AS i) r
+            )
+            SELECT media_id, frame_idx, frame_offset,
+                   CAST(length(frame) AS BIGINT) AS n_frame_bytes,
+                   sha256(frame) AS frame_sha256
+            FROM f
+        """,
+        "mm_resize_meta": """
+            SELECT doc_id AS media_id, 'text' AS kind,
+                   CAST(length(text) AS BIGINT) AS n_bytes_in,
+                   CAST(least(length(text), 32) AS BIGINT) AS n_bytes_out,
+                   sha256(substring(text, 1, 32)) AS resized_sha256
             FROM documents
         """,
         "drift_missing_rate_shift": """

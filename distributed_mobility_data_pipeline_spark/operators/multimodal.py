@@ -89,3 +89,91 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_offset long, "
+    "n_frame_bytes long, frame_sha256 string"
+)
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, n_bytes_in long, n_bytes_out long, "
+    "resized_sha256 string"
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Video-frame-sampling operator shape: ``n_frames`` evenly spaced
+    fixed-size byte windows per payload, long format (one row per
+    frame). The byte-window slice is the STUB for real frame decode
+    (pyav keyframe extraction in production); the dataflow — Arrow
+    batches in, exploded frame rows out, offsets computed with integer
+    arithmetic so they are bit-reproducible cross-engine — is the real
+    operator.
+
+    Offsets: ``off_i = i * max(L - frame_bytes, 0) // max(n_frames-1, 1)``
+    (first frame at 0, last flush with the payload end). Map-only: no
+    exchange; output is frame-sized, never payload-duplicating, which
+    is what lets this run over 100 TB of video without amplifying the
+    scan."""
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        denom = max(n_frames - 1, 1)
+        for pdf in it:
+            ids, idxs, offs, lens, hashes = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                span = max(len(p) - frame_bytes, 0)
+                for i in range(n_frames):
+                    off = i * span // denom
+                    frame = p[off : off + frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(len(frame))
+                    hashes.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_offset": offs,
+                    "n_frame_bytes": lens,
+                    "frame_sha256": hashes,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """Resize-to-budget operator shape: payloads above ``target_bytes``
+    are truncated (the STUB for a real image down-scale; PIL thumbnail
+    in production), smaller payloads pass through unchanged. Emits the
+    metadata the downstream pipeline routes on — in/out sizes and the
+    content hash of the resized payload — not the blob itself, so the
+    checked output stays small. Map-only, no exchange."""
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                (p if p is not None else b"") for p in pdf["payload"]
+            ]
+            resized = [p[:target_bytes] for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes_in": [len(p) for p in payloads],
+                    "n_bytes_out": [len(r) for r in resized],
+                    "resized_sha256": [
+                        hashlib.sha256(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)

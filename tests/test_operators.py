@@ -95,3 +95,55 @@ def test_gini_extremes(spark):
     # max gini for n=4 with one holder = (n-1)/n = 0.75
     assert out["c"].gini == 0.75
     assert out["e"].n_keys == 4 and out["e"].total_value == 40.0
+
+
+def test_sample_frames_offsets_and_hashes(spark):
+    import hashlib
+
+    payload = bytes(range(100))  # L=100, span=84, offsets 0,28,56,84
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), "video/mp4"),
+         (2, "video", bytearray(b"tiny"), "video/mp4")],  # L < frame_bytes
+        "media_id long, kind string, payload binary, mime string",
+    )
+    rows = {
+        (r.media_id, r.frame_idx): r
+        for r in multimodal.sample_frames(media).collect()
+    }
+    assert len(rows) == 8  # 4 frames per payload
+    assert [rows[(1, i)].frame_offset for i in range(4)] == [0, 28, 56, 84]
+    assert rows[(1, 3)].frame_sha256 == hashlib.sha256(
+        payload[84:100]
+    ).hexdigest()
+    # short payload: every frame is the whole payload at offset 0
+    assert rows[(2, 0)].frame_offset == 0
+    assert rows[(2, 0)].n_frame_bytes == 4
+    assert rows[(2, 2)].frame_sha256 == hashlib.sha256(b"tiny").hexdigest()
+
+
+def test_sample_frames_rejects_zero_frames(spark):
+    import pytest as _pytest
+
+    media = spark.createDataFrame(
+        [], "media_id long, kind string, payload binary, mime string"
+    )
+    with _pytest.raises(ValueError):
+        multimodal.sample_frames(media, n_frames=0)
+
+
+def test_resize_media_truncates_over_budget_only(spark):
+    import hashlib
+
+    big, small = bytes(range(64)), b"ok"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(big), "image/png"),
+         (2, "image", bytearray(small), "image/png")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    rows = {
+        r.media_id: r for r in multimodal.resize_media(media, 32).collect()
+    }
+    assert (rows[1].n_bytes_in, rows[1].n_bytes_out) == (64, 32)
+    assert rows[1].resized_sha256 == hashlib.sha256(big[:32]).hexdigest()
+    assert (rows[2].n_bytes_in, rows[2].n_bytes_out) == (2, 2)
+    assert rows[2].resized_sha256 == hashlib.sha256(small).hexdigest()
