@@ -330,6 +330,7 @@ _DRIVER_FIRST: list[str] = [
     "behavior_attribution_credit",
     "mm_sample_frames",
     "mm_resize_meta",
+    "quality_expectations",
     "stream_static_enrich",
     "stream_stream_conversions",
     "ts_resample_ffill",
@@ -1357,6 +1358,27 @@ def _all_queries() -> dict[str, QueryFn]:
         # resize-to-budget shape: truncate-over-32B stub + routed metadata
         "mm_resize_meta": lambda s, d: mm_ops.resize_media(
             mm_ops.media_from_documents(_t(s, d, "documents"))
+        ),
+        # declarative expectations engine: 6 rule kinds over orders,
+        # row-predicate rules fused into ONE scan
+        "quality_expectations": lambda s, d: quality_ops.expectations_report(
+            _t(s, d, "orders"),
+            [
+                {"rule": "custkey_not_null", "kind": "not_null",
+                 "col": "o_custkey"},
+                {"rule": "totalprice_0_200k", "kind": "in_range",
+                 "col": "o_totalprice", "lo": 0, "hi": 200000},
+                {"rule": "status_known", "kind": "in_set",
+                 "col": "o_orderstatus", "values": ["O", "F", "P"]},
+                {"rule": "priority_format", "kind": "regex",
+                 "col": "o_orderpriority", "pattern": "^[1-5]-"},
+                {"rule": "orderkey_unique", "kind": "unique",
+                 "cols": ["o_orderkey"]},
+                {"rule": "custkey_in_customer", "kind": "ref_integrity",
+                 "col": "o_custkey", "ref": "customer",
+                 "ref_col": "c_custkey"},
+            ],
+            ref_tables={"customer": _t(s, d, "customer")},
         ),
         "drift_missing_rate_shift": lambda s, d: drift_ops.missing_rate_shift(
             clean_ops.null_out_when(
@@ -4043,6 +4065,51 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(least(length(text), 32) AS BIGINT) AS n_bytes_out,
                    sha256(substring(text, 1, 32)) AS resized_sha256
             FROM documents
+        """,
+        "quality_expectations": """
+            WITH scan AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN o_custkey IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+                     CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND NOT (o_totalprice BETWEEN 0 AND 200000)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+                     CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F', 'P')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+                     CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority,
+                                                     '^[1-5]-')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+              FROM orders
+            ), uniq AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v
+              FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+            ), ri AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN c.c_custkey IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v
+              FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              WHERE o.o_custkey IS NOT NULL
+            )
+            SELECT 'custkey_not_null' AS rule, 'not_null' AS kind,
+                   n AS n_checked, v_nn AS n_violations,
+                   v_nn = 0 AS passed FROM scan
+            UNION ALL
+            SELECT 'totalprice_0_200k', 'in_range', n, v_rng,
+                   v_rng = 0 FROM scan
+            UNION ALL
+            SELECT 'status_known', 'in_set', n, v_set, v_set = 0 FROM scan
+            UNION ALL
+            SELECT 'priority_format', 'regex', n, v_re, v_re = 0 FROM scan
+            UNION ALL
+            SELECT 'orderkey_unique', 'unique', n, v, v = 0 FROM uniq
+            UNION ALL
+            SELECT 'custkey_in_customer', 'ref_integrity', n, v,
+                   v = 0 FROM ri
         """,
         "drift_missing_rate_shift": """
             WITH base AS (

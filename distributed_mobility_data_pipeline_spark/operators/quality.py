@@ -221,3 +221,129 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, status string, old_type string, new_type string"
     )
+
+
+def expectations_report(
+    df: DataFrame, rules: list[dict], ref_tables: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Declarative expectations engine (Deequ / Great Expectations
+    shape; the rule-list generalization of the reference's hard-coded
+    checks, utils/data_quality.py:36-95). Each rule is a dict:
+
+    - ``{"rule": name, "kind": "not_null", "col": c}``
+    - ``{"kind": "in_range", "col": c, "lo": x, "hi": y}`` (NULL passes
+      — compose with not_null to also reject NULLs)
+    - ``{"kind": "in_set", "col": c, "values": [...]}`` (NULL passes)
+    - ``{"kind": "regex", "col": c, "pattern": p}`` (NULL passes)
+    - ``{"kind": "unique", "cols": [c, ...]}``
+    - ``{"kind": "ref_integrity", "col": c, "ref": table, "ref_col": rc}``
+      (requires ``ref_tables[table]``; NULL passes)
+
+    Returns one row per rule: ``rule, kind, n_checked, n_violations,
+    passed``.
+
+    Scale shape (100 TB): every row-predicate rule (not_null / in_range
+    / in_set / regex) is fused into ONE conditional-aggregation scan —
+    adding rules adds zero jobs. ``unique`` rules each cost one
+    hash-aggregate on their key; ``ref_integrity`` is a broadcast-able
+    anti-join counted on the fact side. All branches end in a
+    single-row aggregate, so the unioned report is dimension-sized and
+    nothing touches the driver.
+    """
+    ref_tables = ref_tables or {}
+    known = {"not_null", "in_range", "in_set", "regex", "unique",
+             "ref_integrity"}
+    for r in rules:
+        if r.get("kind") not in known:
+            raise ValueError(f"unknown expectation kind: {r.get('kind')!r}")
+        if "rule" not in r:
+            raise ValueError(f"expectation missing 'rule' name: {r!r}")
+
+    total = F.count(F.lit(1))
+    scan_aggs = [total.cast("bigint").alias("_n_checked")]
+    scan_rules = []
+    for r in rules:
+        k = r["kind"]
+        if k == "not_null":
+            bad = F.col(r["col"]).isNull()
+        elif k == "in_range":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ~c.between(F.lit(r["lo"]), F.lit(r["hi"]))
+        elif k == "in_set":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ~c.isin(list(r["values"]))
+        elif k == "regex":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ~c.rlike(r["pattern"])
+        else:
+            continue
+        scan_rules.append(r)
+        scan_aggs.append(
+            F.sum(F.when(bad, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_v_{len(scan_rules) - 1}")
+        )
+
+    reports = []
+    if scan_rules:
+        wide = df.agg(*scan_aggs)
+        for i, r in enumerate(scan_rules):
+            reports.append(
+                wide.select(
+                    F.lit(r["rule"]).alias("rule"),
+                    F.lit(r["kind"]).alias("kind"),
+                    F.col("_n_checked").alias("n_checked"),
+                    F.col(f"_v_{i}").alias("n_violations"),
+                )
+            )
+    for r in rules:
+        if r["kind"] == "unique":
+            dup = (
+                df.groupBy(*r["cols"])
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+                    F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_violations"),
+                )
+            )
+            reports.append(
+                dup.select(
+                    F.lit(r["rule"]).alias("rule"),
+                    F.lit("unique").alias("kind"),
+                    "n_checked",
+                    "n_violations",
+                )
+            )
+        elif r["kind"] == "ref_integrity":
+            if r["ref"] not in ref_tables:
+                raise ValueError(
+                    f"ref_integrity rule {r['rule']!r} needs "
+                    f"ref_tables[{r['ref']!r}]"
+                )
+            ref = ref_tables[r["ref"]].select(
+                F.col(r["ref_col"]).alias(r["col"])
+            ).distinct()
+            fact = df.filter(F.col(r["col"]).isNotNull())
+            orphans = fact.join(F.broadcast(ref), r["col"], "left_anti")
+            rep = fact.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_checked")
+            ).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_violations")
+                )
+            )
+            reports.append(
+                rep.select(
+                    F.lit(r["rule"]).alias("rule"),
+                    F.lit("ref_integrity").alias("kind"),
+                    "n_checked",
+                    "n_violations",
+                )
+            )
+
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -92,3 +92,51 @@ def test_schema_drift_detects_all_changes(spark):
         "v": ("type_changed", "double", "float"),
     }
     assert quality.schema_drift(old, old).count() == 0
+
+
+def test_expectations_report_counts(spark):
+    from distributed_mobility_data_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (2, "zz", None), (None, "a", 50.0)],
+        "id long, code string, v double",
+    )
+    ref = spark.createDataFrame([("a",), ("b",)], "code string")
+    rules = [
+        {"rule": "id_nn", "kind": "not_null", "col": "id"},
+        {"rule": "v_range", "kind": "in_range", "col": "v", "lo": 0,
+         "hi": 10},
+        {"rule": "code_set", "kind": "in_set", "col": "code",
+         "values": ["a", "b"]},
+        {"rule": "code_re", "kind": "regex", "col": "code",
+         "pattern": "^[ab]$"},
+        {"rule": "id_uniq", "kind": "unique", "cols": ["id"]},
+        {"rule": "code_ref", "kind": "ref_integrity", "col": "code",
+         "ref": "codes", "ref_col": "code"},
+    ]
+    out = {
+        r.rule: r
+        for r in quality.expectations_report(
+            df, rules, ref_tables={"codes": ref}
+        ).collect()
+    }
+    assert out["id_nn"].n_violations == 1
+    assert out["v_range"].n_violations == 2  # -1 and 50; NULL passes
+    assert out["code_set"].n_violations == 1  # zz
+    assert out["code_re"].n_violations == 1
+    assert out["id_uniq"].n_violations == 1  # id=2 duplicated
+    assert out["id_uniq"].n_checked == 3  # distinct keys incl NULL
+    assert out["code_ref"].n_violations == 1  # zz not in ref
+    assert out["code_ref"].n_checked == 4
+    assert not out["id_nn"].passed and out["id_nn"].n_checked == 4
+
+
+def test_expectations_rejects_unknown_kind(spark):
+    from distributed_mobility_data_pipeline_spark.operators import quality
+    import pytest as _pytest
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        quality.expectations_report(df, [{"rule": "x", "kind": "nope"}])
+    with _pytest.raises(ValueError):
+        quality.expectations_report(df, [{"kind": "not_null", "col": "id"}])
