@@ -331,6 +331,7 @@ _DRIVER_FIRST: list[str] = [
     "mm_sample_frames",
     "mm_resize_meta",
     "quality_expectations",
+    "ts_seasonal_anomaly",
     "stream_static_enrich",
     "stream_stream_conversions",
     "ts_resample_ffill",
@@ -1430,6 +1431,10 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "events")
         ),
         "ts_gap_stats": lambda s, d: ts_ops.gap_stats(_t(s, d, "events")),
+        # hour-of-day seasonal baseline z-score anomaly flags
+        "ts_seasonal_anomaly": lambda s, d: ts_ops.seasonal_anomaly(
+            _t(s, d, "events")
+        ),
         "ts_resample_interpolate": lambda s, d: ts_ops.resample_interpolate(
             _t(s, d, "events")
         ),
@@ -4377,6 +4382,39 @@ def _all_oracle_sql() -> dict[str, str]:
                         ELSE COALESCE(prev_v, next_v) END AS sum_value_interp,
                    is_gap
             FROM ext
+        """,
+        "ts_seasonal_anomaly": """
+            WITH hourly AS (
+              SELECT event_type AS series,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), profile AS (
+              SELECT series, hour(hour_ts) AS hod,
+                     CAST(count(*) AS BIGINT) AS n_obs,
+                     CAST(sum(n) AS BIGINT) AS sum_n,
+                     CAST(sum(n * n) AS BIGINT) AS sum_sq
+              FROM hourly GROUP BY 1, 2
+            ), joined AS (
+              SELECT h.series,
+                     strftime(h.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+                     CAST(hour(h.hour_ts) AS INT) AS hod, h.n,
+                     CAST(p.sum_n AS DOUBLE) / p.n_obs AS mean_n,
+                     (CAST(p.sum_sq AS DOUBLE)
+                      - CAST(p.sum_n AS DOUBLE) * CAST(p.sum_n AS DOUBLE)
+                        / p.n_obs) / (p.n_obs - 1) AS var_n,
+                     p.n_obs
+              FROM hourly h JOIN profile p
+                ON h.series = p.series AND hour(h.hour_ts) = p.hod
+            )
+            SELECT series, hour_s, hod, n, mean_n,
+                   CASE WHEN n_obs > 1 AND var_n > 0
+                        THEN (CAST(n AS DOUBLE) - mean_n) / sqrt(var_n)
+                   END AS z,
+                   coalesce(abs(CASE WHEN n_obs > 1 AND var_n > 0
+                        THEN (CAST(n AS DOUBLE) - mean_n) / sqrt(var_n)
+                   END) >= 2.0, FALSE) AS is_anomaly
+            FROM joined
         """,
         "ts_gap_stats": """
             WITH agg AS (

@@ -183,3 +183,70 @@ def resample_interpolate(
         interp.alias("sum_value_interp"),
         "is_gap",
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Seasonal anomaly detection: flag hours whose event count
+    deviates ≥ ``z_thresh`` standard deviations from that series'
+    hour-of-day baseline (the diurnal profile). The monitoring twin of
+    the reference's volume check (utils/data_quality.py:69-85), which
+    compares against one global threshold and misses time-of-day
+    seasonality.
+
+    The baseline stats are exact-integer sums (count, Σn, Σn²), so
+    mean/variance/z are one fixed-order double expression over exact
+    inputs — bit-reproducible cross-engine. Degenerate profiles
+    (single observation or zero variance) yield NULL z and are never
+    flagged.
+
+    Scale shape: one map-side-combined rollup to hourly counts, one
+    further reduce to the (series × 24)-row profile, broadcast joined
+    back. No window, no global sort; each series profiles
+    independently, so 100 TB of events costs two shuffles of shrinking
+    size."""
+    hourly = df.groupBy(
+        F.col(series_col).alias("series"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    profile = hourly.groupBy(
+        "series", F.hour("hour_ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("n").cast("bigint").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+    )
+    mean = F.col("sum_n").cast("double") / F.col("n_obs")
+    # sample variance from exact sums: (Σn² - (Σn)²/n_obs) / (n_obs-1)
+    var = (
+        F.col("sum_sq").cast("double")
+        - F.col("sum_n").cast("double")
+        * F.col("sum_n").cast("double")
+        / F.col("n_obs")
+    ) / (F.col("n_obs") - F.lit(1))
+    z = F.when(
+        (F.col("n_obs") > 1) & (var > 0),
+        (F.col("n").cast("double") - F.col("mean_n")) / F.sqrt(F.col("var_n")),
+    )
+    return (
+        hourly.withColumn("hod", F.hour("hour_ts"))
+        .join(F.broadcast(profile), ["series", "hod"])
+        .withColumn("mean_n", mean)
+        .withColumn("var_n", var)
+        .withColumn("z", z)
+        .select(
+            "series",
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "hod",
+            "n",
+            "mean_n",
+            "z",
+            F.coalesce(F.abs(F.col("z")) >= F.lit(z_thresh), F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+    )

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributed_mobility_data_pipeline_spark.operators import timeseries as ts
@@ -132,3 +133,35 @@ def test_interpolate_boundary_degenerates_to_neighbor(spark):
     df = _mk(spark, [("b", "2024-01-01 05:00:00", 9.0)])
     rows = ts.resample_interpolate(df).collect()
     assert len(rows) == 1 and rows[0].sum_value_interp == 9.0
+
+
+def test_seasonal_anomaly_flags_known_spike(spark):
+    # 10 days of hour-0 observations for one series: nine hours with 1
+    # event, one hour with 30 -> that hour is a >2-sigma outlier
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        n = 30 if day == 5 else 1
+        for k in range(n):
+            rows.append((eid, f"2024-01-{day:02d} 00:{k:02d}:00", "a"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ts.seasonal_anomaly(df).collect()
+    assert len(out) == 10
+    flagged = [r for r in out if r.is_anomaly]
+    assert [r.hour_s for r in flagged] == ["2024-01-05 00:00:00"]
+    assert all(r.mean_n == pytest.approx(3.9) for r in out)
+
+
+def test_seasonal_anomaly_degenerate_profile_unflagged(spark):
+    # constant series (zero variance) and a single-observation series:
+    # both must yield NULL z and no flags
+    rows = [(1, "2024-01-01 03:00:00", "c"), (2, "2024-01-02 03:00:00", "c"),
+            (3, "2024-01-01 07:00:00", "solo")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ts.seasonal_anomaly(df).collect()
+    assert all(r.z is None and not r.is_anomaly for r in out)
