@@ -328,6 +328,7 @@ _DRIVER_FIRST: list[str] = [
     # band 1 — new/changed in round 5 (never driver-checked first)
     "behavior_attribution",
     "behavior_attribution_credit",
+    "behavior_window_funnel",
     "mm_sample_frames",
     "mm_resize_meta",
     "quality_expectations",
@@ -1525,6 +1526,11 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         # per-user behavioral diversity (Shannon entropy of event types)
         "behavior_type_entropy": lambda s, d: behavior_ops.type_entropy(
+            _t(s, d, "events")
+        ),
+        # ClickHouse-style windowFunnel: deepest in-order stage chain
+        # completing within 24h of its own stage-1 event, per user
+        "behavior_window_funnel": lambda s, d: behavior_ops.window_funnel(
             _t(s, d, "events")
         ),
         # first/last-touch attribution per conversion (strict 7-day
@@ -4636,6 +4642,40 @@ def _all_oracle_sql() -> dict[str, str]:
                         THEN 100.0 * (sum_value - prev_v) / prev_v
                    END AS value_growth_pct
             FROM lagged
+        """,
+        "behavior_window_funnel": """
+            WITH ev AS (
+              SELECT user_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ), ann AS (
+              SELECT user_id, event_type, us,
+                     min(CASE WHEN event_type = 'click' THEN us END)
+                       OVER w AS next2,
+                     min(CASE WHEN event_type = 'purchase' THEN us END)
+                       OVER w AS next3
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY us DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+            ), s1 AS (
+              SELECT user_id, us AS t1, next2 AS c2 FROM ann
+              WHERE event_type = 'view'
+            ), s2 AS (
+              SELECT user_id, us AS c2, next3 AS c3 FROM ann
+              WHERE event_type = 'click'
+            ), chain AS (
+              SELECT s1.user_id, s1.t1, s1.c2, s2.c3
+              FROM s1 LEFT JOIN s2
+                ON s1.user_id = s2.user_id AND s1.c2 = s2.c2
+            )
+            SELECT user_id,
+                   CAST(max(CASE
+                     WHEN c3 IS NOT NULL AND c3 <= t1 + 86400000000 THEN 3
+                     WHEN c2 IS NOT NULL AND c2 <= t1 + 86400000000 THEN 2
+                     ELSE 1 END) AS INT) AS funnel_level
+            FROM chain GROUP BY user_id
         """,
         "behavior_attribution": """
             WITH e AS (

@@ -459,3 +459,84 @@ def attribution_credit(
             ),
         )
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse-style ``windowFunnel``: per user, the deepest stage
+    ``k`` such that some strictly-ordered event chain
+    ``stage_1 < stage_2 < ... < stage_k`` completes within
+    ``window_hours`` of its OWN stage-1 event. Differs from
+    :func:`funnel_stages`, which anchors every stage to the user's
+    global first milestone — this one lets any stage-1 occurrence open
+    a fresh window.
+
+    Greedy earliest-next-stage chaining is depth-optimal (an earlier
+    stage-i event can only widen the remaining window), so the exact
+    semantics reduce to: annotate every event with the earliest
+    STRICTLY-LATER event time of each stage (one descending per-user
+    window, running min), then walk the chain with ``len(stages) - 2``
+    equi-joins on (user, exact event time) — never a per-row scan or a
+    UDF. Returns one row per user owning >= 1 stage-1 event:
+    ``user_id, funnel_level``.
+
+    Scale shape (100 TB): one user-hash window exchange over the
+    stage-filtered stream plus k-2 equi-joins whose left side shrinks
+    to stage-1-event cardinality. Deterministic: (user, ts) unique.
+    """
+    if len(stages) < 2:
+        raise ValueError(f"window_funnel needs >= 2 stages, got {stages!r}")
+    k = len(stages)
+    limit_us = int(window_hours) * 3_600 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    ev = (
+        events.filter(F.col(type_col).isin(list(stages)))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("_type"),
+            us.alias("_us"),
+        )
+    )
+    wdesc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_us").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ann = ev
+    for i in range(2, k + 1):
+        nxt = F.min(
+            F.when(F.col("_type") == stages[i - 1], F.col("_us"))
+        ).over(wdesc)
+        ann = ann.withColumn(f"_next{i}", nxt)
+
+    chain = ann.filter(F.col("_type") == stages[0]).select(
+        "user_id",
+        F.col("_us").alias("_t1"),
+        F.col("_next2").alias("_c2"),
+    )
+    for i in range(3, k + 1):
+        # read stage-(i-1)'s earliest-next pointer at the row we chained
+        # to: equi-join on the exact event time
+        step = ann.filter(F.col("_type") == stages[i - 2]).select(
+            "user_id",
+            F.col("_us").alias(f"_c{i-1}"),
+            F.col(f"_next{i}").alias(f"_c{i}"),
+        )
+        chain = chain.join(step, ["user_id", f"_c{i-1}"], "left")
+
+    limit = F.col("_t1") + F.lit(limit_us)
+    level = F.lit(1)
+    for i in range(2, k + 1):
+        cond = F.col(f"_c{i}").isNotNull() & (F.col(f"_c{i}") <= limit)
+        level = F.when(cond, F.lit(i)).otherwise(level)
+    return (
+        chain.select("user_id", level.alias("_lvl"))
+        .groupBy("user_id")
+        .agg(F.max("_lvl").cast("int").alias("funnel_level"))
+    )

@@ -218,3 +218,59 @@ def test_attribution_credit_conserves_conversions(events):
     ).collect()[0]
     # every conversion gets exactly one credit under each model
     assert agg.f == n_conv and agg.l == n_conv
+
+
+def test_window_funnel_known_chains(spark):
+    rows_in = [
+        # user 1: full chain inside 24h -> level 3
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 01:00:00", "click"),
+        (3, 1, "2024-01-01 02:00:00", "purchase"),
+        # user 2: purchase lands outside the 24h window -> level 2
+        (4, 2, "2024-01-01 00:00:00", "view"),
+        (5, 2, "2024-01-01 01:00:00", "click"),
+        (6, 2, "2024-01-03 00:00:00", "purchase"),
+        # user 3: wrong order (purchase before click) -> level 2
+        (7, 3, "2024-01-01 00:00:00", "view"),
+        (8, 3, "2024-01-01 01:00:00", "purchase"),
+        (9, 3, "2024-01-01 02:00:00", "click"),
+        # user 4: only a click (no stage-1 view) -> excluded
+        (10, 4, "2024-01-01 00:00:00", "click"),
+        # user 5: first window fails, a LATER view opens a full chain
+        (11, 5, "2024-01-01 00:00:00", "view"),
+        (12, 5, "2024-01-05 00:00:00", "view"),
+        (13, 5, "2024-01-05 01:00:00", "click"),
+        (14, 5, "2024-01-05 02:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.user_id: r.funnel_level
+        for r in behavior.window_funnel(df).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 2, 5: 3}
+
+
+def test_window_funnel_greedy_is_depth_optimal(spark):
+    # two clicks after the view; only chaining through the EARLIER one
+    # leaves room for the purchase inside the window
+    rows_in = [
+        (1, 9, "2024-01-01 00:00:00", "view"),
+        (2, 9, "2024-01-01 01:00:00", "click"),
+        (3, 9, "2024-01-01 23:00:00", "click"),
+        (4, 9, "2024-01-01 12:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = behavior.window_funnel(df).collect()
+    assert out[0].funnel_level == 3
+
+
+def test_window_funnel_rejects_single_stage(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    with _pytest.raises(ValueError):
+        behavior.window_funnel(df, stages=("view",))
