@@ -258,6 +258,9 @@ def expectations_report(
             raise ValueError(f"unknown expectation kind: {r.get('kind')!r}")
         if "rule" not in r:
             raise ValueError(f"expectation missing 'rule' name: {r!r}")
+        if "'" in r["rule"]:
+            # rule names are spliced into a stack() expression literal
+            raise ValueError("rule names must not contain single quotes")
 
     total = F.count(F.lit(1))
     scan_aggs = [total.cast("bigint").alias("_n_checked")]
@@ -286,16 +289,20 @@ def expectations_report(
 
     reports = []
     if scan_rules:
+        # stack() the single wide aggregate into long format — a union
+        # of per-rule selects would re-scan the input once per rule
         wide = df.agg(*scan_aggs)
-        for i, r in enumerate(scan_rules):
-            reports.append(
-                wide.select(
-                    F.lit(r["rule"]).alias("rule"),
-                    F.lit(r["kind"]).alias("kind"),
-                    F.col("_n_checked").alias("n_checked"),
-                    F.col(f"_v_{i}").alias("n_violations"),
-                )
-            )
+        stack_args = ", ".join(
+            f"'{r['rule']}', '{r['kind']}', _v_{i}"
+            for i, r in enumerate(scan_rules)
+        )
+        reports.append(
+            wide.selectExpr(
+                f"stack({len(scan_rules)}, {stack_args})"
+                " as (rule, kind, n_violations)",
+                "_n_checked as n_checked",
+            ).select("rule", "kind", "n_checked", "n_violations")
+        )
     for r in rules:
         if r["kind"] == "unique":
             dup = (
@@ -322,17 +329,20 @@ def expectations_report(
                     f"ref_integrity rule {r['rule']!r} needs "
                     f"ref_tables[{r['ref']!r}]"
                 )
-            ref = ref_tables[r["ref"]].select(
-                F.col(r["ref_col"]).alias(r["col"])
-            ).distinct()
+            # one fact scan: broadcast left join + conditional count
+            # (an anti-join plus a separate total would scan twice)
+            ref = (
+                ref_tables[r["ref"]]
+                .select(F.col(r["ref_col"]).alias(r["col"]))
+                .distinct()
+                .withColumn("_ref_hit", F.lit(1))
+            )
             fact = df.filter(F.col(r["col"]).isNotNull())
-            orphans = fact.join(F.broadcast(ref), r["col"], "left_anti")
-            rep = fact.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_checked")
-            ).crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_violations")
-                )
+            rep = fact.join(F.broadcast(ref), r["col"], "left").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+                F.sum(F.when(F.col("_ref_hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violations"),
             )
             reports.append(
                 rep.select(

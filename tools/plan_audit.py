@@ -91,6 +91,11 @@ AUDITS = {
     "agg_rolling_distinct_exact": "trailing-window distinct via day-list x reduced-activity range join — raw events reduced before any join",
     "agg_revenue_gini": "rank window partitions by nation; final arithmetic over the 25-row per-group aggregate",
     "sql_segment_ltv": "SQL text through the same Catalyst path: pruned ReadSchema + broadcast customer join, identical to DataFrame plans",
+    "behavior_attribution": "three attribution windows share ONE user-hash exchange with a value-RANGE frame; no per-conversion self-join",
+    "behavior_window_funnel": "windowFunnel: next-stage pointers from one descending per-user window; chain walk is an equi-join on (user, exact ts), never a scan",
+    "mm_sample_frames": "frame sampling is map-only mapInPandas (ArrowEvalPython): zero exchanges, output frame-sized not payload-sized",
+    "quality_expectations": "four row-predicate rules fuse into ONE conditional-aggregation scan; unique = one hash-agg; ref-integrity = broadcast anti-join",
+    "ts_seasonal_anomaly": "hourly rollup with map-side combine, (series x 24)-row profile broadcast back; no window, no global sort",
 }
 
 KEEP = re.compile(
