@@ -332,6 +332,7 @@ _DRIVER_FIRST: list[str] = [
     "mm_sample_frames",
     "mm_resize_meta",
     "quality_expectations",
+    "clean_winsorize_value",
     "ts_seasonal_anomaly",
     "stream_static_enrich",
     "stream_stream_conversions",
@@ -1508,6 +1509,13 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "events").select("event_id", "user_id", "event_type"),
             ["user_id"],
             "pepper-1",
+        ),
+        # per-type winsorization: clamp value to its exact [p5, p95]
+        # envelope (cutoffs broadcast back, no window over the stream)
+        "clean_winsorize_value": lambda s, d: clean_ops.winsorize(
+            _t(s, d, "events").select("event_id", "event_type", "value"),
+            "value",
+            group_col="event_type",
         ),
         # pure-SQL surface over registered temp views (one ANSI text,
         # both engines)
@@ -4818,6 +4826,19 @@ def _all_oracle_sql() -> dict[str, str]:
                    END AS user_id,
                    event_type
             FROM events
+        """,
+        "clean_winsorize_value": """
+            WITH cuts AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NOT NULL
+                        THEN least(greatest(e.value, c.lo), c.hi)
+                   END AS value_winsorized
+            FROM events e LEFT JOIN cuts c ON e.event_type = c.event_type
         """,
         "behavior_type_entropy": """
             WITH counts AS (

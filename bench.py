@@ -58,6 +58,10 @@ EXTENDED = [
     "win_ewma_demand",
     "scale_table_checksum",
     "sim_prototype_confusion",
+    "behavior_window_funnel",
+    "behavior_attribution",
+    "ts_seasonal_anomaly",
+    "quality_expectations",
 ]
 
 

@@ -111,3 +111,53 @@ def pseudonymize(
             ),
         )
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clamp ``value_col`` to its exact [lo_p, hi_p]
+    percentile envelope, per ``group_col`` when given — the standard
+    heavy-tail taming step before training on monetary/duration
+    features (a clamp keeps the row; the reference's range filter,
+    utils/data_quality.py:69-85, drops it).
+
+    NULL values pass through unclamped. Exact interpolated percentiles
+    (same formula as DuckDB's quantile_cont), computed in ONE
+    aggregate over the groups and broadcast-joined back — two scans of
+    the narrow projection, no window over the data stream, no global
+    sort. At 100 TB swap exact for approx_percentile if the cutoff
+    tolerance allows; the operator shape is unchanged."""
+    if not (0.0 <= lo_p < hi_p <= 1.0):
+        raise ValueError(
+            f"need 0 <= lo_p < hi_p <= 1, got ({lo_p}, {hi_p})"
+        )
+    probs = F.array(F.lit(float(lo_p)), F.lit(float(hi_p)))
+    nn = df.filter(F.col(value_col).isNotNull())
+    if group_col is None:
+        cuts = nn.agg(F.percentile(value_col, probs).alias("_q")).select(
+            F.col("_q")[0].alias("_lo"), F.col("_q")[1].alias("_hi")
+        )
+        joined = df.crossJoin(F.broadcast(cuts))
+    else:
+        cuts = (
+            nn.groupBy(group_col)
+            .agg(F.percentile(value_col, probs).alias("_q"))
+            .select(
+                group_col,
+                F.col("_q")[0].alias("_lo"),
+                F.col("_q")[1].alias("_hi"),
+            )
+        )
+        joined = df.join(F.broadcast(cuts), group_col, "left")
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+    )
+    return joined.withColumn(
+        f"{value_col}_winsorized", clamped
+    ).drop("_lo", "_hi")

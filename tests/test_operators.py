@@ -147,3 +147,42 @@ def test_resize_media_truncates_over_budget_only(spark):
     assert rows[1].resized_sha256 == hashlib.sha256(big[:32]).hexdigest()
     assert (rows[2].n_bytes_in, rows[2].n_bytes_out) == (2, 2)
     assert rows[2].resized_sha256 == hashlib.sha256(small).hexdigest()
+
+
+def test_winsorize_clamps_to_exact_percentiles(spark):
+    from distributed_mobility_data_pipeline_spark.operators import cleaning
+
+    # values 0..100: p5=5.0, p95=95.0 under linear interpolation
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    out = cleaning.winsorize(df, "v", 0.05, 0.95).collect()
+    wins = sorted(r.v_winsorized for r in out)
+    assert wins[0] == 5.0 and wins[-1] == 95.0
+    assert sum(1 for w in wins if w == 5.0) == 6  # 0..5 all clamp to 5
+
+
+def test_winsorize_per_group_and_nulls(spark):
+    from distributed_mobility_data_pipeline_spark.operators import cleaning
+
+    rows = [("a", float(i)) for i in range(11)] + [
+        ("b", 1000.0), ("b", 2000.0), ("b", 3000.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = cleaning.winsorize(df, "v", 0.25, 0.75, group_col="g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    # group a: p25=2.5, p75=7.5
+    a = sorted(r.v_winsorized for r in by_g["a"])
+    assert a[0] == 2.5 and a[-1] == 7.5
+    # group b clamps to its own envelope, and NULL stays NULL
+    b_null = [r for r in by_g["b"] if r.v is None]
+    assert len(b_null) == 1 and b_null[0].v_winsorized is None
+    assert max(r.v_winsorized for r in by_g["b"] if r.v is not None) == 2500.0
+
+
+def test_winsorize_rejects_bad_bounds(spark):
+    from distributed_mobility_data_pipeline_spark.operators import cleaning
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(ValueError):
+        cleaning.winsorize(df, "v", 0.9, 0.1)

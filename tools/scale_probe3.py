@@ -56,6 +56,12 @@ QUERIES = [
     "pipeline_user_insights",
     "ts_resample_interpolate",
     "scalar_morton3_key",
+    # final round-5 batch
+    "behavior_attribution",
+    "behavior_attribution_credit",
+    "behavior_window_funnel",
+    "ts_seasonal_anomaly",
+    "quality_expectations",
 ]
 
 
@@ -144,8 +150,9 @@ def main() -> None:
         print(f"generated 10x probe slice in {time.time() - t0:.1f}s", flush=True)
 
     qs = entrymod.queries()
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
     rows = []
-    for name in QUERIES:
+    for name in [q for q in QUERIES if not only or q in only]:
         _time(qs, name, spark, SF01)  # warm the shape
         t_01 = _time(qs, name, spark, SF01)
         t_1 = _time(qs, name, spark, PROBE)
