@@ -333,6 +333,7 @@ _DRIVER_FIRST: list[str] = [
     "mm_resize_meta",
     "quality_expectations",
     "clean_winsorize_value",
+    "text_bpe_encode",
     "ts_seasonal_anomaly",
     "stream_static_enrich",
     "stream_stream_conversions",
@@ -1455,6 +1456,12 @@ def _all_queries() -> dict[str, QueryFn]:
         # BPE tokenizer training (iterative; driver sees one scalar per
         # round). Rows-only by design — exactness proven against a
         # pure-Python reference in tests/test_bpe.py on the same corpus.
+        # tokenizer APPLY step: encode docs with a fixed merge table
+        # (fold once per distinct word, broadcast join back)
+        "text_bpe_encode": lambda s, d: bpe_ops.encode_documents(
+            _t(s, d, "documents"),
+            [("t", "a"), ("ta", "b"), ("l", "e"), ("e", bpe_ops.EOW)],
+        ),
         "text_bpe_learn": lambda s, d: bpe_ops.learn_bpe_merges(
             _t(s, d, "documents"), n_merges=8
         ),
@@ -4396,6 +4403,47 @@ def _all_oracle_sql() -> dict[str, str]:
                         ELSE COALESCE(prev_v, next_v) END AS sum_value_interp,
                    is_gap
             FROM ext
+        """,
+        "text_bpe_encode": """
+            -- greedy left-to-right BPE merge == sequential global
+            -- string replace over a DOUBLE-space-joined symbol string
+            -- (double spacing keeps symbol boundaries exact and lets
+            -- consecutive merges rematch, matching the Spark fold)
+            WITH occ AS (
+              SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n_occ
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split(
+                         regexp_replace(lower(trim(text)), ' +', ' ', 'g'),
+                         ' ')) AS word
+                FROM documents
+              ) WHERE word <> '' GROUP BY 1, 2
+            ), vocab AS (
+              SELECT DISTINCT word FROM occ
+            ), seg AS (
+              SELECT word,
+                replace(replace(replace(replace(
+                  ' ' || array_to_string(string_split(word, ''), '  ')
+                      || '  ▁ ',
+                  ' t  a ', ' ta '),
+                  ' ta  b ', ' tab '),
+                  ' l  e ', ' le '),
+                  ' e  ▁ ', ' e▁ ') AS s
+              FROM vocab
+            ), toks AS (
+              SELECT word,
+                     CAST(len(string_split(trim(s), '  ')) AS BIGINT)
+                       AS n_tokens
+              FROM seg
+            )
+            SELECT o.doc_id,
+                   CAST(sum(o.n_occ) AS BIGINT) AS n_words,
+                   CAST(sum(o.n_occ * t.n_tokens) AS BIGINT)
+                     AS n_bpe_tokens,
+                   CAST(sum(o.n_occ * t.n_tokens) AS DOUBLE)
+                     / sum(o.n_occ) AS avg_tokens_per_word
+            FROM occ o JOIN toks t USING (word)
+            GROUP BY 1
         """,
         "ts_seasonal_anomaly": """
             WITH hourly AS (

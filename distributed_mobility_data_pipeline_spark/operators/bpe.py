@@ -153,3 +153,57 @@ def segment_vocabulary(
     for a, b in merges:
         vocab = vocab.withColumn("syms", apply_merge(F.col("syms"), a, b))
     return vocab.withColumn("n_tokens", F.size("syms"))
+
+
+def encode_documents(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document with a learned merge table — the
+    tokenizer APPLY step that follows :func:`learn_bpe_merges` in an
+    LLM data pipeline (per-doc BPE token counts drive packing budgets
+    and mixture weights).
+
+    The expensive fold runs once per DISTINCT WORD (the segmented
+    vocabulary), never per occurrence — the corpus word stream is then
+    a broadcast equi-join against that vocabulary (the same
+    distinct-first trick as the fuzzy-linkage DP, linkage.py). Returns
+    one row per document: ``doc_id, n_words, n_bpe_tokens,
+    avg_tokens_per_word``.
+
+    Scale shape (100 TB): one explode+groupBy over the corpus for the
+    word stream, vocabulary fold over the (distinct-word)-sized table,
+    broadcast join back (vocabularies are ~10^5-10^6 rows — droppable
+    to a shuffle join if a corpus breaks that), one final groupBy(doc).
+    """
+    seg = segment_vocabulary(docs, merges, text_col).select(
+        "word", "n_tokens"
+    )
+    words = F.explode(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " "),
+            " ",
+        )
+    ).alias("word")
+    occurrences = (
+        docs.select(F.col(id_col), words)
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return (
+        occurrences.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "avg_tokens_per_word",
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words"),
+        )
+    )

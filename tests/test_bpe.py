@@ -91,3 +91,48 @@ def test_learn_rejects_bad_args(spark):
     docs = spark.createDataFrame([("a",)], ["text"])
     with pytest.raises(ValueError):
         bpe.learn_bpe_merges(docs, 0)
+
+
+def test_encode_documents_counts(spark):
+    from distributed_mobility_data_pipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "the table the"), (2, "tab")], "doc_id long, text string"
+    )
+    merges = [("t", "h"), ("th", "e"), ("e", bpe.EOW)]
+    out = {r.doc_id: r for r in bpe.encode_documents(docs, merges).collect()}
+    # 'the' -> [the, ▁] = 2 toks; 'table' -> [t,a,b,l,e▁] = 5;
+    # 'tab' -> [t,a,b,▁] = 4
+    assert out[1].n_words == 3 and out[1].n_bpe_tokens == 2 + 5 + 2
+    assert out[2].n_words == 1 and out[2].n_bpe_tokens == 4
+    assert out[1].avg_tokens_per_word == pytest.approx(9 / 3)
+
+
+def test_greedy_fold_matches_reference_implementation(spark):
+    """Property: the Spark aggregate-fold segmentation equals a plain
+    Python greedy left-to-right merge on adversarial repeat patterns
+    (the cases where replace-style rewrites usually diverge)."""
+    from distributed_mobility_data_pipeline_spark.operators import bpe
+    from pyspark.sql import functions as F
+
+    def fold(word, merges):
+        syms = list(word) + [bpe.EOW]
+        for a, b in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    words = ["aaaa", "aaa", "abab", "aabb", "baaab", "abba", "bbbb"]
+    merges = [("a", "a"), ("a", "b"), ("aa", "aa"), ("ab", bpe.EOW)]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    col = bpe._initial_symbols(F.col("word"))
+    for a, b in merges:
+        col = bpe.apply_merge(col, a, b)
+    got = {r.word: list(r.syms) for r in df.select("word", col.alias("syms")).collect()}
+    for w in words:
+        assert got[w] == fold(w, merges), w
