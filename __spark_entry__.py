@@ -329,6 +329,7 @@ _DRIVER_FIRST: list[str] = [
     "behavior_attribution",
     "behavior_attribution_credit",
     "behavior_window_funnel",
+    "behavior_stickiness",
     "mm_sample_frames",
     "mm_resize_meta",
     "quality_expectations",
@@ -1541,6 +1542,10 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         # per-user behavioral diversity (Shannon entropy of event types)
         "behavior_type_entropy": lambda s, d: behavior_ops.type_entropy(
+            _t(s, d, "events")
+        ),
+        # DAU / trailing-7d active users per day (product stickiness)
+        "behavior_stickiness": lambda s, d: behavior_ops.stickiness(
             _t(s, d, "events")
         ),
         # ClickHouse-style windowFunnel: deepest in-order stage chain
@@ -4698,6 +4703,26 @@ def _all_oracle_sql() -> dict[str, str]:
                         THEN 100.0 * (sum_value - prev_v) / prev_v
                    END AS value_growth_pct
             FROM lagged
+        """,
+        "behavior_stickiness": """
+            WITH activity AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), dau AS (
+              SELECT d, CAST(count(*) AS BIGINT) AS dau
+              FROM activity GROUP BY 1
+            ), days AS (
+              SELECT DISTINCT d AS day FROM activity
+            ), rolling AS (
+              SELECT day,
+                     CAST(count(DISTINCT a.user_id) AS BIGINT) AS window_au
+              FROM days JOIN activity a
+                ON a.d <= day AND a.d > day - 7
+              GROUP BY 1
+            )
+            SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau,
+                   r.window_au,
+                   CAST(dau.dau AS DOUBLE) / r.window_au AS stickiness
+            FROM dau JOIN rolling r ON dau.d = r.day
         """,
         "behavior_window_funnel": """
             WITH ev AS (

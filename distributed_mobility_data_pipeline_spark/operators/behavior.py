@@ -540,3 +540,49 @@ def window_funnel(
         .groupBy("user_id")
         .agg(F.max("_lvl").cast("int").alias("funnel_level"))
     )
+
+
+def stickiness(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Product stickiness per day: DAU / trailing-``window_days``
+    active users (the DAU/WAU ratio product teams track; 1.0 = every
+    weekly-active user shows up daily).
+
+    Both counts come off the SAME distinct (key, day) reduction —
+    raw events are deduplicated once, then the rolling count joins the
+    day list against the reduced activity table (the
+    sketches.rolling_distinct_exact shape) and DAU is a trivial
+    groupBy of it. Nothing re-scans events.
+    """
+    activity = events.select(
+        F.col(key_col).alias("_k"),
+        F.date_trunc("day", F.col(ts_col)).alias("_d"),
+    ).distinct()
+    dau = activity.groupBy("_d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    days = activity.select("_d").distinct().withColumnRenamed("_d", "_day")
+    rolling = (
+        days.join(
+            activity,
+            (F.col("_d") <= F.col("_day"))
+            & (F.col("_d") > F.date_sub(F.col("_day"), window_days)),
+        )
+        .groupBy("_day")
+        .agg(F.countDistinct("_k").cast("bigint").alias("window_au"))
+    )
+    return (
+        dau.join(rolling, dau["_d"] == rolling["_day"])
+        .select(
+            F.date_format("_d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "window_au",
+            (F.col("dau").cast("double") / F.col("window_au")).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -274,3 +274,33 @@ def test_window_funnel_rejects_single_stage(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
     with _pytest.raises(ValueError):
         behavior.window_funnel(df, stages=("view",))
+
+
+def test_stickiness_known_values(spark):
+    # 3 users; day1: u1,u2  day2: u1  -> dau 2,1; WAU(7d) day1=2, day2=2
+    rows_in = [
+        (1, 1, "2024-01-01 05:00:00", "view"),
+        (2, 2, "2024-01-01 06:00:00", "view"),
+        (3, 1, "2024-01-01 07:00:00", "click"),  # same user+day dedups
+        (4, 1, "2024-01-02 05:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.day: r for r in behavior.stickiness(df).collect()}
+    assert out["2024-01-01"].dau == 2 and out["2024-01-01"].window_au == 2
+    assert out["2024-01-02"].dau == 1 and out["2024-01-02"].window_au == 2
+    assert out["2024-01-02"].stickiness == 0.5
+
+
+def test_stickiness_window_expires(spark):
+    # u2 active 10 days before day 11: outside the 7-day window
+    rows_in = [
+        (1, 2, "2024-01-01 05:00:00", "view"),
+        (2, 1, "2024-01-11 05:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.day: r for r in behavior.stickiness(df).collect()}
+    assert out["2024-01-11"].window_au == 1 and out["2024-01-11"].stickiness == 1.0

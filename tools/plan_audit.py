@@ -96,6 +96,9 @@ AUDITS = {
     "mm_sample_frames": "frame sampling is map-only mapInPandas (ArrowEvalPython): zero exchanges, output frame-sized not payload-sized",
     "quality_expectations": "four row-predicate rules fuse into ONE conditional-aggregation scan; unique = one hash-agg; ref-integrity = broadcast anti-join",
     "ts_seasonal_anomaly": "hourly rollup with map-side combine, (series x 24)-row profile broadcast back; no window, no global sort",
+    "clean_winsorize_value": "per-group exact percentile cutoffs in one aggregate, broadcast-joined back; clamp is map-only, no window over the stream",
+    "text_bpe_encode": "merge fold runs once per DISTINCT word; corpus word stream joins the segmented vocab broadcast, one final groupBy(doc)",
+    "behavior_stickiness": "events deduped to (user, day) ONCE; DAU and the rolling window both derive from that reduced table, nothing re-scans events",
 }
 
 KEEP = re.compile(

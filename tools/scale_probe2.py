@@ -34,7 +34,15 @@ N_REP = 100
 
 # the two queries whose sf1 ratio was data-bound (4.2x / 4.5x at 10x),
 # plus exact dedup as the cheap control
-QUERIES = ["dedup_docs_exact", "dedup_docs_minhash_lsh", "dedup_docs_clusters"]
+QUERIES = [
+    "dedup_docs_exact",
+    "dedup_docs_minhash_lsh",
+    "dedup_docs_clusters",
+    # round-5 documents-table additions
+    "mm_sample_frames",
+    "mm_resize_meta",
+    "text_bpe_encode",
+]
 
 
 def generate(spark) -> None:
@@ -92,8 +100,9 @@ def main() -> None:
         print(f"{label} corpus: {n} docs", flush=True)
 
     qs = entrymod.queries()
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
     rows = []
-    for name in QUERIES:
+    for name in [q for q in QUERIES if not only or q in only]:
         _time(qs, name, spark, SF01)            # warm the shape
         t_01 = _time(qs, name, spark, SF01)
         t_1 = _time(qs, name, spark, PROBE1)
