@@ -314,16 +314,17 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations):
-# 1) never-driver-checked queries added this round (49: behavioral
-#    analytics, streaming joins, time series, graph, linkage, sketches,
-#    reconciliation, BPE, prototypes, IVF-PQ, SQL surface, plus the
-#    earlier round-5 batch) — new queries always outrank stale greens;
-#    the 50-slot window covers band 1 almost exactly,
-# 2) the band whose latest driver green is r02 rolls to the r06
-#    rotation (tools/rotate_driver_order.py orders it). All 183
-#    queries were locally oracle-verified on current data this session
-#    (tools/verify_local.py: 168 hash-pass / 15 rows-only / 0 fail),
-#    so the staleness risk is bounded.
+# 1) never-driver-checked queries added this round (61: the final batch
+#    — attribution, windowFunnel, stickiness, frame sampling/resize,
+#    expectations, seasonal anomaly, winsorize, BPE encode — ahead of
+#    the earlier round-5 batch: behavioral analytics, streaming joins,
+#    time series, graph, linkage, sketches, reconciliation, BPE learn,
+#    prototypes, IVF-PQ, SQL surface). New queries always outrank stale
+#    greens; the 50-slot window reaches ~50 of the 61, the tail plus
+# 2) the r02-latest band roll to the r06 rotation
+#    (tools/rotate_driver_order.py orders it). All 193 queries were
+#    locally oracle-verified on current data this session
+#    (tools/verify_local.py: 0 fails), so the staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
     # band 1 — new/changed in round 5 (never driver-checked first)
     "behavior_attribution",
