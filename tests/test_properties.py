@@ -251,3 +251,116 @@ def test_transition_matrix_shares_sum_to_one(spark, sf_dir):
         by_from.setdefault(r.from_type, []).append(r.row_share)
     for shares in by_from.values():
         assert abs(sum(shares) - 1.0) < 1e-9
+
+
+# ---- windowFunnel: greedy chain == exhaustive best chain ----------------
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # user
+        st.integers(0, 40),         # timestamp slot (hours)
+        st.sampled_from(["s1", "s2", "s3"]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _best_funnel_depth(evs, window):
+    """Exhaustive reference: max depth over ALL strictly-ordered chains
+    anchored at any s1 event — not just the greedy earliest-next one."""
+    stages = ["s1", "s2", "s3"]
+
+    def extend(t_anchor, t_prev, depth):
+        if depth == 3:
+            return 3
+        best = depth
+        for t, kind in evs:
+            if kind == stages[depth] and t_prev < t <= t_anchor + window:
+                best = max(best, extend(t_anchor, t, depth + 1))
+        return best
+
+    return max(
+        (extend(t, t, 1) for t, kind in evs if kind == "s1"), default=0
+    )
+
+
+@_slow
+@given(_funnel_events)
+def test_window_funnel_greedy_matches_exhaustive(spark, raw):
+    from distributed_mobility_data_pipeline_spark.operators import behavior
+
+    # operator contract: (user, ts) unique — keep first event per slot
+    dedup, seen = [], set()
+    for u, t, kind in raw:
+        if (u, t) not in seen:
+            seen.add((u, t))
+            dedup.append((u, t, kind))
+    rows = [
+        (i, u, f"2024-01-{1 + t // 24:02d} {t % 24:02d}:00:00", kind)
+        for i, (u, t, kind) in enumerate(dedup)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.user_id: r.funnel_level
+        for r in behavior.window_funnel(
+            df, stages=("s1", "s2", "s3"), window_hours=10
+        ).collect()
+    }
+    for u in {u for u, _t, _k in dedup}:
+        evs = [(t, k) for (uu, t, k) in dedup if uu == u]
+        want = _best_funnel_depth(evs, 10)
+        assert got.get(u, 0) == want, (u, sorted(evs), got.get(u), want)
+
+
+# ---- touch attribution vs brute force -----------------------------------
+
+_attr_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 30),         # day slot
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_slow
+@given(_attr_events)
+def test_touch_attribution_matches_bruteforce(spark, raw):
+    from distributed_mobility_data_pipeline_spark.operators import behavior
+
+    dedup, seen = [], set()
+    for u, t, kind in raw:
+        if (u, t) not in seen:
+            seen.add((u, t))
+            dedup.append((u, t, kind))
+    rows = [
+        (i, u, f"2024-{1 + t // 28:02d}-{1 + t % 28:02d} 00:00:00", kind)
+        for i, (u, t, kind) in enumerate(dedup)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.conv_id: r
+        for r in behavior.touch_attribution(df, lookback_days=7).collect()
+    }
+    for i, (u, t, kind) in enumerate(dedup):
+        if kind != "purchase":
+            continue
+        touches = sorted(
+            (t2, k2)
+            for (u2, t2, k2) in dedup
+            if u2 == u and k2 != "purchase" and t - 7 <= t2 < t
+        )
+        r = got[i]
+        if not touches:
+            assert r.first_touch_type is None and r.n_touches == 0
+        else:
+            assert r.first_touch_type == touches[0][1]
+            assert r.last_touch_type == touches[-1][1]
+            assert r.n_touches == len(touches)
