@@ -336,6 +336,7 @@ _DRIVER_FIRST: list[str] = [
     "quality_expectations",
     "clean_winsorize_value",
     "text_bpe_encode",
+    "drift_ks_binned",
     "ts_seasonal_anomaly",
     "stream_static_enrich",
     "stream_stream_conversions",
@@ -693,6 +694,13 @@ def _all_queries() -> dict[str, QueryFn]:
             "yhat",
         ),
         "drift_psi_fixed_bins": lambda s, d: drift_ops.psi_detail_fixed_bins(
+            _t(s, d, "events").filter(F.to_date("ts") < F.lit("2024-01-15")),
+            _t(s, d, "events").filter(F.to_date("ts") >= F.lit("2024-01-15")),
+            "value",
+            [0.0, 20.0, 40.0, 60.0, 80.0, 100.0],
+        ),
+        # binned two-sample KS: per-bin ECDF gap (max = KS statistic)
+        "drift_ks_binned": lambda s, d: drift_ops.ks_binned(
             _t(s, d, "events").filter(F.to_date("ts") < F.lit("2024-01-15")),
             _t(s, d, "events").filter(F.to_date("ts") >= F.lit("2024-01-15")),
             "value",
@@ -2084,6 +2092,43 @@ def _all_oracle_sql() -> dict[str, str]:
                    / count(CASE WHEN y != 0 THEN abs((y - yhat) / y) END) AS mape,
                    CAST(count(*) AS BIGINT) AS n
             FROM p
+        """,
+        "drift_ks_binned": """
+            WITH b AS (
+              SELECT CASE WHEN value IS NULL THEN -1
+                          WHEN value < 20.0 THEN 0
+                          WHEN value < 40.0 THEN 1
+                          WHEN value < 60.0 THEN 2
+                          WHEN value < 80.0 THEN 3
+                          ELSE 4 END AS bucket
+              FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'
+            ), c AS (
+              SELECT CASE WHEN value IS NULL THEN -1
+                          WHEN value < 20.0 THEN 0
+                          WHEN value < 40.0 THEN 1
+                          WHEN value < 60.0 THEN 2
+                          WHEN value < 80.0 THEN 3
+                          ELSE 4 END AS bucket
+              FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+            ), bg AS (SELECT bucket, count(*) AS b_n FROM b GROUP BY 1),
+               cg AS (SELECT bucket, count(*) AS c_n FROM c GROUP BY 1),
+               j AS (
+              SELECT COALESCE(bg.bucket, cg.bucket) AS bucket,
+                     CAST(COALESCE(b_n, 0) AS BIGINT) AS b_n,
+                     CAST(COALESCE(c_n, 0) AS BIGINT) AS c_n
+              FROM bg FULL JOIN cg ON bg.bucket = cg.bucket
+            )
+            SELECT bucket, b_n, c_n,
+                   CAST(sum(b_n) OVER w AS DOUBLE) / sum(b_n) OVER ()
+                     AS b_cum_share,
+                   CAST(sum(c_n) OVER w AS DOUBLE) / sum(c_n) OVER ()
+                     AS c_cum_share,
+                   abs(CAST(sum(b_n) OVER w AS DOUBLE) / sum(b_n) OVER ()
+                       - CAST(sum(c_n) OVER w AS DOUBLE) / sum(c_n) OVER ())
+                     AS abs_diff
+            FROM j
+            WINDOW w AS (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "drift_psi_fixed_bins": """
             WITH b AS (

@@ -143,3 +143,49 @@ def missing_rate_shift(
         "current_rate",
         F.abs(F.col("current_rate") - F.col("baseline_rate")).alias("shift"),
     )
+
+
+def ks_binned(
+    baseline: DataFrame, current: DataFrame, col: str, edges: list[float]
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift on fixed bins: per bin, the
+    cumulative share of each side and the ECDF gap; ``max(abs_diff)``
+    over the result is the (binned) KS statistic. Complements PSI —
+    KS reacts to location shifts PSI's symmetric log terms can smear.
+
+    Exact on the given bins: integer cumulative counts, one double
+    division per side, fully deterministic cross-engine. NULLs and
+    out-of-range values land in the clamp buckets like the PSI family
+    (same ``_bucketize``).
+
+    Scale shape (100 TB): each side aggregates to ≤ ``len(edges)`` bin
+    counts (map-side combine); the cumulative window runs over that
+    bounded bin table — its SinglePartition exchange sees bin-count
+    rows, never data rows (the text_quality_cutoff histogram
+    argument)."""
+    b = (
+        _bucketize(baseline, col, edges)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("b_n"))
+    )
+    c = (
+        _bucketize(current, col, edges)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_n"))
+    )
+    joined = b.join(c, "bucket", "full").na.fill(0, ["b_n", "c_n"])
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot_b = F.sum("b_n").over(Window.partitionBy())
+    tot_c = F.sum("c_n").over(Window.partitionBy())
+    cum_b = F.sum("b_n").over(w)
+    cum_c = F.sum("c_n").over(w)
+    return joined.select(
+        "bucket",
+        F.col("b_n").cast("bigint").alias("b_n"),
+        F.col("c_n").cast("bigint").alias("c_n"),
+        (cum_b.cast("double") / tot_b).alias("b_cum_share"),
+        (cum_c.cast("double") / tot_c).alias("c_cum_share"),
+        F.abs(
+            cum_b.cast("double") / tot_b - cum_c.cast("double") / tot_c
+        ).alias("abs_diff"),
+    )

@@ -140,3 +140,19 @@ def test_expectations_rejects_unknown_kind(spark):
         quality.expectations_report(df, [{"rule": "x", "kind": "nope"}])
     with _pytest.raises(ValueError):
         quality.expectations_report(df, [{"kind": "not_null", "col": "id"}])
+
+
+def test_ks_binned_detects_location_shift(spark):
+    from distributed_mobility_data_pipeline_spark.operators import drift
+
+    base = spark.createDataFrame([(float(v),) for v in range(0, 50)], "v double")
+    curr = spark.createDataFrame([(float(v),) for v in range(50, 100)], "v double")
+    out = drift.ks_binned(base, curr, "v", [0.0, 25.0, 50.0, 75.0, 100.0]).collect()
+    ks = max(r.abs_diff for r in out)
+    assert ks == 1.0  # disjoint supports -> maximal ECDF gap
+    # identical distributions -> zero gap everywhere
+    out2 = drift.ks_binned(base, base, "v", [0.0, 25.0, 50.0, 75.0, 100.0]).collect()
+    assert all(r.abs_diff == 0.0 for r in out2)
+    # cumulative shares end at 1.0 on both sides
+    last = max(out, key=lambda r: r.bucket)
+    assert last.b_cum_share == 1.0 and last.c_cum_share == 1.0
