@@ -337,6 +337,7 @@ _DRIVER_FIRST: list[str] = [
     "clean_winsorize_value",
     "text_bpe_encode",
     "drift_ks_binned",
+    "metrics_calibration",
     "ts_seasonal_anomaly",
     "stream_static_enrich",
     "stream_stream_conversions",
@@ -1343,6 +1344,16 @@ def _all_queries() -> dict[str, QueryFn]:
         "ml_score_expression": lambda s, d: mlscore.score_demand_expression(
             mlfeat.demand_features(_t(s, d, "events"))
         ).select("d", "event_type", "n", "predicted_demand"),
+        # calibration table: mean prediction vs mean actual per
+        # predicted-value bin (decimal-exact means)
+        "metrics_calibration": lambda s, d: metric_ops.calibration_bins(
+            mlscore.score_demand_expression(
+                mlfeat.demand_features(_t(s, d, "events"))
+            ),
+            "predicted_demand",
+            "n",
+            [0.0, 20.0, 40.0, 60.0, 80.0, 100.0],
+        ),
         "ml_score_surge": lambda s, d: mlscore.score_surge_expression(
             mlfeat.demand_features(_t(s, d, "events"))
         ).select("d", "event_type", "n", "predicted_surge"),
@@ -3980,6 +3991,50 @@ def _all_oracle_sql() -> dict[str, str]:
                          + 0.2 * COALESCE(s1 / cnt, 0.0)
                          + 1.0, 3) AS predicted_demand
             FROM feat
+        """,
+        "metrics_calibration": """
+            WITH dc AS (
+              SELECT CAST(ts AS DATE) AS d, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), feat AS (
+              SELECT *, lag(n, 1) OVER w AS n_lag_1,
+                     lag(n, 7) OVER w AS n_lag_7,
+                     CAST(sum(CAST(n AS DECIMAL(18,6))) OVER wf AS DOUBLE)
+                       AS s1,
+                     count(n) OVER wf AS cnt
+              FROM dc
+              WINDOW w AS (PARTITION BY event_type ORDER BY d),
+                     wf AS (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ), scored AS (
+              SELECT n,
+                     round(0.5 * COALESCE(CAST(n_lag_1 AS DOUBLE), 0)
+                           + 0.3 * COALESCE(CAST(n_lag_7 AS DOUBLE), 0)
+                           + 0.2 * COALESCE(s1 / cnt, 0.0)
+                           + 1.0, 3) AS predicted_demand
+              FROM feat
+            ), bucketed AS (
+              SELECT CASE WHEN predicted_demand IS NULL THEN -1
+                          WHEN predicted_demand < 20.0 THEN 0
+                          WHEN predicted_demand < 40.0 THEN 1
+                          WHEN predicted_demand < 60.0 THEN 2
+                          WHEN predicted_demand < 80.0 THEN 3
+                          ELSE 4 END AS bucket,
+                     predicted_demand, n
+              FROM scored
+              WHERE predicted_demand IS NOT NULL AND n IS NOT NULL
+            )
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(predicted_demand AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*) AS avg_pred,
+                   CAST(sum(CAST(CAST(n AS DOUBLE) AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*) AS avg_actual,
+                   CAST(sum(CAST(predicted_demand AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*)
+                   - CAST(sum(CAST(CAST(n AS DOUBLE) AS DECIMAL(18,6)))
+                          AS DOUBLE) / count(*) AS bias
+            FROM bucketed GROUP BY 1
         """,
         "ml_score_expression": """
             WITH dc AS (

@@ -47,3 +47,46 @@ def naive_forecast_by_key(df: DataFrame, key: str, y: str) -> DataFrame:
     w = Window.partitionBy(key)
     yhat = F.sum(_dec(F.col(y), 6)).over(w).cast("double") / F.count(y).over(w)
     return df.withColumn("yhat", yhat)
+
+
+def calibration_bins(
+    scored: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    edges: list[float],
+) -> DataFrame:
+    """Calibration table for a regression scorer: bucket rows by
+    PREDICTED value, compare the bin's mean prediction against its mean
+    actual — the monitoring view that exposes where a model over/under
+    shoots even when global MAE looks fine (the binned counterpart of
+    the reference's aggregate metrics, model_monitoring.py:78-124).
+
+    One pass: bucketize (same clamp rules as the PSI/KS family,
+    drift._bucketize), one groupBy over ≤ len(edges) bins with
+    decimal-exact sums (functions/exact.py), so both means and the bias
+    are bit-reproducible cross-engine. Map-side combine makes the
+    shuffle bin-count-sized at any corpus scale."""
+    from distributed_mobility_data_pipeline_spark.functions.exact import dec
+    from distributed_mobility_data_pipeline_spark.operators.drift import _bucketize
+
+    rows = _bucketize(
+        scored.filter(
+            F.col(pred_col).isNotNull() & F.col(actual_col).isNotNull()
+        ),
+        pred_col,
+        edges,
+    )
+    n = F.count(F.lit(1))
+    avg_pred = F.sum(dec(F.col(pred_col))).cast("double") / n
+    avg_actual = F.sum(dec(F.col(actual_col).cast("double"))).cast(
+        "double"
+    ) / n
+    return (
+        rows.groupBy("bucket")
+        .agg(
+            n.cast("bigint").alias("n"),
+            avg_pred.alias("avg_pred"),
+            avg_actual.alias("avg_actual"),
+            (avg_pred - avg_actual).alias("bias"),
+        )
+    )

@@ -156,3 +156,21 @@ def test_ks_binned_detects_location_shift(spark):
     # cumulative shares end at 1.0 on both sides
     last = max(out, key=lambda r: r.bucket)
     assert last.b_cum_share == 1.0 and last.c_cum_share == 1.0
+
+
+def test_calibration_bins_exact_means(spark):
+    from distributed_mobility_data_pipeline_spark.operators import metrics
+
+    rows = [(5.0, 4), (15.0, 20), (25.0, 25), (35.0, 30), (None, 9), (50.0, None)]
+    df = spark.createDataFrame(rows, "pred double, actual int")
+    out = {
+        r.bucket: r
+        for r in metrics.calibration_bins(
+            df, "pred", "actual", [0.0, 20.0, 40.0]
+        ).collect()
+    }
+    # NULL pred / NULL actual rows are excluded entirely
+    assert set(out) == {0, 1}
+    assert out[0].n == 2 and out[0].avg_pred == 10.0 and out[0].avg_actual == 12.0
+    assert out[0].bias == -2.0
+    assert out[1].n == 2 and out[1].avg_pred == 30.0 and out[1].bias == 2.5
