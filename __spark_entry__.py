@@ -314,15 +314,16 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations):
-# 1) never-driver-checked queries added this round (61: the final batch
+# 1) never-driver-checked queries added this round (64: the final batch
 #    — attribution, windowFunnel, stickiness, frame sampling/resize,
-#    expectations, seasonal anomaly, winsorize, BPE encode — ahead of
+#    expectations, seasonal anomaly, winsorize, BPE encode, binned KS,
+#    scorer calibration — ahead of
 #    the earlier round-5 batch: behavioral analytics, streaming joins,
 #    time series, graph, linkage, sketches, reconciliation, BPE learn,
 #    prototypes, IVF-PQ, SQL surface). New queries always outrank stale
 #    greens; the 50-slot window reaches ~50 of the 61, the tail plus
 # 2) the r02-latest band roll to the r06 rotation
-#    (tools/rotate_driver_order.py orders it). All 193 queries were
+#    (tools/rotate_driver_order.py orders it). All 195 queries were
 #    locally oracle-verified on current data this session
 #    (tools/verify_local.py: 0 fails), so the staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
