@@ -99,6 +99,8 @@ AUDITS = {
     "clean_winsorize_value": "per-group exact percentile cutoffs in one aggregate, broadcast-joined back; clamp is map-only, no window over the stream",
     "text_bpe_encode": "merge fold runs once per DISTINCT word; corpus word stream joins the segmented vocab broadcast, one final groupBy(doc)",
     "behavior_stickiness": "events deduped to (user, day) ONCE; DAU and the rolling window both derive from that reduced table, nothing re-scans events",
+    "drift_ks_binned": "each side reduces to <= n_bins counts map-side; the cumulative window's SinglePartition exchange sees bin rows, never data rows",
+    "metrics_calibration": "one bucketized pass over the scored table; decimal-exact sums make both means bit-reproducible; shuffle is bin-count-sized",
 }
 
 KEEP = re.compile(
