@@ -314,7 +314,7 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations):
-# 1) never-driver-checked queries added this round (64: the final batch
+# 1) never-driver-checked queries added this round (65: the final batch
 #    — attribution, windowFunnel, stickiness, frame sampling/resize,
 #    expectations, seasonal anomaly, winsorize, BPE encode, binned KS,
 #    scorer calibration — ahead of
@@ -323,13 +323,14 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    prototypes, IVF-PQ, SQL surface). New queries always outrank stale
 #    greens; the 50-slot window reaches ~50 of the 61, the tail plus
 # 2) the r02-latest band roll to the r06 rotation
-#    (tools/rotate_driver_order.py orders it). All 195 queries were
+#    (tools/rotate_driver_order.py orders it). All 196 queries were
 #    locally oracle-verified on current data this session
 #    (tools/verify_local.py: 0 fails), so the staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
     # band 1 — new/changed in round 5 (never driver-checked first)
     "behavior_attribution",
     "behavior_attribution_credit",
+    "behavior_attribution_linear",
     "behavior_window_funnel",
     "behavior_stickiness",
     "mm_sample_frames",
@@ -1564,6 +1565,11 @@ def _all_queries() -> dict[str, QueryFn]:
         # per-user behavioral diversity (Shannon entropy of event types)
         "behavior_type_entropy": lambda s, d: behavior_ops.type_entropy(
             _t(s, d, "events")
+        ),
+        # linear multi-touch attribution: equal credit share per touch
+        # in the window (decimal-exact credit sums)
+        "behavior_attribution_linear": lambda s, d: (
+            behavior_ops.attribution_linear(_t(s, d, "events"))
         ),
         # DAU / trailing-7d active users per day (product stickiness)
         "behavior_stickiness": lambda s, d: behavior_ops.stickiness(
@@ -4805,6 +4811,31 @@ def _all_oracle_sql() -> dict[str, str]:
                         THEN 100.0 * (sum_value - prev_v) / prev_v
                    END AS value_growth_pct
             FROM lagged
+        """,
+        "behavior_attribution_linear": """
+            WITH convs AS (
+              SELECT user_id AS u, event_id AS conv_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+              FROM events WHERE event_type = 'purchase'
+            ), touches AS (
+              SELECT user_id AS u, event_type AS touch_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+              FROM events WHERE event_type <> 'purchase'
+            ), pairs AS (
+              SELECT c.conv_id, t.touch_type
+              FROM convs c JOIN touches t ON c.u = t.u
+              WHERE t.tus >= c.cus - 604800000000 AND t.tus < c.cus
+            ), credited AS (
+              SELECT touch_type,
+                     CAST(CAST(1.0 AS DOUBLE)
+                          / (count(*) OVER (PARTITION BY conv_id))
+                          AS DECIMAL(28,12)) AS credit
+              FROM pairs
+            )
+            SELECT touch_type,
+                   CAST(sum(credit) AS DOUBLE) AS linear_credits,
+                   CAST(count(*) AS BIGINT) AS n_touch_events
+            FROM credited GROUP BY 1
         """,
         "behavior_stickiness": """
             WITH activity AS (

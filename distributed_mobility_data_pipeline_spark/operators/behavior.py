@@ -586,3 +586,57 @@ def stickiness(
             ),
         )
     )
+
+
+def attribution_linear(
+    events: DataFrame,
+    conversion: str = "purchase",
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear multi-touch attribution: every touch inside a
+    conversion's strict lookback window shares the conversion's credit
+    equally (1/n each) — the equal-weight complement of
+    :func:`touch_attribution`'s first/last models. Returns one row per
+    touch type: ``touch_type, linear_credits, n_touch_events``.
+
+    Determinism: per-touch credit 1/n is rounded into
+    ``decimal(28,12)`` BEFORE aggregation, so the credit sum is
+    associative (partition-order independent) and bit-identical
+    cross-engine — summing raw double reciprocals would drift in the
+    last bits per shuffle layout (functions/exact.py's idiom).
+
+    Scale shape (100 TB): conversions × touches is an equi-join on the
+    user hash with a post-join range filter (the
+    stream_stream_conversions shape) — candidate pairs are bounded per
+    user, never a global product; both aggregates are map-side
+    combined."""
+    us = F.unix_micros(F.col(ts_col))
+    lookback_us = int(lookback_days) * 86_400 * 1_000_000
+    convs = events.filter(F.col(type_col) == conversion).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_conv_id"),
+        us.alias("_conv_us"),
+    )
+    touches = events.filter(F.col(type_col) != conversion).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("touch_type"),
+        us.alias("_touch_us"),
+    )
+    pairs = convs.join(touches, "_u").filter(
+        (F.col("_touch_us") >= F.col("_conv_us") - F.lit(lookback_us))
+        & (F.col("_touch_us") < F.col("_conv_us"))
+    )
+    w = Window.partitionBy("_conv_id")
+    credit = (F.lit(1.0) / F.count(F.lit(1)).over(w)).cast("decimal(28,12)")
+    return (
+        pairs.withColumn("_credit", credit)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("_credit").cast("double").alias("linear_credits"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touch_events"),
+        )
+    )

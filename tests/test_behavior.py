@@ -304,3 +304,29 @@ def test_stickiness_window_expires(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = {r.day: r for r in behavior.stickiness(df).collect()}
     assert out["2024-01-11"].window_au == 1 and out["2024-01-11"].stickiness == 1.0
+
+
+def test_attribution_linear_conserves_total_credit(spark, events):
+    attr = behavior.touch_attribution(events)
+    n_touched_convs = attr.filter(F.col("n_touches") > 0).count()
+    lin = behavior.attribution_linear(events).collect()
+    # each touched conversion distributes exactly 1.0 credit
+    assert sum(r.linear_credits for r in lin) == pytest.approx(
+        n_touched_convs, abs=1e-6
+    )
+
+
+def test_attribution_linear_equal_shares(spark):
+    rows_in = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-02 00:00:00", "click"),
+        (3, 1, "2024-01-03 00:00:00", "view"),
+        (4, 1, "2024-01-04 00:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.touch_type: r for r in behavior.attribution_linear(df).collect()}
+    assert out["view"].linear_credits == pytest.approx(2 / 3, abs=1e-9)
+    assert out["click"].linear_credits == pytest.approx(1 / 3, abs=1e-9)
+    assert out["view"].n_touch_events == 2
