@@ -62,6 +62,7 @@ QUERIES = [
     "behavior_window_funnel",
     "ts_seasonal_anomaly",
     "quality_expectations",
+    "behavior_attribution_linear",
 ]
 
 
