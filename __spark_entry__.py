@@ -327,60 +327,9 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    locally oracle-verified on current data this session
 #    (tools/verify_local.py: 0 fails), so the staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
-    # band 1 — new/changed in round 5 (never driver-checked first)
-    "behavior_attribution",
-    "behavior_attribution_credit",
-    "behavior_attribution_linear",
-    "behavior_window_funnel",
-    "behavior_stickiness",
-    "mm_sample_frames",
-    "mm_resize_meta",
-    "quality_expectations",
-    "clean_winsorize_value",
-    "text_bpe_encode",
-    "drift_ks_binned",
-    "metrics_calibration",
-    "ts_seasonal_anomaly",
-    "stream_static_enrich",
-    "stream_stream_conversions",
-    "ts_resample_ffill",
-    "ts_gap_stats",
-    "graph_pagerank",
-    "ml_freq_itemsets",
-    "join_point_in_time",
-    "scale_table_checksum",
-    "scale_checksum_diff",
-    "win_ewma_demand",
-    "sim_hard_negatives",
-    "text_bpe_learn",
-    "sim_label_centroids",
-    "sim_prototype_confusion",
-    "sim_cross_contamination",
-    "quality_robust_outliers",
-    "agg_rolling_distinct_exact",
-    "agg_rolling_distinct_sketch",
-    "dedup_canonical_quality",
-    "ml_seq_patterns",
-    "agg_revenue_gini",
-    "behavior_type_entropy",
-    "clean_pseudonymize",
-    "pipeline_user_insights",
-    "behavior_transition_matrix",
-    "behavior_period_growth",
-    "sql_segment_ltv",
-    "sim_ivfpq_ann",
-    "behavior_funnel_timing",
-    "scalar_morton3_key",
-    "ts_resample_interpolate",
-    "behavior_funnel",
-    "behavior_cohort_retention",
-    "behavior_rfm_scores",
-    "link_fuzzy_pairs",
-    "agg_distinct_rollup_exact",
-    "agg_distinct_rollup_sketch",
+    # band 1 — never driver-checked (12; led by text_quality_cutoff,
+    # the round-4-weak fix that has no driver row yet)
     "text_quality_cutoff",
-    "pipeline_corpus_prep",
-    "sample_mixing_weights",
     "text_unigram_logprob",
     "text_bigram_pmi",
     "text_vocab_coverage",
@@ -390,7 +339,13 @@ _DRIVER_FIRST: list[str] = [
     "scale_skew_report",
     "agg_incremental_daily_revenue",
     "scale_partition_plan",
-    # band 2 — latest driver green is r02
+    "sim_pq_encode",
+    "sim_pq_ann",
+    # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
+    # r5 (entry oracle_sql) but never driver-exercised (latest row r04
+    # no_oracle); flip it hash-PASS this round
+    "pipeline_corpus_prep",
+    # band 3 — latest driver green is r02 (37-query stale band)
     "dedup_docs_clusters",
     "dedup_docs_clusters_jaccard",
     "dedup_docs_simhash",
@@ -428,13 +383,9 @@ _DRIVER_FIRST: list[str] = [
     "scalar_math_functions",
     "win_distribution_functions",
     "agg_exact_quantiles",
-    # band 3 — oldest r03 green (fills the 50-slot cap)
+    # band 4 — oldest r03 green (spills past the 50-slot cap;
+    # rotation continues in r07)
     "agg_hourly_demand",
-    # past the 50-slot cap: new rows-only PQ queries (recall is guarded
-    # by tests/test_ann_quality.py; the rotation tool front-loads them
-    # next round as never-driver-checked)
-    "sim_pq_encode",
-    "sim_pq_ann",
 ]
 
 
@@ -4659,9 +4610,10 @@ def _all_oracle_sql() -> dict[str, str]:
                      AS bucket,
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(CAST(('0x' || substr(md5(
-                       CAST(o_orderkey AS VARCHAR) || '|'
-                       || CAST(o_custkey AS VARCHAR) || '|'
-                       || o_orderstatus || '|' || o_orderpriority
+                       COALESCE(replace(replace(CAST(o_orderkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+                       || COALESCE(replace(replace(CAST(o_custkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+                       || COALESCE(replace(replace(CAST(o_orderstatus AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+                       || COALESCE(replace(replace(CAST(o_orderpriority AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')
                      ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
             FROM orders GROUP BY 1
         """,
@@ -4678,9 +4630,10 @@ def _all_oracle_sql() -> dict[str, str]:
                        AS bucket,
                      CAST(count(*) AS BIGINT) AS n_rows_a,
                      CAST(sum(CAST(('0x' || substr(md5(
-                         CAST(o_orderkey AS VARCHAR) || '|'
-                         || CAST(o_custkey AS VARCHAR) || '|'
-                         || o_orderstatus || '|' || o_orderpriority
+                         COALESCE(replace(replace(CAST(o_orderkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+                         || COALESCE(replace(replace(CAST(o_custkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+                         || COALESCE(replace(replace(CAST(o_orderstatus AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+                         || COALESCE(replace(replace(CAST(o_orderpriority AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')
                        ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum_a
               FROM orders GROUP BY 1
             ), cb AS (
@@ -4689,9 +4642,10 @@ def _all_oracle_sql() -> dict[str, str]:
                        AS bucket,
                      CAST(count(*) AS BIGINT) AS n_rows_b,
                      CAST(sum(CAST(('0x' || substr(md5(
-                         CAST(o_orderkey AS VARCHAR) || '|'
-                         || CAST(o_custkey AS VARCHAR) || '|'
-                         || o_orderstatus || '|' || o_orderpriority
+                         COALESCE(replace(replace(CAST(o_orderkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+                         || COALESCE(replace(replace(CAST(o_custkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+                         || COALESCE(replace(replace(CAST(o_orderstatus AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+                         || COALESCE(replace(replace(CAST(o_orderpriority AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')
                        ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum_b
               FROM tampered GROUP BY 1
             )

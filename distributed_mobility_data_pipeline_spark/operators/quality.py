@@ -250,6 +250,8 @@ def expectations_report(
     single-row aggregate, so the unioned report is dimension-sized and
     nothing touches the driver.
     """
+    if not rules:
+        raise ValueError("rules must be a non-empty list")
     ref_tables = ref_tables or {}
     known = {"not_null", "in_range", "in_set", "regex", "unique",
              "ref_integrity"}

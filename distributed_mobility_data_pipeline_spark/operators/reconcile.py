@@ -9,10 +9,15 @@ disagree need row-level inspection — the anti-entropy design used by
 replicated stores, expressed in DataFrame ops.
 
 Digests use md5 hex prefixes (engine-portable, same rule the DuckDB
-oracle evaluates) over a canonical '|'-joined string encoding. Callers
-pass the column list explicitly and must pre-cast anything whose
-default string form is engine-dependent (floats!) — integer, string,
-and date columns are safe as-is.
+oracle evaluates) over a canonical '|'-joined string encoding. The
+encoding is injective: per column, backslash and the separator are
+backslash-escaped and NULL becomes the distinct token '\\N', so rows
+differing only in WHICH column is NULL (e.g. (a, NULL, b) vs
+(a, b, NULL)) get different digests — concat_ws alone would silently
+skip NULLs and hash them identically. Callers pass the column list
+explicitly and must pre-cast anything whose default string form is
+engine-dependent (floats!) — integer, string, and date columns are
+safe as-is.
 """
 
 from __future__ import annotations
@@ -23,6 +28,23 @@ from pyspark.sql import functions as F
 
 def _hex_prefix_to_long(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _canon_col(c: str):
+    """Injective string encoding of one column for row digests.
+
+    Backslash-escape the escape char and the '|' separator, then map
+    NULL to the unescapable token '\\N' (a bare backslash + N can never
+    be produced by the escaping, so NULL is distinguishable from the
+    literal string "\\N" and from empty).
+    """
+    s = F.col(c).cast("string")
+    esc = F.replace(
+        F.replace(s, F.lit("\\"), F.lit("\\\\")),
+        F.lit("|"),
+        F.lit("\\|"),
+    )
+    return F.coalesce(esc, F.lit("\\N"))
 
 
 def table_checksum(
@@ -40,9 +62,7 @@ def table_checksum(
     """
     if not cols:
         raise ValueError("cols must be a non-empty column list")
-    canon = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in cols]
-    )
+    canon = F.concat_ws("|", *[_canon_col(c) for c in cols])
     bucket = F.pmod(
         _hex_prefix_to_long(
             F.concat(F.col(key_col).cast("string"), F.lit("ck"))

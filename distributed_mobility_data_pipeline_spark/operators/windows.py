@@ -235,6 +235,7 @@ def ewma_dyadic(
     order_col: str,
     value_col: str,
     window_rows: int = 20,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Exponentially-weighted moving average (alpha = 1/2) of
     ``value_col`` over the last ``window_rows`` observations per key —
@@ -247,15 +248,21 @@ def ewma_dyadic(
     against a SQL oracle — no summation-order noise. The window frame
     is ordered rows per key: one shuffle on the key, nothing global.
 
+    Bit-exactness additionally requires a total order within each key:
+    if (key_col, order_col) can tie, pass ``tiebreak_col`` (appended to
+    the window orderBy) — otherwise collect_list's element order, and
+    hence the weighted fold, is undefined for the tied rows.
+
     Emits ``ewma`` normalized by the realized weight mass
     (2 - 2^(1-m) for m observations), so early rows with short history
     are unbiased.
     """
     if window_rows < 1:
         raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    order_cols = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
     w = (
         Window.partitionBy(key_col)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(-(window_rows - 1), 0)
     )
     arr = F.collect_list(F.col(value_col).cast("double")).over(w)

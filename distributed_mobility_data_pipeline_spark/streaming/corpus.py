@@ -81,6 +81,78 @@ def dedup_stream_within_watermark(
     )
 
 
+def neardedup_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    index_path: str,
+    n: int = 3,
+) -> None:
+    """One idempotent micro-batch of near-dup corpus admission.
+
+    Module-level (rather than a closure in stream_neardedup_sink) so
+    the replay path is directly unit-testable: calling it twice with
+    the same batch_id leaves corpus and index unchanged.
+    """
+    from pyspark.errors import AnalysisException
+
+    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch = batch_df.persist()
+    try:
+        bands = dedup_llm.band_hash_table(batch, n)
+        try:
+            idx = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select("band", "bhash")
+            )
+            has_index = True
+        except AnalysisException:
+            # index doesn't exist yet (first batch); any other failure
+            # (corrupt files, permissions) propagates so a broken index
+            # can't silently re-admit near-dups
+            has_index = False
+        if has_index:
+            dup_ids = (
+                bands.join(idx, ["band", "bhash"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            fresh = batch.join(dup_ids, "doc_id", "left_anti")
+        else:
+            fresh = batch
+        # intra-batch near-dups among the fresh docs: verified LSH
+        # pairs, keep the lower doc_id of each pair
+        pairs = dedup_llm.minhash_lsh_pairs(fresh, n).filter(
+            F.col("is_dup") == 1
+        )
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        survivors = fresh.join(losers, "doc_id", "left_anti").persist()
+        if not survivors.isEmpty():
+            (
+                survivors.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+            (
+                dedup_llm.band_hash_table(survivors, n)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(index_path)
+            )
+        survivors.unpersist()
+    finally:
+        batch.unpersist()
+
+
 def stream_neardedup_sink(
     docs: DataFrame,
     out_path: str,
@@ -102,46 +174,20 @@ def stream_neardedup_sink(
     ALREADY admitted (arrival order matters across chain-shaped
     clusters, as in any online dedup).
 
+    foreachBatch is at-least-once, so both sinks are made idempotent:
+    corpus and index are PARTITIONED BY batch_id and written with
+    dynamic partition overwrite — a replayed micro-batch overwrites its
+    own partition instead of appending twice. The index read filters to
+    batch_id < current, so a replay sees exactly the state the original
+    attempt saw (the batch's own half-written bands can't flag its docs
+    as dups of themselves) and deterministically rewrites the same
+    partitions.
+
     Returns the started StreamingQuery.
     """
-    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        batch = batch_df.persist()
-        try:
-            bands = dedup_llm.band_hash_table(batch, n)
-            try:
-                idx = spark.read.parquet(index_path).select("band", "bhash")
-                has_index = True
-            except Exception:
-                has_index = False
-            if has_index:
-                dup_ids = (
-                    bands.join(idx, ["band", "bhash"], "left_semi")
-                    .select("doc_id")
-                    .distinct()
-                )
-                fresh = batch.join(dup_ids, "doc_id", "left_anti")
-            else:
-                fresh = batch
-            # intra-batch near-dups among the fresh docs: verified LSH
-            # pairs, keep the lower doc_id of each pair
-            pairs = dedup_llm.minhash_lsh_pairs(fresh, n).filter(
-                F.col("is_dup") == 1
-            )
-            losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-            survivors = fresh.join(losers, "doc_id", "left_anti").persist()
-            if not survivors.isEmpty():
-                survivors.write.mode("append").parquet(out_path)
-                dedup_llm.band_hash_table(survivors, n).write.mode(
-                    "append"
-                ).parquet(index_path)
-            survivors.unpersist()
-        finally:
-            batch.unpersist()
+        neardedup_apply_batch(batch_df, batch_id, out_path, index_path, n)
 
     return (
         docs.writeStream.foreachBatch(_sink)

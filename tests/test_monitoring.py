@@ -140,6 +140,8 @@ def test_expectations_rejects_unknown_kind(spark):
         quality.expectations_report(df, [{"rule": "x", "kind": "nope"}])
     with _pytest.raises(ValueError):
         quality.expectations_report(df, [{"kind": "not_null", "col": "id"}])
+    with _pytest.raises(ValueError):
+        quality.expectations_report(df, [])
 
 
 def test_ks_binned_detects_location_shift(spark):

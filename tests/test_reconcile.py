@@ -57,3 +57,30 @@ def test_checksum_is_partitioning_independent(spark):
 def test_empty_cols_rejected(spark):
     with pytest.raises(ValueError):
         reconcile.table_checksum(_orders(spark), "k", [], 32)
+
+
+def test_null_position_changes_digest(spark):
+    # (a, NULL, b) vs (a, b, NULL): same non-null values, different
+    # column carrying the NULL — must yield a checksum mismatch
+    # (concat_ws alone would skip NULLs and hash both identically).
+    schema = "k int, x string, y string, z string"
+    a = spark.createDataFrame([(1, "a", None, "b")], schema)
+    b = spark.createDataFrame([(1, "a", "b", None)], schema)
+    rows = reconcile.checksum_diff(a, b, "k", ["x", "y", "z"], 8).collect()
+    assert len(rows) == 1 and rows[0].status == "checksum_mismatch"
+
+
+def test_null_vs_literal_backslash_n_differ(spark):
+    # NULL encodes as the unescapable token \N; a literal "\\N" string
+    # escapes its backslash, so the two stay distinguishable.
+    a = spark.createDataFrame([(1, None)], "k int, x string")
+    b = spark.createDataFrame([(1, "\\N")], "k int, x string")
+    assert len(reconcile.checksum_diff(a, b, "k", ["x"], 8).collect()) == 1
+
+
+def test_separator_injection_detected(spark):
+    # ("a|b", "c") vs ("a", "b|c") must not collide: the separator is
+    # escaped per column before joining.
+    a = spark.createDataFrame([(1, "a|b", "c")], ["k", "x", "y"])
+    b = spark.createDataFrame([(1, "a", "b|c")], ["k", "x", "y"])
+    assert len(reconcile.checksum_diff(a, b, "k", ["x", "y"], 8).collect()) == 1

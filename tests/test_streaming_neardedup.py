@@ -82,3 +82,32 @@ def test_neardedup_index_rejects_reingestion(spark, sf_dir, tmp_path):
     ).count() == 0
     admitted.unpersist()
     docs.unpersist()
+
+
+def test_neardedup_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-applying a micro-batch with the
+    same batch_id must leave corpus and index byte-identical (dynamic
+    partition overwrite on batch_id), not append duplicates."""
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id") < 60
+    )
+    b0 = docs.filter(F.col("doc_id") < 30)
+    b1 = docs.filter(F.col("doc_id") >= 30)
+
+    sc.neardedup_apply_batch(b0, 0, out, idx)
+    sc.neardedup_apply_batch(b1, 1, out, idx)
+    corpus1 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    index1 = spark.read.parquet(idx).count()
+
+    # replay batch 1 (crash-after-commit scenario)
+    sc.neardedup_apply_batch(b1, 1, out, idx)
+    corpus2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    index2 = spark.read.parquet(idx).count()
+    assert corpus2 == corpus1
+    assert index2 == index1
+
+    # replay batch 0 too (out-of-order redelivery)
+    sc.neardedup_apply_batch(b0, 0, out, idx)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == corpus1

@@ -98,6 +98,26 @@ def test_ewma_dyadic_known_values(spark):
     assert out[("b", 1)] == 10.0
 
 
+def test_ewma_tiebreak_makes_ties_deterministic(spark):
+    from distributed_mobility_data_pipeline_spark.operators import windows as win
+
+    # two rows tie on (k, t); with a tiebreak column the fold order is
+    # total, so both shuffles of the input agree exactly
+    rows = [("a", 1, 1, 4), ("a", 1, 2, 2), ("a", 2, 3, 1)]
+    df1 = spark.createDataFrame(rows, ["k", "t", "seq", "n"])
+    df2 = spark.createDataFrame(list(reversed(rows)), ["k", "t", "seq", "n"])
+    o1 = {
+        (r.k, r.t, r.seq): r.ewma
+        for r in win.ewma_dyadic(df1, "k", "t", "n", 20, tiebreak_col="seq").collect()
+    }
+    o2 = {
+        (r.k, r.t, r.seq): r.ewma
+        for r in win.ewma_dyadic(df2, "k", "t", "n", 20, tiebreak_col="seq").collect()
+    }
+    assert o1 == o2
+    assert o1[("a", 2, 3)] == (1 + 2 * 0.5 + 4 * 0.25) / 1.75
+
+
 def test_ewma_rejects_bad_window(spark):
     import pytest
     from distributed_mobility_data_pipeline_spark.operators import windows as win
