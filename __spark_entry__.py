@@ -345,6 +345,9 @@ _DRIVER_FIRST: list[str] = [
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
     "pipeline_corpus_prep",
+    # text_bpe_learn: gained an unrolled DuckDB oracle this round
+    # (previously no_oracle) — flip it to its first hash-PASS
+    "text_bpe_learn",
     # band 3 — latest driver green is r02 (37-query stale band)
     "dedup_docs_clusters",
     "dedup_docs_clusters_jaccard",
@@ -1428,8 +1431,9 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "events"), "event_type", "value"
         ),
         # BPE tokenizer training (iterative; driver sees one scalar per
-        # round). Rows-only by design — exactness proven against a
-        # pure-Python reference in tests/test_bpe.py on the same corpus.
+        # round). Oracle: fixed n_merges unrolls to per-step CTEs
+        # (_bpe_learn_oracle); also pinned against a pure-Python
+        # reference in tests/test_bpe.py on the same corpus.
         # tokenizer APPLY step: encode docs with a fixed merge table
         # (fold once per distinct word, broadcast join back)
         "text_bpe_encode": lambda s, d: bpe_ops.encode_documents(
@@ -1627,6 +1631,62 @@ def oracle_sql() -> dict[str, str]:
     # Same driver-facing order as queries(), in case the driver iterates this
     # dict instead (it compares per-name, but order determines any cap).
     return _driver_order(_all_oracle_sql())
+
+
+def _bpe_learn_oracle(n_merges: int = 8) -> str:
+    """Unrolled DuckDB oracle for ``text_bpe_learn``: BPE's per-step
+    argmax+merge is iterative, but with a FIXED n_merges each step
+    unrolls to three CTEs (pair counts / argmax / merge rewrite).
+
+    Same representation as the text_bpe_encode oracle: each word is a
+    DOUBLE-space-joined symbol string with sentinel spaces, so the
+    greedy left-to-right merge fold (operators/bpe.py apply_merge) is
+    exactly one global ``replace(' a  b ', ' ab ')`` — string replace
+    scans left-to-right non-overlapping, the same semantics as the
+    fold. Ties break (count DESC, left ASC, right ASC) in both engines
+    (binary UTF-8 collation on each side)."""
+    steps = []
+    for k in range(1, n_merges + 1):
+        steps.append(f"""
+, p{k} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r,
+         CAST(sum(count) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(s), '  ') AS syms, count FROM v{k - 1})
+       , UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2
+), t{k} AS (
+  SELECT {k} AS step, l, r, l || r AS merged, pair_count
+  FROM p{k} ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+), v{k} AS (
+  SELECT count,
+         replace(s, ' ' || t.l || '  ' || t.r || ' ',
+                    ' ' || t.l || t.r || ' ') AS s
+  FROM v{k - 1}, t{k} t
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM t{k}" for k in range(1, n_merges + 1)
+    )
+    return (
+        """
+WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS count FROM (
+    SELECT unnest(string_split(
+      regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY 1
+), v0 AS (
+  SELECT count,
+         ' ' || array_to_string(string_split(word, ''), '  ')
+             || '  \u2581 ' AS s
+  FROM w
+)"""
+        + "".join(steps)
+        + f"""
+SELECT CAST(step AS INT) AS step, l AS "left", r AS "right",
+       merged, pair_count
+FROM ({union})
+"""
+    )
 
 
 def _all_oracle_sql() -> dict[str, str]:
@@ -4468,6 +4528,7 @@ def _all_oracle_sql() -> dict[str, str]:
                    is_gap
             FROM ext
         """,
+        "text_bpe_learn": _bpe_learn_oracle(8),
         "text_bpe_encode": """
             -- greedy left-to-right BPE merge == sequential global
             -- string replace over a DOUBLE-space-joined symbol string

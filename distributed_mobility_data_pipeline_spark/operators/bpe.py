@@ -23,9 +23,11 @@ One single-row collect per iteration (the learned pair) — that scalar
 drives the next round, the vocab table itself never leaves executors;
 it is re-persisted per round and the previous round unpersisted.
 
-Not SQL-expressible in one query → driver-checked rows-only; exactness
-is proven by tests/test_bpe.py against a pure-Python reference run on
-the same corpus.
+Cross-engine checked two ways: tests/test_bpe.py pins the merge table
+against a pure-Python reference on the same corpus, and the driver
+oracle unrolls the fixed n_merges into per-step DuckDB CTEs where the
+greedy fold becomes a single global string replace
+(__spark_entry__._bpe_learn_oracle).
 """
 
 from __future__ import annotations

@@ -14,9 +14,11 @@ partitioning). The damping factor is a rational (17/20 = 0.85).
 
 Scale shape per iteration: one shuffle to join ranks onto edges (both
 sides hash-partitioned on the node key) and one groupBy(dst) with
-map-side partial sums. Iterations are a fixed small count; at very
-large scale persist/checkpoint the rank table between iterations to cut
-lineage (noted below), exactly like iterative MLlib jobs.
+map-side partial sums. Lineage is BOUNDED: the node-sized rank table is
+localCheckpoint-ed every ``checkpoint_every`` iterations (eager, prior
+checkpoint freed once superseded), so plan/closure size stays constant
+at any iteration depth — the same persist-cycle discipline as the
+iterative BPE learner (operators/bpe.py).
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ def pagerank_fixed_point(
     damping_num: int = 17,
     damping_den: int = 20,
     scale: int = FIXED_SCALE,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table (src, dst),
     in integer fixed-point (see module docstring).
@@ -52,14 +55,21 @@ def pagerank_fixed_point(
     Returns (node, rank_fp, rank) — ``rank_fp`` is the exact integer
     micro-rank, ``rank`` = rank_fp / scale as a double for reading.
 
-    ``N`` (node count) is the one driver-side scalar (a count. At 100 TB
-    cache `edges` first; for many iterations checkpoint the rank table
-    every few rounds to cut lineage growth).
+    ``N`` (node count) is the one driver-side scalar (a count). The
+    rank table is eagerly localCheckpoint-ed every ``checkpoint_every``
+    iterations so lineage (and task-closure size) stays bounded at deep
+    iteration counts; each new checkpoint frees the prior one — steady
+    state holds ONE extra node-sized cached copy. localCheckpoint
+    trades executor-loss fault tolerance for not needing a checkpoint
+    dir, the right trade for a rank table that is cheap to recompute
+    from the last checkpoint.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0 < damping_num < damping_den):
         raise ValueError("damping must be a proper fraction")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     # Loop-invariant tables are built once and persisted (memory-and-
     # disk, the iterative-algorithm standard). Two shuffle-avoidance
     # moves: the out-degree joins into the edge table ONCE (saves a
@@ -80,7 +90,8 @@ def pagerank_fixed_point(
         raise ValueError("pagerank on an empty edge table")
     teleport = ((damping_den - damping_num) * scale) // (damping_den * n)
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n).cast("bigint"))
-    for _ in range(iterations):
+    prev_ckpt = None
+    for i in range(iterations):
         contribs = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(
@@ -102,6 +113,13 @@ def pagerank_fixed_point(
             .cast("bigint")
             .alias("rank_fp"),
         )
+        # bound lineage: cut the plan every k rounds (skip after the
+        # final round — the caller's one-shot read doesn't need a cut)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ranks
     return ranks.select(
         "node",
         "rank_fp",

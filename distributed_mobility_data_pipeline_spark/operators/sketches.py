@@ -111,15 +111,22 @@ def rolling_distinct_exact(
 
     COUNT(DISTINCT) over a window frame isn't supported directly, so
     the classic shape: reduce to distinct (key, day), join the day list
-    against activity within the range, count distinct per day. The
-    range join is day-list x distinct-activity — both reduced tables,
-    never raw events."""
+    against activity within the range, count distinct per day.
+
+    Plan note: the range predicate makes this a
+    BroadcastNestedLoopJoin — deliberate, with the DAY LIST (bounded:
+    one row per observed day) as the explicit broadcast side and the
+    distinct-activity table streamed, never raw events. This is the
+    small-scale ORACLE TWIN; do not promote it to a large-scale path —
+    ``rolling_distinct_sketch`` (day-level HLL sketches, window union
+    over the sketch table) is the production form, with a measured
+    flatter decade slope (SCALE_NOTES.md round-6 probes)."""
     activity = events.select(
         F.col(key_col).alias("_k"),
         F.date_trunc("day", F.col(ts_col)).alias("_d"),
     ).distinct()
     days = activity.select("_d").distinct().withColumnRenamed("_d", "_day")
-    joined = days.join(
+    joined = F.broadcast(days).join(
         activity,
         (F.col("_d") <= F.col("_day"))
         & (F.col("_d") > F.date_sub(F.col("_day"), window_days)),

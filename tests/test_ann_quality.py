@@ -39,10 +39,11 @@ def test_ivf_recall_at_1_on_separated_clusters(clustered):
         r.qid: r.vid
         for r in similarity.cosine_topk(clustered, [0, 30, 60], 1).collect()
     }
+    cents = similarity.fit_ivf_quantizer(clustered, n_clusters=3)
     approx = {
         r.qid: r.vid
         for r in similarity.ivf_ann(
-            clustered, [0, 30, 60], n_clusters=3, n_probe=1, k=1
+            clustered, [0, 30, 60], n_clusters=3, n_probe=1, k=1, centroids=cents
         ).collect()
     }
     # n_probe=1 forces reliance on correct cell ranking: the query's own
@@ -51,7 +52,10 @@ def test_ivf_recall_at_1_on_separated_clusters(clustered):
 
 
 def test_ivf_results_are_valid_cosines(clustered):
-    out = similarity.ivf_ann(clustered, [0, 30, 60], n_clusters=3).collect()
+    cents = similarity.fit_ivf_quantizer(clustered, n_clusters=3)
+    out = similarity.ivf_ann(
+        clustered, [0, 30, 60], n_clusters=3, centroids=cents
+    ).collect()
     assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in out)
     assert all(r.rank <= 3 for r in out)
 
@@ -59,11 +63,20 @@ def test_ivf_results_are_valid_cosines(clustered):
 def test_ivf_prefit_quantizer_matches_inline_fit(clustered):
     # the offline path: fit once, pass centroids in — results must be
     # identical to the convenience in-query fit (same seed, same metric),
-    # and the query plan must carry no KMeans training
+    # and the query plan must carry no KMeans training. The inline fit
+    # intentionally exercises the warned convenience path.
+    import warnings
+
     cents = similarity.fit_ivf_quantizer(clustered, n_clusters=3)
     assert len(cents) == 3 and all(len(c) == 16 for _, c in cents)
-    inline = sorted(map(tuple, similarity.ivf_ann(
-        clustered, [0, 30, 60], n_clusters=3).collect()))
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore",
+            message=".*without precomputed centroids.*",
+            category=RuntimeWarning,
+        )
+        inline = sorted(map(tuple, similarity.ivf_ann(
+            clustered, [0, 30, 60], n_clusters=3).collect()))
     prefit = sorted(map(tuple, similarity.ivf_ann(
         clustered, [0, 30, 60], n_clusters=3, centroids=cents).collect()))
     assert inline == prefit

@@ -62,3 +62,29 @@ def test_pagerank_validates_args(spark):
         graph.pagerank_fixed_point(edges, iterations=0)
     with pytest.raises(ValueError):
         graph.pagerank_fixed_point(edges, damping_num=20, damping_den=20)
+    with pytest.raises(ValueError):
+        graph.pagerank_fixed_point(edges, checkpoint_every=0)
+
+
+def test_pagerank_deep_iterations_checkpointed(spark):
+    """12 iterations crossing several checkpoint boundaries stays
+    bit-identical to the pure-Python reference (fixed-point arithmetic
+    means checkpointing can't change a single bit), and to a run whose
+    checkpoint interval never fires."""
+    raw = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    edges = graph.symmetrize(spark.createDataFrame(raw, ["src", "dst"]))
+    got = {
+        r.node: r.rank_fp
+        for r in graph.pagerank_fixed_point(
+            edges, iterations=12, checkpoint_every=4
+        ).collect()
+    }
+    sym = raw + [(b, a) for a, b in raw]
+    assert got == _py_pagerank(sym, iterations=12)
+    no_ckpt = {
+        r.node: r.rank_fp
+        for r in graph.pagerank_fixed_point(
+            edges, iterations=12, checkpoint_every=100
+        ).collect()
+    }
+    assert got == no_ckpt

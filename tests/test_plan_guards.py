@@ -29,6 +29,24 @@ BUILD_EXECUTES = {
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 
+def test_rolling_distinct_exact_broadcasts_day_list(spark, sf_dir):
+    """The exact twin's range join is a deliberate BNLJ; pin that the
+    BOUNDED side (the day list) is the broadcast build side, so the
+    streamed side stays the distinct-activity table and nobody's later
+    edit flips the join into an unbounded broadcast."""
+    qs = entrymod.queries()
+    plan = (
+        qs["agg_rolling_distinct_exact"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "BroadcastNestedLoopJoin Inner BuildLeft" in plan, plan[:2000]
+
+
 def test_no_cartesian_or_rowwise_python(spark, sf_dir):
     qs = entrymod.queries()
     offenders: dict[str, str] = {}

@@ -77,7 +77,7 @@ AUDITS = {
     "stream_static_enrich": "customer dimension broadcast onto the event stream; aggregate state = one row per (segment, type)",
     "stream_stream_conversions": "interval self-join stays an equi-join on user_id with a post-join range filter, not a nested loop",
     "ts_resample_ffill": "grid exploded map-side from the per-series bounds table; fill window partitioned per series, no global sort",
-    "graph_pagerank": "per iteration: rank-onto-edges equi-join + one groupBy(dst) with map-side partial sums; loop-invariant tables persisted",
+    "graph_pagerank": "per iteration: rank-onto-edges equi-join + one groupBy(dst) with map-side partial sums; loop-invariant tables persisted; rank lineage localCheckpoint-cut every 5 rounds (8x at 10 iterations, SCALE_NOTES)",
     "join_point_in_time": "PIT = equi-join on the entity key + interval filter; candidates per probe bounded by that key's version count",
     "ml_freq_itemsets": "FPGrowth: parallel FP-trees per partition, no Apriori candidate blowup; baskets from one distinct+collect_set pass",
     "scale_checksum_diff": "replica diff joins two K-row checksum summaries; each data table scanned exactly once",
@@ -88,7 +88,7 @@ AUDITS = {
     "quality_robust_outliers": "two exact percentile passes + one counting pass, all grouped by the monitoring dimension; medians broadcast back",
     "pipeline_user_insights": "four user-keyed branches (entropy, sessions, milestones, recency) joined on user_id; the one broadcast is the one-row as-of scalar",
     "behavior_transition_matrix": "lag window per user, one grouped count; row-share window over the k x k matrix, not events",
-    "agg_rolling_distinct_exact": "trailing-window distinct via day-list x reduced-activity range join — raw events reduced before any join",
+    "agg_rolling_distinct_exact": "deliberate BroadcastNestedLoopJoin: the BOUNDED day list (one row/day) broadcasts, reduced activity streams — small-scale oracle twin only; the sketch variant is the production path (plan-guard pinned)",
     "agg_revenue_gini": "rank window partitions by nation; final arithmetic over the 25-row per-group aggregate",
     "sql_segment_ltv": "SQL text through the same Catalyst path: pruned ReadSchema + broadcast customer join, identical to DataFrame plans",
     "behavior_attribution": "three attribution windows share ONE user-hash exchange with a value-RANGE frame; no per-conversion self-join",

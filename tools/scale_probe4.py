@@ -1,0 +1,102 @@
+"""Round-6 scale probes.
+
+Two measurements the round-5 decade table doesn't carry:
+
+1. Deep-iteration PageRank (10 rounds) with and without the bounded-
+   lineage localCheckpoint cycle, at sf0.1 and on the 10x probe slice
+   (reuses tools/scale_probe3.py's synthesized tables). Demonstrates
+   that checkpointing keeps deep iteration from paying lineage-growth
+   overhead, and that the per-iteration cost stays flat.
+
+2. rolling_distinct_exact vs rolling_distinct_sketch side by side at
+   both decades — the 100 TB argument made measurable: the exact twin
+   re-touches the raw (day x user) activity table per window via a
+   range join, so its cost grows with data; the sketch path aggregates
+   raw data ONCE into day-level sketches and every window union is
+   sketch-table-sized, so its incremental cost is flat in raw volume.
+
+Usage: python tools/scale_probe4.py  (regenerates the 10x slice only
+if missing)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.operators import graph as graph_ops
+from distributed_mobility_data_pipeline_spark.session import get_spark
+from tools.scale_probe3 import PROBE, SF01, generate
+
+
+def _noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def _edges(spark, d):
+    from __spark_entry__ import _t
+
+    return graph_ops.symmetrize(
+        _t(spark, d, "orders")
+        .join(
+            _t(spark, d, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def main() -> None:
+    spark = get_spark("scale_probe4")
+    if not os.path.exists(os.path.join(PROBE, "events.parquet")):
+        t0 = time.time()
+        generate(spark)
+        print(f"generated 10x probe slice in {time.time() - t0:.1f}s", flush=True)
+
+    qs = entrymod.queries()
+
+    print("== deep PageRank (10 iterations) ==", flush=True)
+    rows = []
+    for label, d in [("sf0.1", SF01), ("10x", PROBE)]:
+        for ck_label, ck in [("ckpt@4", 4), ("no-ckpt", 100)]:
+            e = _edges(spark, d)
+            _noop(graph_ops.pagerank_fixed_point(e, 10, checkpoint_every=ck))
+            t = _noop(graph_ops.pagerank_fixed_point(e, 10, checkpoint_every=ck))
+            rows.append((label, ck_label, round(t, 2)))
+            print(rows[-1], flush=True)
+    print("| data | mode | wall (s) |")
+    print("|---|---|---|")
+    for label, ck_label, t in rows:
+        print(f"| {label} | {ck_label} | {t} |")
+
+    print("\n== rolling distinct: exact twin vs sketch path ==", flush=True)
+    rows = []
+    for name in ("agg_rolling_distinct_exact", "agg_rolling_distinct_sketch"):
+        _noop(qs[name](spark, SF01))
+        t_01 = _noop(qs[name](spark, SF01))
+        t_1 = _noop(qs[name](spark, PROBE))
+        rows.append(
+            (name, round(t_01, 2), round(t_1, 2), round(t_1 / max(t_01, 1e-9), 1))
+        )
+        print(rows[-1], flush=True)
+    print("| query | sf0.1 | 10x | ratio |")
+    print("|---|---|---|---|")
+    for name, a, b, r in rows:
+        print(f"| {name} | {a} | {b} | {r}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
