@@ -37,6 +37,7 @@ from distributed_mobility_data_pipeline_spark.operators import linkage as link_o
 from distributed_mobility_data_pipeline_spark.operators import sketches as sketch_ops
 from distributed_mobility_data_pipeline_spark.operators import timeseries as ts_ops
 from distributed_mobility_data_pipeline_spark.operators import graph as graph_ops
+from distributed_mobility_data_pipeline_spark.operators import winnow as winnow_ops
 from distributed_mobility_data_pipeline_spark.operators import bpe as bpe_ops
 from distributed_mobility_data_pipeline_spark.operators import reconcile as recon_ops
 from distributed_mobility_data_pipeline_spark.operators import sampling as sample_ops
@@ -341,6 +342,9 @@ _DRIVER_FIRST: list[str] = [
     "scale_partition_plan",
     "sim_pq_encode",
     "sim_pq_ann",
+    # new in round 6: winnowing fingerprints + passage-level dup pairs
+    "text_winnow_fingerprints",
+    "dedup_docs_winnow",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -824,6 +828,17 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "dedup_docs_jaccard_pairs": lambda s, d: ddllm_ops.ngram_jaccard_pairs(
             ddllm_ops.with_mutated_copies(_t(s, d, "documents")), 3, 0.5
+        ),
+        # Winnowing (Schleimer et al. 2003): passage-level local
+        # fingerprints — catches SHARED PASSAGES (boilerplate,
+        # quotation, embedded copies) that whole-doc hashing and
+        # doc-level MinHash miss; dup pairs via fingerprint equi-join
+        "text_winnow_fingerprints": lambda s, d: winnow_ops.winnow_fingerprints(
+            _t(s, d, "documents"), k=3, w=4
+        ),
+        "dedup_docs_winnow": lambda s, d: winnow_ops.winnow_dup_pairs(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
+            k=3, w=4, min_overlap=0.3, max_df=100,
         ),
         "dedup_docs_minhash_sig": lambda s, d: ddllm_ops.minhash_signatures(
             ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
@@ -2796,6 +2811,83 @@ def _all_oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc_id,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM all_docs GROUP BY 1
+        """,
+        "text_winnow_fingerprints": """
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS t
+              FROM documents
+            ), kg AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     CAST(('0x' || substr(md5(
+                       array_to_string(ws[i:i+2], ' ')), 1, 8)) AS BIGINT) AS h,
+                     len(ws) - 2 AS n_kg
+              FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM norm)
+                   , UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+              WHERE len(ws) >= 3
+            ), keyed AS (
+              -- rightmost-min-per-window == min of h*2^21 + (2^21-1-pos)
+              SELECT doc_id, pos, n_kg,
+                     min(h * 2097152 + (2097151 - pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+              FROM kg
+            )
+            SELECT DISTINCT doc_id,
+                   CAST(key // 2097152 AS BIGINT) AS fp_hash,
+                   CAST(2097151 - (key % 2097152) AS BIGINT) AS fp_pos
+            FROM keyed WHERE pos <= n_kg - 3
+        """,
+        "dedup_docs_winnow": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS t
+              FROM base
+            ), kg AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     CAST(('0x' || substr(md5(
+                       array_to_string(ws[i:i+2], ' ')), 1, 8)) AS BIGINT) AS h,
+                     len(ws) - 2 AS n_kg
+              FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM norm)
+                   , UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+              WHERE len(ws) >= 3
+            ), keyed AS (
+              SELECT doc_id, pos, n_kg,
+                     min(h * 2097152 + (2097151 - pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+              FROM kg
+            ), fps AS (
+              SELECT DISTINCT doc_id AS doc,
+                     CAST(key // 2097152 AS BIGINT) AS fp_hash
+              FROM keyed WHERE pos <= n_kg - 3
+            ), rare AS (
+              SELECT fp_hash FROM fps GROUP BY 1 HAVING count(*) <= 100
+            ), kept AS (
+              SELECT doc, fp_hash FROM fps
+              WHERE fp_hash IN (SELECT fp_hash FROM rare)
+            ), sizes AS (
+              SELECT doc, CAST(count(*) AS BIGINT) AS n_fp FROM kept GROUP BY 1
+            ), shared AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM kept a JOIN kept b
+                ON a.fp_hash = b.fp_hash AND a.doc < b.doc
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   CAST(n_shared AS DOUBLE)
+                     / least(sa.n_fp, sb.n_fp) AS overlap
+            FROM shared
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.3
         """,
         "dedup_docs_jaccard_pairs": """
             WITH base AS (

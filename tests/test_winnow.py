@@ -1,0 +1,105 @@
+"""Winnowing fingerprints vs a pure-Python reference implementation of
+Schleimer et al.'s robust winnowing, plus the shared-passage guarantee
+and the dup-pair detection path."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from distributed_mobility_data_pipeline_spark.operators import winnow
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
+    words = re.sub(" +", " ", text.lower().strip()).split(" ")
+    if len(words) < k:
+        return set()
+    hashes = [
+        int(hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(words) - k + 1)
+    ]
+    picks: set[tuple[int, int]] = set()
+    for s in range(len(hashes) - w + 1):
+        window = hashes[s : s + w]
+        m = min(window)
+        # rightmost minimal position (robust winnowing)
+        p = max(i for i, h in enumerate(window) if h == m)
+        picks.add((m, s + p + 1))  # 1-based position
+    return picks
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "pack my box with five dozen liquor jugs",
+    "a a a a a a a a",  # degenerate: every k-gram identical → tie-breaks
+    "one two three four five six",
+    "short doc",  # < k words after k=3 → no k-grams
+]
+
+
+def test_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow.winnow_fingerprints(docs, k=3, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_hash, r.fp_pos))
+    want = {
+        i: _py_winnow(t, 3, 4) for i, t in enumerate(TEXTS) if _py_winnow(t, 3, 4)
+    }
+    assert got == want
+
+
+def test_shared_passage_guarantee(spark):
+    # the winnowing guarantee: a shared run of >= w + k - 1 tokens
+    # yields at least one shared fingerprint
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 4+3-1
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage + " unrelated tail content x"),
+            (2, "completely different opening text " + passage),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow.winnow_fingerprints(docs, k=3, w=4)
+    a = {r.fp_hash for r in fps.filter("doc_id = 1").collect()}
+    b = {r.fp_hash for r in fps.filter("doc_id = 2").collect()}
+    assert a & b
+
+
+def test_dup_pairs_finds_embedded_passage(spark):
+    passage = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, passage),
+            (2, "prefix words before everything " + passage + " and a suffix"),
+            (3, " ".join(f"other{i}" for i in range(25))),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow.winnow_dup_pairs(docs, k=3, w=4, min_overlap=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    # doc 1 is (almost) fully contained in doc 2 → containment near 1
+    assert pairs[0].overlap >= 0.8
+
+
+def test_max_df_drops_boilerplate(spark):
+    # the same passage in EVERY doc is boilerplate: with max_df=2 the
+    # shared fingerprints exceed the cap and no pair survives
+    passage = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, passage + f" unique{i} closing{i} words{i} here{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert winnow.winnow_dup_pairs(docs, k=3, w=4, max_df=2).count() == 0
+    assert winnow.winnow_dup_pairs(docs, k=3, w=4, max_df=10).count() > 0
+
+
+def test_validates_args(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow.winnow_fingerprints(docs, k=0)
+    with pytest.raises(ValueError):
+        winnow.winnow_fingerprints(docs, w=0)

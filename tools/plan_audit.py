@@ -49,6 +49,8 @@ AUDITS = {
     "text_pack_chunks": "one hash exchange on doc_id feeds the packing window",
     "sample_mixing_weights": "partial+final aggregate; target mixture joined as broadcast literal",
     "sim_ivf_ann": "cell assignment is a literal-centroid expression: no KMeans fit, no assignment shuffle",
+    "text_winnow_fingerprints": "winnowing: map-only kgram explode, ONE per-doc window pass for the rightmost-min selection, distinct — no joins",
+    "dedup_docs_winnow": "passage dup pairs from a fingerprint EQUI-join (never all-pairs); boilerplate fingerprints dropped by the max_df semi-join first",
     "text_token_rarity": "corpus stats from the tf table: raw token stream exploded+aggregated once",
     "text_tfidf_top_terms": "df derived from tf (one explode pass); per-doc top-k via WindowGroupLimit",
     "stream_corpus_dedup": "fingerprint dedup: one exchange on the 32-byte hash",
