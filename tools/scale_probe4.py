@@ -15,6 +15,12 @@ Two measurements the round-5 decade table doesn't carry:
    raw data ONCE into day-level sketches and every window union is
    sketch-table-sized, so its incremental cost is flat in raw volume.
 
+3. Winnowing at 10x documents: replicas carry doc_id-salted tokens so
+   cross-replica fingerprint overlap is zero (the honest regime —
+   unsalted replicas would manufacture quadratic dup pairs). Expected:
+   near-linear for the map+window fingerprint pass AND for the
+   pair join (pairs only form within replicas).
+
 Usage: python tools/scale_probe4.py  (regenerates the 10x slice only
 if missing)
 """
@@ -58,6 +64,30 @@ def _edges(spark, d):
     )
 
 
+def gen_docs(spark) -> None:
+    reps = spark.range(10).withColumnRenamed("id", "r")
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    salted = F.when(F.col("r") == 0, F.col("text")).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit("_"), F.col("r").cast("string")),
+            ),
+        )
+    )
+    docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("r") * n).alias("doc_id"),
+        salted.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(PROBE, "documents.parquet")
+    )
+
+
 def main() -> None:
     spark = get_spark("scale_probe4")
     if not os.path.exists(os.path.join(PROBE, "events.parquet")):
@@ -84,6 +114,23 @@ def main() -> None:
     print("\n== rolling distinct: exact twin vs sketch path ==", flush=True)
     rows = []
     for name in ("agg_rolling_distinct_exact", "agg_rolling_distinct_sketch"):
+        _noop(qs[name](spark, SF01))
+        t_01 = _noop(qs[name](spark, SF01))
+        t_1 = _noop(qs[name](spark, PROBE))
+        rows.append(
+            (name, round(t_01, 2), round(t_1, 2), round(t_1 / max(t_01, 1e-9), 1))
+        )
+        print(rows[-1], flush=True)
+    print("| query | sf0.1 | 10x | ratio |")
+    print("|---|---|---|---|")
+    for name, a, b, r in rows:
+        print(f"| {name} | {a} | {b} | {r}x |")
+
+    print("\n== winnowing at 10x documents ==", flush=True)
+    if not os.path.exists(os.path.join(PROBE, "documents.parquet")):
+        gen_docs(spark)
+    rows = []
+    for name in ("text_winnow_fingerprints", "dedup_docs_winnow"):
         _noop(qs[name](spark, SF01))
         t_01 = _noop(qs[name](spark, SF01))
         t_1 = _noop(qs[name](spark, PROBE))
