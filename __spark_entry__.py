@@ -345,6 +345,7 @@ _DRIVER_FIRST: list[str] = [
     # new in round 6: winnowing fingerprints + passage-level dup pairs
     "text_winnow_fingerprints",
     "dedup_docs_winnow",
+    "agg_quantile_rollup_hist",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -1292,6 +1293,12 @@ def _all_queries() -> dict[str, QueryFn]:
             F.max("k").alias("max_k"),
         ),
         # exact quantiles (A10's exact twin; approx variant in drift ops)
+        # Mergeable-quantile rollup: DAILY fixed-bin histograms merged to
+        # event_type level, CDF inverted with in-bin interpolation —
+        # deterministic (unlike percentile_approx), so hash-checked
+        "agg_quantile_rollup_hist": lambda s, d: sketch_ops.quantile_rollup_hist(
+            _t(s, d, "events"), [0.5, 0.9, 0.99]
+        ),
         "agg_exact_quantiles": lambda s, d: _t(s, d, "events")
         .filter(F.col("value").isNotNull())
         .groupBy("event_type")
@@ -4023,6 +4030,33 @@ def _all_oracle_sql() -> dict[str, str]:
                                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
             FROM events GROUP BY 1
+        """,
+        "agg_quantile_rollup_hist": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(greatest(0, least(19, floor((value - 0.0) / 25.0)))
+                          AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ), b AS (
+              SELECT event_type, bin, n,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+              FROM h
+            ), t AS (
+              SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+              FROM h GROUP BY 1
+            ), tg AS (
+              SELECT event_type, CAST(q AS DOUBLE) AS q,
+                     CAST(q AS DOUBLE) * CAST(total AS DOUBLE) AS target
+              FROM t, (VALUES (0.5), (0.9), (0.99)) AS qv(q)
+            )
+            SELECT tg.event_type, tg.q,
+                   0.0 + CAST(bin AS DOUBLE) * 25.0
+                       + (target - CAST(cum - n AS DOUBLE))
+                         / CAST(n AS DOUBLE) * 25.0 AS value_q
+            FROM tg JOIN b ON tg.event_type = b.event_type
+            WHERE CAST(cum AS DOUBLE) >= target
+              AND CAST(cum - n AS DOUBLE) < target
         """,
         "agg_exact_quantiles": """
             SELECT event_type,

@@ -136,3 +136,127 @@ def rolling_distinct_exact(
         .agg(F.countDistinct("_k").cast("bigint").alias("n_users"))
         .select(F.date_format("_day", "yyyy-MM-dd").alias("day"), "n_users")
     )
+
+
+def binned_value_histograms(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Uniform-width binned histogram per group — the MERGEABLE
+    quantile summary (the quantile analogue of the HLL rollup above):
+    aggregate raw values ONCE at the finest grain; any coarser rollup
+    just sums bin counts, never re-touching raw data.
+
+    Bins clamp: values below ``lo`` land in bin 0, values ≥ ``hi`` in
+    the last bin; NULLs are excluded. Returns group_cols + (bin, n).
+    Fixed explicit edges keep the whole pipeline deterministic and
+    oracle-checkable (unlike percentile_approx sketches)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / n_bins
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+        ),
+    ).cast("bigint")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def quantiles_from_histograms(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Invert the merged histogram CDF into approximate quantiles with
+    linear interpolation inside the target bin.
+
+    For each q: target rank = q · total; the answering bin is the first
+    with cumulative count ≥ target, and the value interpolates
+    ``lo_edge + (target - cum_before) / n_bin · width``. Guarantee
+    (test-pinned): the answering bin contains the order statistic at
+    rank ⌈q·total⌉, so the estimate is within one bin width of it —
+    the classic fixed-histogram quantile trade: choose edges for the
+    metric's range, get mergeability and determinism in exchange for
+    resolution.
+
+    Shape: one window pass over the bin table (≤ n_bins rows per
+    group), a groupBy for totals, a literal explode for qs, and a
+    per-group equi-join — everything downstream of the histogram is
+    summary-sized."""
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    bins = hist.withColumn("cum", F.sum("n").over(w))
+    totals = hist.groupBy(*group_cols).agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    targets = totals.select(
+        *group_cols,
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        "total",
+    ).withColumn("target", F.col("q") * F.col("total").cast("double"))
+    return (
+        targets.join(bins, group_cols)
+        .filter(
+            (F.col("cum").cast("double") >= F.col("target"))
+            & ((F.col("cum") - F.col("n")).cast("double") < F.col("target"))
+        )
+        .select(
+            *group_cols,
+            "q",
+            (
+                F.lit(lo)
+                + F.col("bin").cast("double") * F.lit(width)
+                + (F.col("target") - (F.col("cum") - F.col("n")).cast("double"))
+                / F.col("n").cast("double")
+                * F.lit(width)
+            ).alias("value_q"),
+        )
+    )
+
+
+def quantile_rollup_hist(
+    events: DataFrame,
+    qs: list[float],
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 20,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Composed mergeable-quantile rollup: DAILY per-group histograms
+    (the finest-grain single pass over raw events), merged up to the
+    group level by summing bin counts, then inverted to quantiles.
+
+    The merge step is the point: at 100 TB the daily histogram table is
+    what you persist; per-group (or per-week, per-anything) quantiles
+    come from re-aggregating ≤ n_bins-row summaries, never raw data."""
+    daily = binned_value_histograms(
+        events.withColumn("_day", F.date_trunc("day", F.col(ts_col))),
+        [group_col, "_day"],
+        value_col,
+        lo,
+        hi,
+        n_bins,
+    )
+    merged = daily.groupBy(group_col, "bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    return quantiles_from_histograms(
+        merged, [group_col], qs, lo, hi, n_bins
+    )

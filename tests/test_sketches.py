@@ -1,0 +1,74 @@
+"""Mergeable fixed-bin histogram quantiles: error bound vs exact
+percentiles, the merge property, and argument validation. (HLL sketch
+rollup tests live in test_behavior.py.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mobility_data_pipeline_spark.operators import sketches
+
+
+
+
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    """The estimator's guarantee: the answering bin CONTAINS the order
+    statistic at rank ceil(q·n), so the estimate is within one bin
+    width of that order statistic. (Comparing against interpolated
+    quantile_cont instead would fail on sparse tails, where adjacent
+    order statistics are further apart than any bin — a definitional
+    gap, not histogram error.)"""
+    import math
+    import os
+
+    from distributed_mobility_data_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    approx = {
+        (r.event_type, r.q): r.value_q
+        for r in sketches.quantile_rollup_hist(ev, [0.5, 0.9, 0.99]).collect()
+    }
+    values: dict[str, list[float]] = {}
+    for r in ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    ).collect():
+        values.setdefault(r.event_type, []).append(r.value)
+    width = 500.0 / 20
+    assert approx, "no quantile rows"
+    for et, vs in values.items():
+        vs.sort()
+        for q in (0.5, 0.9, 0.99):
+            rank = math.ceil(q * len(vs))
+            order_stat = vs[rank - 1]
+            assert abs(approx[(et, q)] - order_stat) <= width + 1e-9
+
+
+def test_histogram_merge_equals_direct(spark):
+    """Summing daily bin counts == binning the union directly — the
+    mergeability property the 100 TB rollup relies on."""
+    df = spark.createDataFrame(
+        [("a", "d1", float(v)) for v in range(10)]
+        + [("a", "d2", float(v * 3) % 7) for v in range(8)],
+        ["g", "day", "v"],
+    )
+    daily = sketches.binned_value_histograms(df, ["g", "day"], "v", 0.0, 10.0, 5)
+    merged = {
+        (r.g, r.bin): r.n
+        for r in daily.groupBy("g", "bin").agg(F.sum("n").alias("n")).collect()
+    }
+    direct = {
+        (r.g, r.bin): r.n
+        for r in sketches.binned_value_histograms(
+            df, ["g"], "v", 0.0, 10.0, 5
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_histogram_validates_args(spark):
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    with pytest.raises(ValueError):
+        sketches.binned_value_histograms(df, ["g"], "v", 0.0, 10.0, 0)
+    with pytest.raises(ValueError):
+        sketches.binned_value_histograms(df, ["g"], "v", 5.0, 5.0, 3)

@@ -49,6 +49,7 @@ AUDITS = {
     "text_pack_chunks": "one hash exchange on doc_id feeds the packing window",
     "sample_mixing_weights": "partial+final aggregate; target mixture joined as broadcast literal",
     "sim_ivf_ann": "cell assignment is a literal-centroid expression: no KMeans fit, no assignment shuffle",
+    "agg_quantile_rollup_hist": "mergeable quantiles: one raw scan into daily bin counts; merge, CDF window, and q-join all run over <=20-row-per-group summaries",
     "text_winnow_fingerprints": "winnowing: map-only kgram explode, ONE per-doc window pass for the rightmost-min selection, distinct — no joins",
     "dedup_docs_winnow": "passage dup pairs from a fingerprint EQUI-join (never all-pairs); boilerplate fingerprints dropped by the max_df semi-join first",
     "text_token_rarity": "corpus stats from the tf table: raw token stream exploded+aggregated once",
