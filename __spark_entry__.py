@@ -346,6 +346,8 @@ _DRIVER_FIRST: list[str] = [
     "text_winnow_fingerprints",
     "dedup_docs_winnow",
     "agg_quantile_rollup_hist",
+    "dedup_docs_winnow_clusters",
+    "agg_rolling_quantile_hist",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -841,6 +843,16 @@ def _all_queries() -> dict[str, QueryFn]:
             ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
             k=3, w=4, min_overlap=0.3, max_df=100,
         ),
+        # clusters from winnow pairs: passage-level dup graph -> pointer-
+        # doubling components (third pair source for the same clustering
+        # machinery, after LSH and exact-Jaccard)
+        "dedup_docs_winnow_clusters": lambda s, d: ddllm_ops.dup_clusters(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
+            winnow_ops.winnow_dup_pairs(
+                ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
+                k=3, w=4, min_overlap=0.3, max_df=100,
+            ),
+        ),
         "dedup_docs_minhash_sig": lambda s, d: ddllm_ops.minhash_signatures(
             ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
         ),
@@ -1298,6 +1310,12 @@ def _all_queries() -> dict[str, QueryFn]:
         # deterministic (unlike percentile_approx), so hash-checked
         "agg_quantile_rollup_hist": lambda s, d: sketch_ops.quantile_rollup_hist(
             _t(s, d, "events"), [0.5, 0.9, 0.99]
+        ),
+        # rolling N-day quantiles from the SAME daily histogram table
+        # (second reuse of the persisted summary, like the HLL rolling
+        # union) — deterministic, hash-checked
+        "agg_rolling_quantile_hist": lambda s, d: sketch_ops.rolling_quantile_hist(
+            _t(s, d, "events"), [0.5, 0.9]
         ),
         "agg_exact_quantiles": lambda s, d: _t(s, d, "events")
         .filter(F.col("value").isNotNull())
@@ -2896,6 +2914,68 @@ def _all_oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc = doc_b
             WHERE CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.3
         """,
+        "dedup_docs_winnow_clusters": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS t
+              FROM base
+            ), kg AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     CAST(('0x' || substr(md5(
+                       array_to_string(ws[i:i+2], ' ')), 1, 8)) AS BIGINT) AS h,
+                     len(ws) - 2 AS n_kg
+              FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM norm)
+                   , UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+              WHERE len(ws) >= 3
+            ), keyed AS (
+              SELECT doc_id, pos, n_kg,
+                     min(h * 2097152 + (2097151 - pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+              FROM kg
+            ), fps AS (
+              SELECT DISTINCT doc_id AS doc,
+                     CAST(key // 2097152 AS BIGINT) AS fp_hash
+              FROM keyed WHERE pos <= n_kg - 3
+            ), rare AS (
+              SELECT fp_hash FROM fps GROUP BY 1 HAVING count(*) <= 100
+            ), kept AS (
+              SELECT doc, fp_hash FROM fps
+              WHERE fp_hash IN (SELECT fp_hash FROM rare)
+            ), sizes AS (
+              SELECT doc, count(*) AS n_fp FROM kept GROUP BY 1
+            ), shared AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+              FROM kept a JOIN kept b
+                ON a.fp_hash = b.fp_hash AND a.doc < b.doc
+              GROUP BY 1, 2
+            ), win AS (
+              SELECT doc_a, doc_b FROM shared
+              JOIN sizes sa ON sa.doc = doc_a
+              JOIN sizes sb ON sb.doc = doc_b
+              WHERE CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.3
+            ), edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM win
+              UNION
+              SELECT doc_b, doc_a FROM win
+            ), reach AS (
+              SELECT doc_id AS node, doc_id AS r FROM base
+              UNION
+              SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+            ), comp AS (
+              SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS cluster_size,
+                   min(node) AS keep_doc_id
+            FROM comp GROUP BY cluster_id
+        """,
         "dedup_docs_jaccard_pairs": """
             WITH base AS (
               SELECT doc_id, text FROM documents
@@ -4055,6 +4135,49 @@ def _all_oracle_sql() -> dict[str, str]:
                        + (target - CAST(cum - n AS DOUBLE))
                          / CAST(n AS DOUBLE) * 25.0 AS value_q
             FROM tg JOIN b ON tg.event_type = b.event_type
+            WHERE CAST(cum AS DOUBLE) >= target
+              AND CAST(cum - n AS DOUBLE) < target
+        """,
+        "agg_rolling_quantile_hist": """
+            WITH h AS (
+              SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                              '%Y-%m-%d') AS day,
+                     CAST(greatest(0, least(19, floor((value - 0.0) / 25.0)))
+                          AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ), grid AS (
+              SELECT d.day, b.bin
+              FROM (SELECT DISTINCT day FROM h) d
+              CROSS JOIN (SELECT DISTINCT bin FROM h) b
+            ), dense AS (
+              SELECT grid.day, grid.bin, COALESCE(h.n, 0) AS n,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(grid.day AS DATE)) AS di
+              FROM grid LEFT JOIN h ON h.day = grid.day AND h.bin = grid.bin
+            ), rolled AS (
+              SELECT day, bin,
+                     CAST(sum(n) OVER (PARTITION BY bin ORDER BY di
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n
+              FROM dense
+            ), b AS (
+              SELECT day, bin, n,
+                     sum(n) OVER (PARTITION BY day ORDER BY bin) AS cum
+              FROM rolled
+            ), t AS (
+              SELECT day, CAST(sum(n) AS BIGINT) AS total
+              FROM rolled GROUP BY 1
+            ), tg AS (
+              SELECT day, CAST(q AS DOUBLE) AS q,
+                     CAST(q AS DOUBLE) * CAST(total AS DOUBLE) AS target
+              FROM t, (VALUES (0.5), (0.9)) AS qv(q)
+            )
+            SELECT tg.day, tg.q,
+                   0.0 + CAST(bin AS DOUBLE) * 25.0
+                       + (target - CAST(cum - n AS DOUBLE))
+                         / CAST(n AS DOUBLE) * 25.0 AS value_q
+            FROM tg JOIN b ON tg.day = b.day
             WHERE CAST(cum AS DOUBLE) >= target
               AND CAST(cum - n AS DOUBLE) < target
         """,

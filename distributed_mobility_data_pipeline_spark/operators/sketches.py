@@ -260,3 +260,59 @@ def quantile_rollup_hist(
     return quantiles_from_histograms(
         merged, [group_col], qs, lo, hi, n_bins
     )
+
+
+def rolling_quantile_hist(
+    events: DataFrame,
+    qs: list[float],
+    window_days: int = 7,
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 20,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing N-day quantiles per day from the DAILY histogram table —
+    the second reuse of the persisted summary (mirroring
+    ``rolling_distinct_sketch`` for HLL): bin counts sum over a trailing
+    RANGE window per bin, then each day's merged CDF inverts to
+    quantiles. Raw events are scanned exactly once, for the daily
+    histograms; everything after runs on the (days × ≤n_bins) grid.
+
+    The grid is densified first (days × observed bins, both bounded
+    dimensions) so a bin with no arrivals TODAY still contributes its
+    trailing-window mass to today's CDF."""
+    daily = binned_value_histograms(
+        events.withColumn(
+            "_day", F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+        ),
+        ["_day"],
+        value_col,
+        lo,
+        hi,
+        n_bins,
+    )
+    days = daily.select("_day").distinct()
+    bins = daily.select("bin").distinct()
+    grid = days.crossJoin(F.broadcast(bins))
+    dense = grid.join(daily, ["_day", "bin"], "left").select(
+        "_day",
+        "bin",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.datediff(F.to_date("_day"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("_di"),
+    )
+    w = (
+        Window.partitionBy("bin")
+        .orderBy("_di")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    rolled = dense.select(
+        "_day",
+        "bin",
+        F.sum("n").over(w).cast("bigint").alias("n"),
+    )
+    return quantiles_from_histograms(
+        rolled, ["_day"], qs, lo, hi, n_bins
+    ).withColumnRenamed("_day", "day")

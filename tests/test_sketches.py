@@ -72,3 +72,36 @@ def test_histogram_validates_args(spark):
         sketches.binned_value_histograms(df, ["g"], "v", 0.0, 10.0, 0)
     with pytest.raises(ValueError):
         sketches.binned_value_histograms(df, ["g"], "v", 5.0, 5.0, 3)
+
+
+def test_rolling_quantile_matches_per_window_recompute(spark):
+    """The trailing-window histogram sum must equal recomputing the
+    histogram quantile over each window's raw rows directly."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(10):
+        for v in range(d + 1):  # growing daily volume, values 0..d
+            rows.append((base + datetime.timedelta(days=d), float(v * 10)))
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    got = {
+        (r.day, r.q): r.value_q
+        for r in sketches.rolling_quantile_hist(
+            df, [0.5], window_days=3, lo=0.0, hi=100.0, n_bins=10
+        ).collect()
+    }
+    for d in range(10):
+        day = (base + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+        lo_d = max(0, d - 2)
+        window_rows = [
+            (f"w", float(v * 10))
+            for dd in range(lo_d, d + 1)
+            for v in range(dd + 1)
+        ]
+        wdf = spark.createDataFrame(window_rows, ["g", "value"])
+        hist = sketches.binned_value_histograms(wdf, ["g"], "value", 0.0, 100.0, 10)
+        want = sketches.quantiles_from_histograms(
+            hist, ["g"], [0.5], 0.0, 100.0, 10
+        ).collect()[0].value_q
+        assert got[(day, 0.5)] == want, (day, got[(day, 0.5)], want)
