@@ -62,6 +62,12 @@ EXTENDED = [
     "behavior_attribution",
     "ts_seasonal_anomaly",
     "quality_expectations",
+    # round-6 additions
+    "text_winnow_fingerprints",
+    "dedup_docs_winnow",
+    "dedup_docs_winnow_clusters",
+    "agg_quantile_rollup_hist",
+    "agg_rolling_quantile_hist",
 ]
 
 

@@ -169,3 +169,91 @@ def stream_drift_monitor(
         .outputMode("append")
         .start()
     )
+
+
+def histogram_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> None:
+    """One idempotent micro-batch of incremental histogram maintenance:
+    write THIS batch's daily bin counts as a partial, partitioned by
+    batch_id with dynamic partition overwrite (replays rewrite their
+    own partition — same discipline as corpus.neardedup_apply_batch).
+
+    The summary is mergeable, so partials never need read-modify-write:
+    the current histogram is merge-on-read (read_daily_histograms), and
+    every batch is a blind, conflict-free write."""
+    from pyspark.sql import functions as F
+
+    from distributed_mobility_data_pipeline_spark.operators import sketches
+
+    if batch_df.isEmpty():
+        return
+    partial = sketches.binned_value_histograms(
+        batch_df.withColumn(
+            "day",
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"),
+        ),
+        ["day"],
+        value_col,
+        lo,
+        hi,
+        n_bins,
+    )
+    (
+        partial.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
+
+
+def read_daily_histograms(spark, path: str) -> DataFrame:
+    """Merge-on-read of the streaming histogram partials: sum bin
+    counts across batches → the same (day, bin, n) table the batch
+    binned_value_histograms produces. Feed it to
+    sketches.quantiles_from_histograms / rolling_quantile_hist math."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("day", "bin")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def stream_histogram_sink(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 20,
+    value_col: str = "value",
+    ts_col: str = "ts",
+):
+    """Continuously maintain the mergeable daily value histogram from a
+    stream — the streaming producer for the quantile-rollup family
+    (operators/sketches.py): dashboards read merged quantiles at any
+    moment without ever rescanning the raw stream's history.
+
+    Returns the started StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_apply_batch(
+            batch_df, batch_id, out_path, lo, hi, n_bins, value_col, ts_col
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

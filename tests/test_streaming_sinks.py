@@ -131,3 +131,61 @@ def test_stream_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_path):
     # drift feed rows are well-formed either way
     for r in feed:
         assert r.psi >= 0.0 and r.n_buckets >= 1
+
+
+def test_stream_histogram_sink_matches_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    from distributed_mobility_data_pipeline_spark.operators import sketches
+    from distributed_mobility_data_pipeline_spark.streaming import sinks as sk
+
+    path = os.path.join(sf_dir, "events.parquet")
+    out = str(tmp_path / "hist")
+
+    # two micro-batches applied directly (the unit under test is the
+    # idempotent partial-write), then merge-on-read vs batch recompute
+    ev = read_events(spark, path)
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    sk.histogram_apply_batch(b0, 0, out, 0.0, 500.0, 20)
+    sk.histogram_apply_batch(b1, 1, out, 0.0, 500.0, 20)
+
+    merged = {
+        (r.day, r.bin): r.n
+        for r in sk.read_daily_histograms(spark, out).collect()
+    }
+    want = {
+        (r.day, r.bin): r.n
+        for r in sketches.binned_value_histograms(
+            ev.withColumn(
+                "day",
+                F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
+            ),
+            ["day"],
+            "value",
+            0.0,
+            500.0,
+            20,
+        ).collect()
+    }
+    assert merged == want
+
+    # replaying a batch (at-least-once) must not double-count
+    sk.histogram_apply_batch(b1, 1, out, 0.0, 500.0, 20)
+    again = {
+        (r.day, r.bin): r.n
+        for r in sk.read_daily_histograms(spark, out).collect()
+    }
+    assert again == want
+
+    # the streaming wrapper end-to-end: fresh table from the real stream
+    out2 = str(tmp_path / "hist2")
+    src = se.read_events_stream(spark, path).select("ts", "value")
+    q = sk.stream_histogram_sink(src, out2, str(tmp_path / "ckpt2"))
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r.day, r.bin): r.n
+        for r in sk.read_daily_histograms(spark, out2).collect()
+    }
+    assert streamed == want
