@@ -348,6 +348,7 @@ _DRIVER_FIRST: list[str] = [
     "agg_quantile_rollup_hist",
     "dedup_docs_winnow_clusters",
     "agg_rolling_quantile_hist",
+    "sample_cluster_safe_split",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -851,6 +852,16 @@ def _all_queries() -> dict[str, QueryFn]:
             winnow_ops.winnow_dup_pairs(
                 ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
                 k=3, w=4, min_overlap=0.3, max_df=100,
+            ),
+        ),
+        # leakage-safe split: near-dup clusters are the atomic split
+        # unit — a test doc's near-twin can never sit in train
+        "sample_cluster_safe_split": lambda s, d: sample_ops.cluster_safe_split(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents")).select(
+                "doc_id", "source"
+            ),
+            ddllm_ops.ngram_jaccard_pairs(
+                ddllm_ops.with_mutated_copies(_t(s, d, "documents")), 3, 0.5
             ),
         ),
         "dedup_docs_minhash_sig": lambda s, d: ddllm_ops.minhash_signatures(
@@ -2975,6 +2986,56 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS cluster_size,
                    min(node) AS keep_doc_id
             FROM comp GROUP BY cluster_id
+        """,
+        "sample_cluster_safe_split": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, source,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ),
+            norm AS (SELECT doc_id,
+                            string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+                     FROM base),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(len(toks) - 2),
+                                           i -> array_to_string(toks[i+1:i+3], ' '))
+                       ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM norm
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jac AS (
+              SELECT doc_a, doc_b
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM jac
+              UNION
+              SELECT doc_b, doc_a FROM jac
+            ),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS r FROM base
+              UNION
+              SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+            ),
+            comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT b.doc_id, b.source, c.cluster_id,
+                   CASE WHEN CAST(('0x' || substr(md5(
+                          CAST(c.cluster_id AS VARCHAR) || 'csplit'), 1, 8))
+                          AS BIGINT) % 1000000 < 800000
+                        THEN 'train' ELSE 'test' END AS split
+            FROM base b JOIN comp c ON c.node = b.doc_id
         """,
         "dedup_docs_jaccard_pairs": """
             WITH base AS (

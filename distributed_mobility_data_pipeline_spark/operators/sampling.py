@@ -238,3 +238,45 @@ def importance_weighted_sample(
         _key_bucket(F.col(key_col), salt)
         < F.col(weight_col).cast("double") * _BUCKETS
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_fraction: float = 0.8,
+    salt: str = "csplit",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate CLUSTERS are the
+    atomic split unit, so two near-dup documents can never land on
+    opposite sides (the eval-contamination hole a plain per-doc
+    hash_split leaves open — a test doc's near-twin in train is
+    memorization, not generalization).
+
+    ``pairs`` is any candidate-pair table (doc_a, doc_b) — MinHash/LSH,
+    winnowing, embedding near-dup. Components come from the
+    pointer-doubling labeler (dedup_llm.dup_labels); the split key is
+    the CLUSTER id, hashed with the same layout-independent bucket rule
+    as hash_split. Returns docs + (cluster_id, split ∈ {train, test}).
+
+    Scale shape: the clustering's O(log n) label-propagation rounds
+    dominate; the split itself is one broadcast-able join of the
+    (doc → cluster) table plus a map-side hash filter."""
+    if not 0.0 < train_fraction < 1.0:
+        raise ValueError(
+            f"train_fraction must be in (0, 1), got {train_fraction}"
+        )
+    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
+
+    labels = dedup_llm.dup_labels(
+        docs.select(F.col(id_col).alias("doc_id")), pairs
+    ).withColumnRenamed("doc_id", id_col)
+    thresh = int(train_fraction * _BUCKETS)
+    bucket = _key_bucket(F.col("cluster_id"), salt)
+    return (
+        docs.join(labels, id_col)
+        .withColumn(
+            "split",
+            F.when(bucket < thresh, F.lit("train")).otherwise(F.lit("test")),
+        )
+    )
