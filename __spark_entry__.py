@@ -349,6 +349,7 @@ _DRIVER_FIRST: list[str] = [
     "dedup_docs_winnow_clusters",
     "agg_rolling_quantile_hist",
     "sample_cluster_safe_split",
+    "scale_row_diff",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -1534,6 +1535,28 @@ def _all_queries() -> dict[str, QueryFn]:
             "o_orderkey",
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
             n_buckets=256,
+        ),
+        # row-level keyed diff: the drill-down after checksum_diff —
+        # replica with flips (%97), deletions (%131), insertions (%149)
+        "scale_row_diff": lambda s, d: recon_ops.row_diff(
+            _t(s, d, "orders"),
+            _t(s, d, "orders")
+            .withColumn(
+                "o_orderstatus",
+                F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+                    F.col("o_orderstatus")
+                ),
+            )
+            .filter(F.col("o_orderkey") % 131 != 0)
+            .unionByName(
+                _t(s, d, "orders")
+                .filter(F.col("o_orderkey") % 149 == 0)
+                .withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+                )
+            ),
+            "o_orderkey",
+            ["o_custkey", "o_orderstatus", "o_orderpriority"],
         ),
         # composed behavioral pipeline: sessionization + funnel
         # milestones + diversity + recency in ONE lazy plan, hash-checked
@@ -5031,6 +5054,40 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
             WHERE COALESCE(n_rows_a, 0) <> COALESCE(n_rows_b, 0)
                OR COALESCE(checksum_a, 0) <> COALESCE(checksum_b, 0)
+        """,
+        "scale_row_diff": """
+            WITH b AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 131 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 149 = 0
+            ), j AS (
+              SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                     CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                          WHEN b.o_orderkey IS NULL THEN 'removed'
+                          ELSE 'changed' END AS status,
+                     concat_ws(',',
+                       CASE WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                            THEN 'o_custkey' END,
+                       CASE WHEN a.o_orderpriority
+                                 IS DISTINCT FROM b.o_orderpriority
+                            THEN 'o_orderpriority' END,
+                       CASE WHEN a.o_orderstatus
+                                 IS DISTINCT FROM b.o_orderstatus
+                            THEN 'o_orderstatus' END) AS cc
+              FROM orders a FULL OUTER JOIN b
+                ON a.o_orderkey = b.o_orderkey
+            )
+            SELECT o_orderkey, status,
+                   CASE WHEN status = 'changed' THEN cc ELSE '' END
+                     AS changed_cols
+            FROM j
+            WHERE status <> 'changed' OR cc <> ''
         """,
         "join_point_in_time": """
             WITH m AS (

@@ -121,3 +121,59 @@ def checksum_diff(
             F.col("n_rows_a") != F.col("n_rows_b"), F.lit("count_mismatch")
         ).otherwise(F.lit("checksum_mismatch")),
     )
+
+
+def row_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Row-level keyed diff — the drill-down step after
+    :func:`checksum_diff` has narrowed 100 TB of replicas down to a few
+    disagreeing buckets: run this on just those buckets' rows.
+
+    Returns one row per differing key: ``(key, status, changed_cols)``
+    with status ∈ {added (b only), removed (a only), changed} and
+    ``changed_cols`` the comma-joined sorted names of columns whose
+    values differ (null-safe: NULL vs value counts as a change, NULL vs
+    NULL does not). One full-outer equi-join on the key — both sides
+    scanned once."""
+    if not cols:
+        raise ValueError("cols must be a non-empty column list")
+    ka = a.select(
+        F.col(key_col).alias("_k"),
+        F.lit(1).alias("_in_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in cols],
+    )
+    kb = b.select(
+        F.col(key_col).alias("_k"),
+        F.lit(1).alias("_in_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in cols],
+    )
+    j = ka.join(kb, "_k", "full_outer")
+    diff_flags = [
+        F.when(
+            ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}")), F.lit(c)
+        )
+        for c in sorted(cols)
+    ]
+    changed_cols = F.concat_ws(",", F.array_compact(F.array(*diff_flags)))
+    status = (
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .withColumn(
+            "changed_cols",
+            F.when(F.col("status") == "changed", changed_cols).otherwise(
+                F.lit("")
+            ),
+        )
+        .filter(
+            (F.col("status") != "changed") | (F.col("changed_cols") != "")
+        )
+        .select(F.col("_k").alias(key_col), "status", "changed_cols")
+    )

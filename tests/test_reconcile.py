@@ -84,3 +84,32 @@ def test_separator_injection_detected(spark):
     a = spark.createDataFrame([(1, "a|b", "c")], ["k", "x", "y"])
     b = spark.createDataFrame([(1, "a", "b|c")], ["k", "x", "y"])
     assert len(reconcile.checksum_diff(a, b, "k", ["x", "y"], 8).collect()) == 1
+
+
+def test_row_diff_statuses_and_changed_cols(spark):
+    schema = "k int, x string, y string"
+    a = spark.createDataFrame(
+        [(1, "a", "b"), (2, "c", "d"), (3, "e", "f"), (4, None, "g")], schema
+    )
+    b = spark.createDataFrame(
+        [(1, "a", "b"), (2, "C", "D"), (4, "h", "g"), (5, "new", "row")], schema
+    )
+    rows = {
+        r.k: (r.status, r.changed_cols)
+        for r in reconcile.row_diff(a, b, "k", ["x", "y"]).collect()
+    }
+    assert rows == {
+        2: ("changed", "x,y"),
+        3: ("removed", ""),
+        4: ("changed", "x"),  # NULL -> value counts as a change
+        5: ("added", ""),
+    }  # key 1 identical: absent
+
+
+def test_row_diff_null_to_null_is_no_change(spark):
+    schema = "k int, x string"
+    a = spark.createDataFrame([(1, None)], schema)
+    b = spark.createDataFrame([(1, None)], schema)
+    assert reconcile.row_diff(a, b, "k", ["x"]).count() == 0
+    with pytest.raises(ValueError):
+        reconcile.row_diff(a, b, "k", [])
