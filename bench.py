@@ -65,9 +65,12 @@ EXTENDED = [
     # round-6 additions
     "text_winnow_fingerprints",
     "dedup_docs_winnow",
-    "dedup_docs_winnow_clusters",
     "agg_quantile_rollup_hist",
     "agg_rolling_quantile_hist",
+    "scale_row_diff",
+    # (dedup_docs_winnow_clusters / sample_cluster_safe_split are
+    # excluded: their iterative pointer-doubling dominates panel wall
+    # at ~10-12s each; they stay driver-checked + pytest-covered)
 ]
 
 
