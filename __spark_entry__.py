@@ -347,6 +347,7 @@ _DRIVER_FIRST: list[str] = [
     "agg_rolling_quantile_hist",
     "sample_cluster_safe_split",
     "scale_row_diff",
+    "pipeline_corpus_health",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -716,6 +717,12 @@ def _all_queries() -> dict[str, QueryFn]:
         # -> chunk -> pack. Every stage is deterministic (affine-perm
         # minhash, fixed thresholds), so the whole composition has a
         # DuckDB CTE oracle mirroring the six stages (hash-checked).
+        # per-source health dashboard: volume / dup-rate / quality /
+        # token mass / language mix in ONE single-scan plan — the
+        # measurement table that drives mixture decisions
+        "pipeline_corpus_health": lambda s, d: corpus_plan.corpus_health_by_source(
+            ddllm_ops.with_exact_copies(_t(s, d, "documents"), 300_000)
+        ),
         "pipeline_corpus_prep": lambda s, d: corpus_plan.prepare_training_corpus(
             _t(s, d, "documents")
         )["packed"],
@@ -2282,6 +2289,73 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS tf,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
             FROM tok GROUP BY 1
+        """,
+        "pipeline_corpus_health": """
+            WITH base AS (
+              SELECT doc_id, text, source, n_chars FROM documents
+              UNION ALL
+              SELECT doc_id + 300000, text, source, n_chars FROM documents
+            ), t AS (
+              SELECT source,
+                     sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+                       AS fp,
+                     string_split(trim(text), ' ') AS toks,
+                     n_chars
+              FROM base
+            ), per_doc AS (
+              SELECT source, fp,
+                     CAST(len(toks) AS BIGINT) AS n_tok,
+                     CASE WHEN 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                      / len(toks))
+                             + 0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                             + 0.2 * (1.0 - CAST(len(list_filter(toks,
+                                     x -> length(x) <= 2)) AS DOUBLE)
+                                     / len(toks)) >= 0.5
+                          THEN 1 ELSE 0 END AS keep,
+                     CASE WHEN greatest(
+                         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))),
+                         len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','del','las'))),
+                         len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','du','que'))),
+                         len(list_filter(toks, x -> x IN ('der','die','und','das','von','zu','den','mit','ist','im')))) <= 0
+                          THEN 'unknown'
+                          WHEN len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) = greatest(
+                         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))),
+                         len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','del','las'))),
+                         len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','du','que'))),
+                         len(list_filter(toks, x -> x IN ('der','die','und','das','von','zu','den','mit','ist','im'))))
+                          THEN 'en'
+                          WHEN len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','del','las'))) = greatest(
+                         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))),
+                         len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','del','las'))),
+                         len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','du','que'))),
+                         len(list_filter(toks, x -> x IN ('der','die','und','das','von','zu','den','mit','ist','im'))))
+                          THEN 'es'
+                          WHEN len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','du','que'))) = greatest(
+                         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))),
+                         len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','del','las'))),
+                         len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','du','que'))),
+                         len(list_filter(toks, x -> x IN ('der','die','und','das','von','zu','den','mit','ist','im'))))
+                          THEN 'fr'
+                          ELSE 'de' END AS lang
+              FROM t
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+                   CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+                     / count(*) AS exact_dup_rate,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_tok) AS DOUBLE) / count(*)
+                     AS avg_tokens_per_doc,
+                   CAST(sum(keep) AS BIGINT) AS n_quality_keep,
+                   CAST(sum(keep) AS DOUBLE) / count(*)
+                     AS quality_keep_rate,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+                   CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_es,
+                   CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_fr,
+                   CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_de,
+                   CAST(sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_unknown
+            FROM per_doc GROUP BY 1
         """,
         "text_language_id": """
             WITH t AS (SELECT *, string_split(trim(text), ' ') AS toks FROM documents),

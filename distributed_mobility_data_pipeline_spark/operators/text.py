@@ -99,10 +99,12 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic document quality score (length / repetition / lexical
-    diversity), the LLM-data "quality scoring" filter. Components are
-    ratios of exact counts; the blend is fixed-weight column algebra."""
+def quality_parts() -> tuple[Column, Column, Column, Column, Column]:
+    """The quality-score column expressions (n_tokens, type-token
+    ratio, length score, short-token ratio, blended score) — exposed so
+    single-scan compositions (plans/corpus corpus_health_by_source) can
+    inline them instead of re-scanning the corpus through a joined
+    quality_score() table."""
     toks = _tokens()
     n_tok = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
@@ -113,6 +115,29 @@ def quality_score(docs: DataFrame) -> DataFrame:
     score = (
         F.lit(0.4) * ttr + F.lit(0.4) * len_score + F.lit(0.2) * (1.0 - short_tok_ratio)
     )
+    return n_tok, ttr, len_score, short_tok_ratio, score
+
+
+def lang_pred() -> Column:
+    """The language_id() argmax as one reusable column expression
+    (same stopword votes, same en > es > fr > de tie preference)."""
+    toks = _tokens()
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        in_list = F.array([F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(in_list, t)))
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in STOPWORDS:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality score (length / repetition / lexical
+    diversity), the LLM-data "quality scoring" filter. Components are
+    ratios of exact counts; the blend is fixed-weight column algebra."""
+    n_tok, ttr, len_score, short_tok_ratio, score = quality_parts()
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),

@@ -126,3 +126,71 @@ def prepare_training_corpus(
         "chunks": chunks,
         "packed": packed,
     }
+
+
+def corpus_health_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source corpus health dashboard in ONE single-scan lazy plan:
+    volume, exact-dup redundancy, quality keep-rate, token mass, and
+    language mix — the monitoring table a corpus-ingest pipeline
+    publishes per source/crawl so mixture decisions (sampling weights,
+    source cuts) are driven by measurements.
+
+    Single-scan by construction: every per-doc signal (fingerprint,
+    quality keep flag, language vote, token count) is a column
+    EXPRESSION (text.quality_parts / text.lang_pred), not a joined
+    table, so 100 TB of documents is read exactly once and the output
+    is source-cardinality-sized. All aggregates are integer counts;
+    the ratios are single final divisions — hash-exact cross-engine."""
+    from distributed_mobility_data_pipeline_spark.operators.text import (
+        lang_pred,
+        normalize_text,
+        quality_parts,
+    )
+
+    n_tok, _, _, _, score = quality_parts()
+    per_doc = docs.select(
+        "source",
+        F.sha2(normalize_text(), 256).alias("_fp"),
+        n_tok.alias("_n_tok"),
+        (score >= 0.5).cast("int").alias("_keep"),
+        lang_pred().alias("_lang"),
+    )
+    n_docs = F.count(F.lit(1)).cast("bigint")
+    n_unique = F.countDistinct("_fp").cast("bigint")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            n_unique.alias("n_unique_texts"),
+            F.sum("_n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("_keep").cast("bigint").alias("n_quality_keep"),
+            *[
+                F.sum((F.col("_lang") == lng).cast("int"))
+                .cast("bigint")
+                .alias(f"n_lang_{lng}")
+                for lng in ("en", "es", "fr", "de", "unknown")
+            ],
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            (
+                (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+                / F.col("n_docs")
+            ).alias("exact_dup_rate"),
+            "total_tokens",
+            (
+                F.col("total_tokens").cast("double") / F.col("n_docs")
+            ).alias("avg_tokens_per_doc"),
+            "n_quality_keep",
+            (
+                F.col("n_quality_keep").cast("double") / F.col("n_docs")
+            ).alias("quality_keep_rate"),
+            "n_lang_en",
+            "n_lang_es",
+            "n_lang_fr",
+            "n_lang_de",
+            "n_lang_unknown",
+        )
+    )

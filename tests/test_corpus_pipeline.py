@@ -77,3 +77,43 @@ def test_near_dup_threshold_is_honored(spark, raw_docs):
         .collect()
     }
     assert kept == before
+
+
+def test_corpus_health_by_source_single_scan_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            # src_a: 3 docs, one exact dup pair, english stopwords
+            (1, "the cat and the dog in the house that is it for", "en", "src_a", 48),
+            (2, "the cat and the dog in the house that is it for", "en", "src_a", 48),
+            (3, "el perro y el gato en la casa de los dos", "es", "src_a", 40),
+            # src_b: 1 short junk doc (all short tokens -> keep=0)
+            (4, "a b c d", "xx", "src_b", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {r.source: r for r in corpus.corpus_health_by_source(docs).collect()}
+    a, b = rows["src_a"], rows["src_b"]
+    assert (a.n_docs, a.n_unique_texts) == (3, 2)
+    assert abs(a.exact_dup_rate - 1 / 3) < 1e-12
+    assert a.n_lang_en == 2 and a.n_lang_es == 1
+    assert b.n_docs == 1 and b.n_quality_keep == 0
+    assert b.total_tokens == 4
+
+    # single-scan: the whole dashboard reads the corpus exactly once
+    plan = (
+        corpus.corpus_health_by_source(docs)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    import re
+
+    # one scan NODE (formatted mode prints each node once in the tree
+    # and once as a numbered "(n) Scan ..." detail header — count the
+    # detail headers)
+    assert len(re.findall(r"\(\d+\) Scan", plan)) == 1, plan[:1500]
