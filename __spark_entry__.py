@@ -348,6 +348,7 @@ _DRIVER_FIRST: list[str] = [
     "sample_cluster_safe_split",
     "scale_row_diff",
     "pipeline_corpus_health",
+    "dedup_docs_winnow_spans",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -868,6 +869,10 @@ def _all_queries() -> dict[str, QueryFn]:
             ddllm_ops.ngram_jaccard_pairs(
                 ddllm_ops.with_mutated_copies(_t(s, d, "documents")), 3, 0.5
             ),
+        ),
+        "dedup_docs_winnow_spans": lambda s, d: winnow_ops.winnow_shared_spans(
+            ddllm_ops.with_mutated_copies(_t(s, d, "documents")),
+            k=3, w=4, min_overlap=0.3, max_df=100,
         ),
         "dedup_docs_minhash_sig": lambda s, d: ddllm_ops.minhash_signatures(
             ddllm_ops.with_mutated_copies(_t(s, d, "documents"))
@@ -3130,6 +3135,73 @@ def _all_oracle_sql() -> dict[str, str]:
                           AS BIGINT) % 1000000 < 800000
                         THEN 'train' ELSE 'test' END AS split
             FROM base b JOIN comp c ON c.node = b.doc_id
+        """,
+        "dedup_docs_winnow_spans": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1, length(text) - instr(reverse(text), ' '))
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS t
+              FROM base
+            ), kg AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     CAST(('0x' || substr(md5(
+                       array_to_string(ws[i:i+2], ' ')), 1, 8)) AS BIGINT) AS h,
+                     len(ws) - 2 AS n_kg
+              FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM norm)
+                   , UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+              WHERE len(ws) >= 3
+            ), keyed AS (
+              SELECT doc_id, pos, n_kg,
+                     min(h * 2097152 + (2097151 - pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+              FROM kg
+            ), fpsp AS (
+              SELECT DISTINCT doc_id AS doc,
+                     CAST(key // 2097152 AS BIGINT) AS fp_hash,
+                     CAST(2097151 - (key % 2097152) AS BIGINT) AS fp_pos
+              FROM keyed WHERE pos <= n_kg - 3
+            ), fps AS (
+              SELECT DISTINCT doc, fp_hash FROM fpsp
+            ), rare AS (
+              SELECT fp_hash FROM fps GROUP BY 1 HAVING count(*) <= 100
+            ), kept AS (
+              SELECT doc, fp_hash FROM fps
+              WHERE fp_hash IN (SELECT fp_hash FROM rare)
+            ), keptp AS (
+              SELECT doc, fp_hash, fp_pos FROM fpsp
+              WHERE fp_hash IN (SELECT fp_hash FROM rare)
+            ), sizes AS (
+              SELECT doc, count(*) AS n_fp FROM kept GROUP BY 1
+            ), shared AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM kept a JOIN kept b
+                ON a.fp_hash = b.fp_hash AND a.doc < b.doc
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT doc_a, doc_b, n_shared,
+                     CAST(n_shared AS DOUBLE)
+                       / least(sa.n_fp, sb.n_fp) AS overlap
+              FROM shared
+              JOIN sizes sa ON sa.doc = doc_a
+              JOIN sizes sb ON sb.doc = doc_b
+              WHERE CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.3
+            )
+            SELECT p.doc_a, p.doc_b, p.n_shared, p.overlap,
+                   CAST(min(fa.fp_pos) AS BIGINT) AS a_start,
+                   CAST(max(fa.fp_pos) + 2 AS BIGINT) AS a_end,
+                   CAST(min(fb.fp_pos) AS BIGINT) AS b_start,
+                   CAST(max(fb.fp_pos) + 2 AS BIGINT) AS b_end
+            FROM pairs p
+            JOIN keptp fa ON fa.doc = p.doc_a
+            JOIN keptp fb ON fb.doc = p.doc_b AND fb.fp_hash = fa.fp_hash
+            GROUP BY 1, 2, 3, 4
         """,
         "dedup_docs_jaccard_pairs": """
             WITH base AS (

@@ -175,3 +175,63 @@ def winnow_dup_pairs(
         )
         .filter(F.col("overlap") >= min_overlap)
     )
+
+
+def winnow_shared_spans(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_overlap: float = 0.3,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination forensics: for every winnow dup pair, the token
+    span of the shared material in EACH document — where the copied
+    passage sits, not just that it exists.
+
+    For each pair above ``min_overlap``, join back to the positioned
+    fingerprints shared by both docs and take min/max positions per
+    side; spans are reported in 1-based token coordinates
+    (``end = max k-gram position + k - 1``). Conservative envelope: the
+    span covers all shared fingerprints, so disjoint shared passages
+    merge into one bounding span.
+
+    Scale shape: the pair table (already overlap-filtered) equi-joins
+    the fingerprint table twice on (doc, hash) — candidate-bounded,
+    never corpus × corpus."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
+        F.col(id_col).alias("doc"), "fp_hash", "fp_pos"
+    )
+    rare = (
+        fps.select("doc", "fp_hash")
+        .distinct()
+        .groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp_hash")
+    )
+    fps = fps.join(rare, "fp_hash", "left_semi")
+    pairs = winnow_dup_pairs(
+        docs, k, w, min_overlap, max_df, text_col, id_col
+    ).select("doc_a", "doc_b", "n_shared", "overlap")
+    fa = fps.select(
+        F.col("doc").alias("doc_a"),
+        "fp_hash",
+        F.col("fp_pos").alias("pos_a"),
+    )
+    fb = fps.select(
+        F.col("doc").alias("doc_b"),
+        "fp_hash",
+        F.col("fp_pos").alias("pos_b"),
+    )
+    shared = pairs.join(fa, "doc_a").join(fb, ["doc_b", "fp_hash"])
+    return (
+        shared.groupBy("doc_a", "doc_b", "n_shared", "overlap")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("a_start"),
+            (F.max("pos_a") + F.lit(k - 1)).cast("bigint").alias("a_end"),
+            F.min("pos_b").cast("bigint").alias("b_start"),
+            (F.max("pos_b") + F.lit(k - 1)).cast("bigint").alias("b_end"),
+        )
+    )

@@ -103,3 +103,26 @@ def test_validates_args(spark):
         winnow.winnow_fingerprints(docs, k=0)
     with pytest.raises(ValueError):
         winnow.winnow_fingerprints(docs, w=0)
+
+
+def test_shared_spans_locate_the_passage(spark):
+    passage = " ".join(f"tok{i}" for i in range(20))
+    prefix = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    docs = spark.createDataFrame(
+        [
+            (1, passage),
+            (2, prefix + " " + passage + " s1 s2 s3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow.winnow_shared_spans(docs, k=3, w=4, min_overlap=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    # doc 1 IS the passage: the span must sit inside [1, 20]
+    assert 1 <= r.a_start <= r.a_end <= 20
+    # in doc 2 the passage starts after the 10-token prefix: the span
+    # must sit inside the embedded region [11, 30] and past the prefix
+    assert 11 <= r.b_start <= r.b_end <= 30
+    # offsets agree up to the prefix shift
+    assert r.b_start - r.a_start == 10 and r.b_end - r.a_end == 10
