@@ -377,8 +377,11 @@ def touch_attribution(
     id_col: str = "event_id",
 ) -> DataFrame:
     """First/last-touch attribution: for every conversion event, the
-    earliest and latest non-conversion event by the same user inside a
-    strict lookback window ``(conv_ts - lookback_days, conv_ts)``.
+    earliest and latest non-conversion event by the same user inside
+    the lookback window ``[conv_ts - lookback_days, conv_ts)`` —
+    closed at the lookback edge (a touch exactly lookback_days old
+    still counts: rangeBetween's frame start is inclusive), open at
+    the conversion instant.
 
     One row per conversion: ``conv_id, user_id, conv_ts_us,
     first_touch_type, last_touch_type, n_touches`` (NULL types / zero

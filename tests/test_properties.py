@@ -338,8 +338,16 @@ def test_touch_attribution_matches_bruteforce(spark, raw):
         if (u, t) not in seen:
             seen.add((u, t))
             dedup.append((u, t, kind))
+    # LINEAR calendar: epoch + t days. (The old month/day encoding
+    # `1 + t // 28, 1 + t % 28` skipped Jan 29-31, so t-unit windows
+    # disagreed with the operator's real-day windows across month
+    # boundaries — hypothesis found the t=21 touch / t=28 conversion
+    # case where 7 t-units span 10 real days.)
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
     rows = [
-        (i, u, f"2024-{1 + t // 28:02d}-{1 + t % 28:02d} 00:00:00", kind)
+        (i, u, (base + _dt.timedelta(days=t)).strftime("%Y-%m-%d %H:%M:%S"), kind)
         for i, (u, t, kind) in enumerate(dedup)
     ]
     df = spark.createDataFrame(
@@ -364,3 +372,51 @@ def test_touch_attribution_matches_bruteforce(spark, raw):
             assert r.first_touch_type == touches[0][1]
             assert r.last_touch_type == touches[-1][1]
             assert r.n_touches == len(touches)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.integers(0, 40),          # prefix length (doc 2)
+    st.integers(0, 40),          # suffix length (doc 2)
+    st.integers(6, 30),          # shared run length, >= w + k - 1 = 6
+    st.integers(0, 10_000),      # vocabulary seed
+)
+def test_winnow_shared_run_guarantee(spark, n_pre, n_suf, run_len, seed):
+    # Schleimer et al.'s guarantee: any shared token run of length
+    # >= w + k - 1 yields at least one shared fingerprint. Random
+    # prefix/suffix around a random shared passage must never break it.
+    from distributed_mobility_data_pipeline_spark.operators import winnow
+
+    shared = " ".join(f"s{seed}_{i}" for i in range(run_len))
+    pre = " ".join(f"p{seed}_{i}" for i in range(n_pre))
+    suf = " ".join(f"q{seed}_{i}" for i in range(n_suf))
+    doc2 = " ".join(x for x in (pre, shared, suf) if x)
+    docs = spark.createDataFrame(
+        [(1, shared), (2, doc2)], "doc_id long, text string"
+    )
+    fps = winnow.winnow_fingerprints(docs, k=3, w=4).collect()
+    a = {r.fp_hash for r in fps if r.doc_id == 1}
+    b = {r.fp_hash for r in fps if r.doc_id == 2}
+    assert a & b
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.floats(-20, 120, allow_nan=False), min_size=1, max_size=60),
+       st.sampled_from([0.25, 0.5, 0.9]))
+def test_histogram_quantile_order_stat_bound(spark, vals, q):
+    # estimator guarantee on arbitrary data: within one bin width of
+    # the order statistic at rank ceil(q * n), clamping included
+    import math
+
+    from distributed_mobility_data_pipeline_spark.operators import sketches
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["g", "v"])
+    hist = sketches.binned_value_histograms(df, ["g"], "v", 0.0, 100.0, 10)
+    est = sketches.quantiles_from_histograms(
+        hist, ["g"], [q], 0.0, 100.0, 10
+    ).collect()[0].value_q
+    clamped = sorted(min(max(v, 0.0), 100.0) for v in vals)
+    order_stat = clamped[math.ceil(q * len(clamped)) - 1]
+    assert abs(est - order_stat) <= 10.0 + 1e-9
