@@ -349,6 +349,7 @@ _DRIVER_FIRST: list[str] = [
     "scale_row_diff",
     "pipeline_corpus_health",
     "dedup_docs_winnow_spans",
+    "sim_embedding_drift",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -934,6 +935,24 @@ def _all_queries() -> dict[str, QueryFn]:
         # hard-negative mining: nearest candidates with a different label
         "sim_hard_negatives": lambda s, d: sim_ops.hard_negatives(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4], k=5
+        ),
+        # embedding snapshot drift: re-embedded corpus vs old vectors —
+        # cosine histogram over matched ids + added/removed counts
+        "sim_embedding_drift": lambda s, d: sim_ops.embedding_drift_hist(
+            _t(s, d, "embeddings"),
+            _t(s, d, "embeddings")
+            .filter(F.col("vec_id") % 97 != 0)
+            .withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 7 == 0, F.reverse(F.col("embedding"))
+                ).otherwise(F.col("embedding")),
+            )
+            .unionByName(
+                _t(s, d, "embeddings")
+                .filter(F.col("vec_id") % 89 == 0)
+                .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+            ),
         ),
         "sim_cosine_topk": lambda s, d: sim_ops.cosine_topk(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4], 3
@@ -3814,6 +3833,38 @@ def _all_oracle_sql() -> dict[str, str]:
                                            ORDER BY cos_sim DESC, vid) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "sim_embedding_drift": f"""
+            WITH newt AS (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding)
+                          ELSE embedding END AS embedding
+              FROM embeddings WHERE vec_id % 97 <> 0
+              UNION ALL
+              SELECT vec_id + 1000000, embedding
+              FROM embeddings WHERE vec_id % 89 = 0
+            ), j AS (
+              SELECT o.vec_id AS oid, n.vec_id AS nid,
+                     o.embedding AS vo, n.embedding AS vn
+              FROM embeddings o FULL OUTER JOIN newt n
+                ON o.vec_id = n.vec_id
+            ), matched AS (
+              SELECT {_dot_sql("vo", "vn")}
+                     / (sqrt({_norm2_sql("vo")}) * sqrt({_norm2_sql("vn")}))
+                       AS c
+              FROM j WHERE oid IS NOT NULL AND nid IS NOT NULL
+            )
+            SELECT 'matched' AS status,
+                   CAST(greatest(0, least(19, floor((c - (-1.0)) / 0.1)))
+                        AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM matched GROUP BY 2
+            UNION ALL
+            SELECT 'added', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
+            FROM j WHERE oid IS NULL
+            UNION ALL
+            SELECT 'removed', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
+            FROM j WHERE nid IS NULL
         """,
         "sim_cosine_topk": f"""
             WITH n2 AS (

@@ -827,3 +827,60 @@ def ivfpq_ann(
         .filter(F.col("rank") <= k)
         .select("qid", "vid", "rank", "approx_dot", "c_label")
     )
+
+
+def embedding_drift_hist(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Embedding-snapshot drift report: did re-embedding the corpus
+    (new encoder checkpoint, changed preprocessing) move the vectors?
+
+    Matched ids get the cosine between old and new vector, binned over
+    [-1, 1] into ``n_bins`` buckets (``status='matched'``); ids present
+    on one side only are counted as ``'added'`` / ``'removed'`` rows
+    with bin -1. An unchanged snapshot puts every matched count in the
+    top bin — mass anywhere else is drift, localized by bin.
+
+    Deterministic: the cosine uses the fixed-point dot (order-free
+    int64 fold, see _dot) and fixed bin edges, so the whole report is
+    hash-checkable. Shape: one full-outer equi-join on the id + a
+    global aggregation to ≤ n_bins + 2 rows."""
+    from distributed_mobility_data_pipeline_spark.operators import sketches
+
+    o = old.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vo"))
+    n = new.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vn"))
+    j = o.join(n, "_id", "full_outer")
+    matched = j.filter(
+        F.col("_vo").isNotNull() & F.col("_vn").isNotNull()
+    ).select(
+        (
+            _dot(F.col("_vo"), F.col("_vn"))
+            / (_norm(F.col("_vo")) * _norm(F.col("_vn")))
+        ).alias("_cos")
+    )
+    hist = sketches.binned_value_histograms(
+        matched, [], "_cos", -1.0, 1.0, n_bins
+    ).select(F.lit("matched").alias("status"), "bin", "n")
+    added = (
+        j.filter(F.col("_vo").isNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("added").alias("status"),
+            F.lit(-1).cast("bigint").alias("bin"),
+            "n",
+        )
+    )
+    removed = (
+        j.filter(F.col("_vn").isNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("removed").alias("status"),
+            F.lit(-1).cast("bigint").alias("bin"),
+            "n",
+        )
+    )
+    return hist.unionByName(added).unionByName(removed)

@@ -105,3 +105,35 @@ def test_rolling_quantile_matches_per_window_recompute(spark):
             hist, ["g"], [0.5], 0.0, 100.0, 10
         ).collect()[0].value_q
         assert got[(day, 0.5)] == want, (day, got[(day, 0.5)], want)
+
+
+def test_embedding_drift_identity_and_statuses(spark):
+    from distributed_mobility_data_pipeline_spark.operators import similarity
+
+    old = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0, 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    # id 0 removed; id 5 vector flipped (cosine < 0); id 99 added
+    new = (
+        old.filter("vec_id > 0")
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") == 5,
+                F.expr("transform(embedding, x -> -x)"),
+            ).otherwise(F.col("embedding")),
+        )
+        .union(
+            spark.createDataFrame(
+                [(99, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+            )
+        )
+    )
+    rows = similarity.embedding_drift_hist(old, new).collect()
+    by = {(r.status, r.bin): r.n for r in rows}
+    assert by[("added", -1)] == 1
+    assert by[("removed", -1)] == 1
+    # 4 unchanged ids -> cosine ~1 -> top bin (19); flipped -> cosine -1 -> bin 0
+    assert by[("matched", 19)] == 4
+    assert by[("matched", 0)] == 1
