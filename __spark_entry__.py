@@ -3858,7 +3858,9 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(greatest(0, least(19, floor((c - (-1.0)) / 0.1)))
                         AS BIGINT) AS bin,
                    CAST(count(*) AS BIGINT) AS n
-            FROM matched GROUP BY 2
+            -- NULL cosines (NULL vectors on a matched id) are excluded,
+            -- matching binned_value_histograms' NOT NULL filter
+            FROM matched WHERE c IS NOT NULL GROUP BY 2
             UNION ALL
             SELECT 'added', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
             FROM j WHERE oid IS NULL
@@ -5261,9 +5263,12 @@ def _all_oracle_sql() -> dict[str, str]:
                      o_orderpriority
               FROM orders WHERE o_orderkey % 149 = 0
             ), j AS (
+              -- presence markers, not key-nullness: a row with a NULL
+              -- key on side a must classify as 'removed' (it can never
+              -- join), matching the operator's _in_a/_in_b markers
               SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
-                     CASE WHEN a.o_orderkey IS NULL THEN 'added'
-                          WHEN b.o_orderkey IS NULL THEN 'removed'
+                     CASE WHEN a.in_a IS NULL THEN 'added'
+                          WHEN b.in_b IS NULL THEN 'removed'
                           ELSE 'changed' END AS status,
                      concat_ws(',',
                        CASE WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
@@ -5274,7 +5279,8 @@ def _all_oracle_sql() -> dict[str, str]:
                        CASE WHEN a.o_orderstatus
                                  IS DISTINCT FROM b.o_orderstatus
                             THEN 'o_orderstatus' END) AS cc
-              FROM orders a FULL OUTER JOIN b
+              FROM (SELECT *, 1 AS in_a FROM orders) a
+              FULL OUTER JOIN (SELECT *, 1 AS in_b FROM b) b
                 ON a.o_orderkey = b.o_orderkey
             )
             SELECT o_orderkey, status,

@@ -15,8 +15,9 @@ partitioning). The damping factor is a rational (17/20 = 0.85).
 Scale shape per iteration: one shuffle to join ranks onto edges (both
 sides hash-partitioned on the node key) and one groupBy(dst) with
 map-side partial sums. Lineage is BOUNDED: the node-sized rank table is
-localCheckpoint-ed every ``checkpoint_every`` iterations (eager, prior
-checkpoint freed once superseded), so plan/closure size stays constant
+localCheckpoint-ed every ``checkpoint_every`` iterations (eager; a
+superseded checkpoint's blocks are released asynchronously by the
+ContextCleaner once dereferenced), so plan/closure size stays constant
 at any iteration depth — the same persist-cycle discipline as the
 iterative BPE learner (operators/bpe.py).
 """
@@ -57,12 +58,15 @@ def pagerank_fixed_point(
 
     ``N`` (node count) is the one driver-side scalar (a count). The
     rank table is eagerly localCheckpoint-ed every ``checkpoint_every``
-    iterations so lineage (and task-closure size) stays bounded at deep
-    iteration counts; each new checkpoint frees the prior one — steady
-    state holds ONE extra node-sized cached copy. localCheckpoint
-    trades executor-loss fault tolerance for not needing a checkpoint
-    dir, the right trade for a rank table that is cheap to recompute
-    from the last checkpoint.
+    iterations so lineage (and plan-analysis cost) stays bounded at
+    deep iteration counts. Superseded checkpoints are NOT freed
+    synchronously — ``Dataset.unpersist`` only uncaches CacheManager
+    entries, never a localCheckpoint's RDD blocks — they are released
+    by the ContextCleaner once this loop drops the last reference
+    (node-sized blocks, eventual cleanup; bounded in practice by GC
+    cadence). localCheckpoint trades executor-loss fault tolerance for
+    not needing a checkpoint dir, the right trade for a rank table
+    that is cheap to recompute from the last checkpoint.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -90,7 +94,6 @@ def pagerank_fixed_point(
         raise ValueError("pagerank on an empty edge table")
     teleport = ((damping_den - damping_num) * scale) // (damping_den * n)
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n).cast("bigint"))
-    prev_ckpt = None
     for i in range(iterations):
         contribs = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
@@ -114,12 +117,11 @@ def pagerank_fixed_point(
             .alias("rank_fp"),
         )
         # bound lineage: cut the plan every k rounds (skip after the
-        # final round — the caller's one-shot read doesn't need a cut)
+        # final round — the caller's one-shot read doesn't need a cut).
+        # Dropping the old `ranks` reference here is what lets the
+        # ContextCleaner release the superseded checkpoint's blocks.
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-            if prev_ckpt is not None:
-                prev_ckpt.unpersist()
-            prev_ckpt = ranks
     return ranks.select(
         "node",
         "rank_fp",

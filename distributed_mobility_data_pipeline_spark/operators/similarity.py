@@ -851,11 +851,22 @@ def embedding_drift_hist(
     global aggregation to ≤ n_bins + 2 rows."""
     from distributed_mobility_data_pipeline_spark.operators import sketches
 
-    o = old.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vo"))
-    n = new.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vn"))
+    # explicit presence markers (same pattern as reconcile.row_diff):
+    # a matched id whose VECTOR is NULL must stay 'matched', not be
+    # misread as added/removed off vector-column nullness
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.lit(1).alias("_in_o"),
+        F.col(vec_col).alias("_vo"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.lit(1).alias("_in_n"),
+        F.col(vec_col).alias("_vn"),
+    )
     j = o.join(n, "_id", "full_outer")
     matched = j.filter(
-        F.col("_vo").isNotNull() & F.col("_vn").isNotNull()
+        F.col("_in_o").isNotNull() & F.col("_in_n").isNotNull()
     ).select(
         (
             _dot(F.col("_vo"), F.col("_vn"))
@@ -866,7 +877,7 @@ def embedding_drift_hist(
         matched, [], "_cos", -1.0, 1.0, n_bins
     ).select(F.lit("matched").alias("status"), "bin", "n")
     added = (
-        j.filter(F.col("_vo").isNull())
+        j.filter(F.col("_in_o").isNull())
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .select(
             F.lit("added").alias("status"),
@@ -875,7 +886,7 @@ def embedding_drift_hist(
         )
     )
     removed = (
-        j.filter(F.col("_vn").isNull())
+        j.filter(F.col("_in_n").isNull())
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .select(
             F.lit("removed").alias("status"),

@@ -78,24 +78,14 @@ def language_id(docs: DataFrame) -> DataFrame:
     with a fixed preference order (en > es > fr > de) and 'unknown' when
     every score is zero. Deterministic by construction, so it is
     oracle-checkable even on synthetic text where the true label is
-    unrecoverable."""
-    toks = _tokens()
-    scored = docs
-    for lang, words in STOPWORDS.items():
-        in_list = F.array([F.lit(w) for w in words])
-        scored = scored.withColumn(
-            f"score_{lang}",
-            F.size(F.filter(toks, lambda t: F.array_contains(in_list, t))),
-        )
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
-    pred = F.when(best <= 0, F.lit("unknown"))
-    for lang in STOPWORDS:  # insertion order = preference order on ties
-        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.select(
+    unrecoverable. Scoring and argmax live in _lang_scores/_argmax_lang,
+    shared with the reusable lang_pred() expression."""
+    scores = _lang_scores()
+    return docs.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
-        *[F.col(f"score_{lang}") for lang in STOPWORDS],
-        pred.alias("lang_pred"),
+        *[scores[lang].alias(f"score_{lang}") for lang in STOPWORDS],
+        _argmax_lang(scores).alias("lang_pred"),
     )
 
 
@@ -118,19 +108,32 @@ def quality_parts() -> tuple[Column, Column, Column, Column, Column]:
     return n_tok, ttr, len_score, short_tok_ratio, score
 
 
-def lang_pred() -> Column:
-    """The language_id() argmax as one reusable column expression
-    (same stopword votes, same en > es > fr > de tie preference)."""
+def _lang_scores() -> dict[str, Column]:
+    """Per-language stopword-vote score expressions — the ONE place the
+    scoring rule lives (language_id and lang_pred both derive from it,
+    so the vote and tie rules can't desynchronize)."""
     toks = _tokens()
-    scores = {}
+    scores: dict[str, Column] = {}
     for lang, words in STOPWORDS.items():
         in_list = F.array([F.lit(w) for w in words])
         scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(in_list, t)))
+    return scores
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    """Argmax with the fixed en > es > fr > de tie preference and
+    'unknown' when every score is zero."""
     best = F.greatest(*scores.values())
     pred = F.when(best <= 0, F.lit("unknown"))
-    for lang in STOPWORDS:
+    for lang in STOPWORDS:  # insertion order = preference order on ties
         pred = pred.when(scores[lang] == best, F.lit(lang))
     return pred
+
+
+def lang_pred() -> Column:
+    """The language_id() argmax as one reusable column expression, for
+    single-scan compositions (plans/corpus corpus_health_by_source)."""
+    return _argmax_lang(_lang_scores())
 
 
 def quality_score(docs: DataFrame) -> DataFrame:

@@ -139,16 +139,29 @@ def winnow_dup_pairs(
     fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
         F.col(id_col).alias("doc"), "fp_hash"
     ).distinct()
+    kept = _df_capped(fps, max_df)
+    return _pairs_from_kept(kept, min_overlap)
+
+
+def _df_capped(fps: DataFrame, max_df: int) -> DataFrame:
+    """Drop fingerprints present in more than ``max_df`` docs.
+    ``fps`` must be distinct (doc, fp_hash) rows."""
     rare = (
         fps.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("fp_hash")
     )
-    fps = fps.join(rare, "fp_hash", "left_semi")
-    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = fps.select(F.col("doc").alias("doc_a"), "fp_hash")
-    b = fps.select(F.col("doc").alias("doc_b"), "fp_hash")
+    return fps.join(rare, "fp_hash", "left_semi")
+
+
+def _pairs_from_kept(kept: DataFrame, min_overlap: float) -> DataFrame:
+    """Overlap-scored pairs from a df-capped distinct (doc, fp_hash)
+    table — shared so winnow_shared_spans reuses the SAME fingerprint
+    lineage instead of recomputing the corpus k-gram/window pass."""
+    sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("doc").alias("doc_a"), "fp_hash")
+    b = kept.select(F.col("doc").alias("doc_b"), "fp_hash")
     shared = (
         a.join(b, "fp_hash")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -199,22 +212,21 @@ def winnow_shared_spans(
 
     Scale shape: the pair table (already overlap-filtered) equi-joins
     the fingerprint table twice on (doc, hash) — candidate-bounded,
-    never corpus × corpus."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
+    never corpus × corpus. The fingerprint table, df-cap, and pair
+    scoring all derive from ONE winnow_fingerprints lineage (the
+    corpus k-gram + window pass is the dominant cost; building the
+    pair table from a second independent lineage would run it
+    twice)."""
+    fpsp = winnow_fingerprints(docs, k, w, text_col, id_col).select(
         F.col(id_col).alias("doc"), "fp_hash", "fp_pos"
     )
-    rare = (
-        fps.select("doc", "fp_hash")
-        .distinct()
-        .groupBy("fp_hash")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("fp_hash")
+    kept_flat = _df_capped(fpsp.select("doc", "fp_hash").distinct(), max_df)
+    fps = fpsp.join(
+        kept_flat.select("fp_hash").distinct(), "fp_hash", "left_semi"
     )
-    fps = fps.join(rare, "fp_hash", "left_semi")
-    pairs = winnow_dup_pairs(
-        docs, k, w, min_overlap, max_df, text_col, id_col
-    ).select("doc_a", "doc_b", "n_shared", "overlap")
+    pairs = _pairs_from_kept(kept_flat, min_overlap).select(
+        "doc_a", "doc_b", "n_shared", "overlap"
+    )
     fa = fps.select(
         F.col("doc").alias("doc_a"),
         "fp_hash",

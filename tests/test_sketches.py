@@ -137,3 +137,23 @@ def test_embedding_drift_identity_and_statuses(spark):
     # 4 unchanged ids -> cosine ~1 -> top bin (19); flipped -> cosine -1 -> bin 0
     assert by[("matched", 19)] == 4
     assert by[("matched", 0)] == 1
+
+
+def test_embedding_drift_null_vector_stays_matched(spark):
+    """A matched id whose VECTOR is NULL must not be misread as
+    added/removed (presence is keyed on the join markers, not vector
+    nullness)."""
+    from distributed_mobility_data_pipeline_spark.operators import similarity
+
+    old = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    by = {
+        (r.status, r.bin): r.n
+        for r in similarity.embedding_drift_hist(old, new).collect()
+    }
+    assert by[("added", -1)] == 0
+    assert by[("removed", -1)] == 0
