@@ -350,6 +350,7 @@ _DRIVER_FIRST: list[str] = [
     "pipeline_corpus_health",
     "dedup_docs_winnow_spans",
     "sim_embedding_drift",
+    "agg_contribution_analysis",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -1356,6 +1357,16 @@ def _all_queries() -> dict[str, QueryFn]:
         # union) — deterministic, hash-checked
         "agg_rolling_quantile_hist": lambda s, d: sketch_ops.rolling_quantile_hist(
             _t(s, d, "events"), [0.5, 0.9]
+        ),
+        # root-cause table: which priorities drove the 1999 -> 2000
+        # revenue movement (delta decomposition, ranked by |delta|)
+        "agg_contribution_analysis": lambda s, d: agg_ops.contribution_analysis(
+            _t(s, d, "orders"),
+            "o_orderpriority",
+            "o_totalprice",
+            F.date_format(F.col("o_orderdate"), "yyyy"),
+            "1999",
+            "2000",
         ),
         "agg_exact_quantiles": lambda s, d: _t(s, d, "events")
         .filter(F.col("value").isNotNull())
@@ -4460,6 +4471,33 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM tg JOIN b ON tg.day = b.day
             WHERE CAST(cum AS DOUBLE) >= target
               AND CAST(cum - n AS DOUBLE) < target
+        """,
+        "agg_contribution_analysis": """
+            WITH agg AS (
+              SELECT o_orderpriority AS dim_value,
+                     CAST(sum(CAST(CASE WHEN substr(CAST(o_orderdate AS VARCHAR), 1, 4) = '1999'
+                              THEN o_totalprice ELSE 0.0 END
+                              AS DECIMAL(18,6))) AS DOUBLE) AS base_total,
+                     CAST(sum(CAST(CASE WHEN substr(CAST(o_orderdate AS VARCHAR), 1, 4) = '2000'
+                              THEN o_totalprice ELSE 0.0 END
+                              AS DECIMAL(18,6))) AS DOUBLE) AS comp_total
+              FROM orders
+              WHERE substr(CAST(o_orderdate AS VARCHAR), 1, 4) IN ('1999', '2000')
+              GROUP BY 1
+            ), d AS (
+              SELECT *, comp_total - base_total AS delta FROM agg
+            ), t AS (
+              SELECT CAST(sum(CAST(delta AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_delta
+              FROM d
+            )
+            SELECT dim_value, base_total, comp_total, delta,
+                   CASE WHEN total_delta <> 0.0
+                        THEN delta / total_delta END AS delta_share,
+                   CAST(row_number() OVER (ORDER BY abs(delta) DESC,
+                                           dim_value) AS INT)
+                     AS contribution_rank
+            FROM d, t
         """,
         "agg_exact_quantiles": """
             SELECT event_type,

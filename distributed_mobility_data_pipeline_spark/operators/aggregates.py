@@ -823,3 +823,59 @@ def gini_by_group(
         F.col("_total").alias("total_value"),
         F.when(F.col("_total") != 0, gini).alias("gini"),
     )
+
+
+def contribution_analysis(
+    df: DataFrame,
+    dim_col: str,
+    measure_col: str,
+    period_col,
+    base_period: str,
+    comp_period: str,
+) -> DataFrame:
+    """Period-over-period delta decomposition ("why did the metric
+    move"): for each value of ``dim_col``, the measure total in the
+    base and comparison periods, the delta, and its share of the total
+    movement — ranked by absolute contribution, the standard root-cause
+    table behind any "revenue dropped 8%" investigation.
+
+    ``period_col`` is an expression labeling each row's period; rows
+    labeled neither period are ignored. Shape: one conditional
+    aggregation per dim value (single scan, map-side partial sums),
+    a one-row total broadcast back — dimension-sized output. Measure
+    sums accumulate in DECIMAL (order-free) so the whole table is
+    hash-exact; contribution shares are single IEEE divisions.
+    """
+    agg = (
+        df.filter(period_col.isin(base_period, comp_period))
+        .groupBy(F.col(dim_col).alias("dim_value"))
+        .agg(
+            exact_sum(
+                F.when(period_col == base_period, F.col(measure_col)).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("base_total"),
+            exact_sum(
+                F.when(period_col == comp_period, F.col(measure_col)).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("comp_total"),
+        )
+        .withColumn("delta", F.col("comp_total") - F.col("base_total"))
+    )
+    total = agg.agg(F.sum(dec("delta")).cast("double").alias("_total_delta"))
+    w = Window.orderBy(F.abs(F.col("delta")).desc(), F.col("dim_value"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "dim_value",
+            "base_total",
+            "comp_total",
+            "delta",
+            F.when(
+                F.col("_total_delta") != 0.0,
+                F.col("delta") / F.col("_total_delta"),
+            ).alias("delta_share"),
+            F.row_number().over(w).cast("int").alias("contribution_rank"),
+        )
+    )
