@@ -351,6 +351,7 @@ _DRIVER_FIRST: list[str] = [
     "dedup_docs_winnow_spans",
     "sim_embedding_drift",
     "agg_contribution_analysis",
+    "quality_k_anonymity",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -1433,6 +1434,10 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         # declarative expectations engine: 6 rule kinds over orders,
         # row-predicate rules fused into ONE scan
+        # k-anonymity risk surface: QI combos shared by < k customers
+        "quality_k_anonymity": lambda s, d: quality_ops.k_anonymity_report(
+            _t(s, d, "customer"), ["c_nationkey", "c_mktsegment"], k=10
+        ),
         "quality_expectations": lambda s, d: quality_ops.expectations_report(
             _t(s, d, "orders"),
             [
@@ -4782,6 +4787,12 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(least(length(text), 32) AS BIGINT) AS n_bytes_out,
                    sha256(substring(text, 1, 32)) AS resized_sha256
             FROM documents
+        """,
+        "quality_k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM customer GROUP BY 1, 2
+            HAVING count(*) < 10
         """,
         "quality_expectations": """
             WITH scan AS (

@@ -359,3 +359,31 @@ def expectations_report(
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def k_anonymity_report(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Re-identification risk surface: quasi-identifier combinations
+    shared by FEWER than ``k`` rows (the k-anonymity criterion —
+    public-domain privacy model, Sweeney 2002). Rows in these groups
+    are linkable by their quasi-identifiers; the remediation is
+    generalization/suppression of exactly these combinations (compose
+    with cleaning.pseudonymize_columns for the identifier columns).
+
+    Returns the risky groups: qi_cols + ``n_rows``, ascending by
+    ``n_rows`` then the QI values (worst first, deterministic).
+
+    Scale shape: ONE hash aggregation on the QI columns → group-
+    cardinality-sized output; the filter keeps only sub-k groups, so
+    the result is the risk list, not the population."""
+    if not qi_cols:
+        raise ValueError("qi_cols must be a non-empty column list")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+        .orderBy("n_rows", *qi_cols)
+    )

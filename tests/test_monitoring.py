@@ -203,3 +203,23 @@ def test_contribution_analysis_decomposes_delta(spark):
     assert abs(sum(r.delta_share for r in rows.values()) - 1.0) < 1e-12
     assert rows["A"].contribution_rank == 1  # largest |delta|
     assert abs(rows["A"].delta_share - (-50.0 / total)) < 1e-12
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    import pytest as _pytest
+
+    from distributed_mobility_data_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)],
+        ["qi1", "qi2"],
+    )
+    rows = quality.k_anonymity_report(df, ["qi1", "qi2"], k=3).collect()
+    got = {(r.qi1, r.qi2): r.n_rows for r in rows}
+    assert got == {("a", 2): 2, ("b", 1): 1}  # the 5-row group is safe
+    # worst-first ordering
+    assert [(r.qi1, r.qi2) for r in rows] == [("b", 1), ("a", 2)]
+    with _pytest.raises(ValueError):
+        quality.k_anonymity_report(df, [], 3)
+    with _pytest.raises(ValueError):
+        quality.k_anonymity_report(df, ["qi1"], 1)
