@@ -126,6 +126,27 @@ def main() -> None:
     for name, a, b, r in rows:
         print(f"| {name} | {a} | {b} | {r}x |")
 
+    print("\n== round-6 relational ops at 10x ==", flush=True)
+    rows = []
+    for name in (
+        "agg_quantile_rollup_hist",
+        "agg_rolling_quantile_hist",
+        "scale_row_diff",
+        "agg_contribution_analysis",
+        "quality_k_anonymity",
+    ):
+        _noop(qs[name](spark, SF01))
+        t_01 = _noop(qs[name](spark, SF01))
+        t_1 = _noop(qs[name](spark, PROBE))
+        rows.append(
+            (name, round(t_01, 2), round(t_1, 2), round(t_1 / max(t_01, 1e-9), 1))
+        )
+        print(rows[-1], flush=True)
+    print("| query | sf0.1 | 10x | ratio |")
+    print("|---|---|---|---|")
+    for name, a, b, r in rows:
+        print(f"| {name} | {a} | {b} | {r}x |")
+
     print("\n== winnowing at 10x documents ==", flush=True)
     if not os.path.exists(os.path.join(PROBE, "documents.parquet")):
         gen_docs(spark)
