@@ -352,6 +352,9 @@ _DRIVER_FIRST: list[str] = [
     "sim_embedding_drift",
     "agg_contribution_analysis",
     "quality_k_anonymity",
+    "agg_product_type_profit",
+    "agg_min_cost_supplier",
+    "agg_promotion_suppliers",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -1368,6 +1371,22 @@ def _all_queries() -> dict[str, QueryFn]:
             F.date_format(F.col("o_orderdate"), "yyyy"),
             "1999",
             "2000",
+        ),
+        # the three TPC-H shapes the dataset's missing partsupp table
+        # previously left out, adapted over lineitem-derived relations:
+        # Q9 profit rollup, Q2 correlated per-part min, Q20 nested
+        # semi-join chain — completing the 22-shape sweep
+        "agg_product_type_profit": lambda s, d: agg_ops.product_type_profit(
+            _t(s, d, "lineitem"), _t(s, d, "part"), _t(s, d, "supplier"),
+            _t(s, d, "nation"), _t(s, d, "orders"),
+        ),
+        "agg_min_cost_supplier": lambda s, d: agg_ops.min_cost_supplier(
+            _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "nation"),
+            _t(s, d, "region"), _t(s, d, "lineitem"),
+        ),
+        "agg_promotion_suppliers": lambda s, d: agg_ops.promotion_candidate_suppliers(
+            _t(s, d, "supplier"), _t(s, d, "nation"),
+            _t(s, d, "lineitem"), _t(s, d, "part"),
         ),
         "agg_exact_quantiles": lambda s, d: _t(s, d, "events")
         .filter(F.col("value").isNotNull())
@@ -4503,6 +4522,56 @@ def _all_oracle_sql() -> dict[str, str]:
                                            dim_value) AS INT)
                      AS contribution_rank
             FROM d, t
+        """,
+        "agg_product_type_profit": """
+            SELECT n_name AS nation,
+                   substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year,
+                   CAST(sum(CAST(
+                     l_extendedprice * (1.0 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+                     AND p_name LIKE '%red%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "agg_min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                     min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem GROUP BY 1, 2
+            ), offers AS (
+              SELECT c.partkey, p_brand, s_name, n_name AS nation,
+                     unit_cost
+              FROM cost c
+              JOIN part ON c.partkey = p_partkey AND p_size = 5
+              JOIN supplier ON c.suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+                         AND r_name = 'EUROPE'
+            )
+            SELECT partkey AS p_partkey, p_brand, s_name, nation, unit_cost
+            FROM (
+              SELECT *, min(unit_cost) OVER (PARTITION BY partkey) AS mc
+              FROM offers
+            ) WHERE unit_cost = mc
+        """,
+        "agg_promotion_suppliers": """
+            SELECT s_suppkey, s_name, n_name AS nation
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+                       AND p_name LIKE '%red%'
+              WHERE substr(CAST(l_shipdate AS VARCHAR), 1, 4) = '1999'
+              GROUP BY l_suppkey, l_partkey
+              HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     > 60.0
+            )
         """,
         "agg_exact_quantiles": """
             SELECT event_type,

@@ -879,3 +879,157 @@ def contribution_analysis(
             F.row_number().over(w).cast("int").alias("contribution_rank"),
         )
     )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    name_token: str = "red",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted): profit by supplier nation and order
+    year for parts whose name contains ``name_token``. The dataset has
+    no partsupp table, so supply cost derives as ``cost_factor ·
+    p_retailprice`` — the JOIN/AGG shape (4 joins incl. two broadcast
+    dims, LIKE pushdown on part, year extraction, decimal-exact profit
+    sums) is the point, not the cost model.
+    """
+    amount = F.col("l_extendedprice") * (1.0 - F.col("l_discount")) - F.lit(
+        cost_factor
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains(name_token)).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        .agg(exact_sum(amount).alias("sum_profit"))
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    size: int = 5,
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted): for each part of a given size, the
+    supplier(s) in a region offering the minimum unit price. The
+    part-supplier cost relation derives from lineitem (min observed
+    ``l_extendedprice / l_quantity`` per (part, supplier)) since the
+    dataset has no partsupp — the correlated per-group MIN plus the
+    region-restricted dim chain is the exercised shape.
+    """
+    nr = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cost = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("unit_cost")
+        )
+    )
+    offers = (
+        cost.join(
+            F.broadcast(
+                part.filter(F.col("p_size") == size).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nr),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        offers.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            F.col("partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "unit_cost",
+        )
+    )
+
+
+def promotion_candidate_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_token: str = "red",
+    year: str = "1999",
+    qty_factor: float = 60.0,
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers in any nation who shipped
+    more than ``qty_factor`` units of some ``name_token`` part in a
+    year — the nested semi-join chain (supplier IN (... part IN (...)))
+    that Q20 exercises, with the availqty comparison replaced by a
+    shipped-quantity threshold (no partsupp table).
+    """
+    qualifying = (
+        lineitem.filter(
+            F.date_format("l_shipdate", "yyyy") == year
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains(name_token)).select(
+                    "p_partkey"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(exact_sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > qty_factor)
+        .select(F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    return (
+        supplier.join(qualifying, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )

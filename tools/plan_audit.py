@@ -59,6 +59,9 @@ AUDITS = {
     "sim_embedding_drift": "snapshot drift: one full-outer equi-join on the id, fixed-point cosines binned to <=n_bins+2 rows — no pairwise anything",
     "agg_contribution_analysis": "root-cause delta decomposition: ONE conditional-agg scan to dim-sized rows, one-row total broadcast back; global rank window over the bounded dim table",
     "quality_k_anonymity": "k-anonymity risk list: ONE hash aggregation on the QI columns, sub-k filter keeps only the risk surface",
+    "agg_product_type_profit": "Q9 shape: three broadcast dims + one fact-fact join, LIKE pushed to the part scan, decimal-exact profit sums",
+    "agg_min_cost_supplier": "Q2 shape: correlated per-part MIN as a window over the derived cost relation; all dims broadcast",
+    "agg_promotion_suppliers": "Q20 shape: nested semi-join chain — qualifying (supplier, part) aggregate drives a left-semi on supplier",
     "text_winnow_fingerprints": "winnowing: map-only kgram explode, ONE per-doc window pass for the rightmost-min selection, distinct — no joins",
     "dedup_docs_winnow": "passage dup pairs from a fingerprint EQUI-join (never all-pairs); boilerplate fingerprints dropped by the max_df semi-join first",
     "text_token_rarity": "corpus stats from the tf table: raw token stream exploded+aggregated once",
