@@ -195,3 +195,104 @@ def stream_neardedup_sink(
         .outputMode("append")
         .start()
     )
+
+
+def health_apply_batch(
+    batch_df: DataFrame, batch_id: int, out_path: str
+) -> None:
+    """One idempotent micro-batch of streaming corpus-health
+    maintenance: write this batch's per-source partials, partitioned by
+    batch_id with dynamic partition overwrite (replay-safe, same
+    discipline as neardedup_apply_batch).
+
+    Every metric is chosen to MERGE: doc/token/keep/language counts are
+    sums, and text uniqueness — not mergeable exactly — is carried as a
+    per-partial HLL sketch of the normalized-text fingerprints, so
+    merge-on-read unions sketches instead of re-reading any text."""
+    from distributed_mobility_data_pipeline_spark.operators.text import (
+        lang_pred,
+        normalize_text,
+        quality_parts,
+    )
+
+    if batch_df.isEmpty():
+        return
+    n_tok, _, _, _, score = quality_parts()
+    partial = (
+        batch_df.select(
+            "source",
+            F.sha2(normalize_text(), 256).alias("_fp"),
+            n_tok.alias("_n_tok"),
+            (score >= 0.5).cast("int").alias("_keep"),
+            lang_pred().alias("_lang"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("_keep").cast("bigint").alias("n_quality_keep"),
+            *[
+                F.sum((F.col("_lang") == lng).cast("int"))
+                .cast("bigint")
+                .alias(f"n_lang_{lng}")
+                for lng in ("en", "es", "fr", "de", "unknown")
+            ],
+            F.hll_sketch_agg(F.col("_fp"), F.lit(12)).alias("fp_sketch"),
+        )
+    )
+    (
+        partial.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
+
+
+def read_corpus_health(spark, path: str) -> DataFrame:
+    """Merge-on-read of the streaming health partials: per source, the
+    summed counts plus the HLL-unioned approximate distinct-text count
+    and the derived approx duplicate rate."""
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_quality_keep").cast("bigint").alias("n_quality_keep"),
+            *[
+                F.sum(f"n_lang_{lng}").cast("bigint").alias(f"n_lang_{lng}")
+                for lng in ("en", "es", "fr", "de", "unknown")
+            ],
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("fp_sketch")))
+            .cast("bigint")
+            .alias("approx_unique_texts"),
+        )
+    )
+    return merged.withColumn(
+        "approx_dup_rate",
+        F.greatest(
+            F.lit(0.0),
+            (F.col("n_docs") - F.col("approx_unique_texts")).cast("double")
+            / F.col("n_docs"),
+        ),
+    )
+
+
+def stream_health_sink(
+    docs: DataFrame, out_path: str, checkpoint_path: str
+):
+    """Continuously maintain the per-source corpus health dashboard
+    from a document stream (the streaming producer for
+    plans/corpus.corpus_health_by_source's measurement table).
+    Returns the started StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        health_apply_batch(batch_df, batch_id, out_path)
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )

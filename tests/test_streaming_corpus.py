@@ -46,3 +46,45 @@ def test_stream_dedup_suppresses_reingestion(spark, tmp_path):
     ids = {r.doc_id for r in rows}
     assert 4 in ids and len(ids) == 3  # one of {1-or-3 dup pair} suppressed
     assert not {1, 3} <= ids  # never both copies of the same content
+
+
+def test_stream_health_matches_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_mobility_data_pipeline_spark.plans import corpus as cplan
+    from distributed_mobility_data_pipeline_spark.streaming import corpus as sc
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "health")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sc.health_apply_batch(b0, 0, out)
+    sc.health_apply_batch(b1, 1, out)
+
+    merged = {r.source: r for r in sc.read_corpus_health(spark, out).collect()}
+    want = {r.source: r for r in cplan.corpus_health_by_source(docs).collect()}
+    assert set(merged) == set(want)
+    for s, m in merged.items():
+        w = want[s]
+        # mergeable counts are exact
+        assert (m.n_docs, m.total_tokens, m.n_quality_keep) == (
+            w.n_docs,
+            w.total_tokens,
+            w.n_quality_keep,
+        )
+        assert m.n_lang_en == w.n_lang_en and m.n_lang_unknown == w.n_lang_unknown
+        # distinct-text count is an HLL union: within the sketch envelope
+        assert abs(m.approx_unique_texts - w.n_unique_texts) <= max(
+            3, 0.05 * w.n_unique_texts
+        )
+
+    # replay must not change anything
+    sc.health_apply_batch(b1, 1, out)
+    again = {r.source: r for r in sc.read_corpus_health(spark, out).collect()}
+    for s in merged:
+        assert again[s].n_docs == merged[s].n_docs
+        assert again[s].approx_unique_texts == merged[s].approx_unique_texts
