@@ -68,6 +68,13 @@ EXTENDED = [
     "agg_quantile_rollup_hist",
     "agg_rolling_quantile_hist",
     "scale_row_diff",
+    "agg_contribution_analysis",
+    "quality_k_anonymity",
+    "sim_embedding_drift",
+    "pipeline_corpus_health",
+    "agg_product_type_profit",
+    "agg_min_cost_supplier",
+    "agg_promotion_suppliers",
     # (dedup_docs_winnow_clusters / sample_cluster_safe_split are
     # excluded: their iterative pointer-doubling dominates panel wall
     # at ~10-12s each; they stay driver-checked + pytest-covered)
