@@ -355,6 +355,7 @@ _DRIVER_FIRST: list[str] = [
     "agg_product_type_profit",
     "agg_min_cost_supplier",
     "agg_promotion_suppliers",
+    "clean_winsorize_hist",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -1634,6 +1635,13 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         # per-type winsorization: clamp value to its exact [p5, p95]
         # envelope (cutoffs broadcast back, no window over the stream)
+        # scale path: histogram-derived cutoffs (deterministic,
+        # mergeable) instead of exact per-group percentiles
+        "clean_winsorize_hist": lambda s, d: clean_ops.winsorize_hist(
+            _t(s, d, "events").select("event_id", "event_type", "value"),
+            "value",
+            group_col="event_type",
+        ),
         "clean_winsorize_value": lambda s, d: clean_ops.winsorize(
             _t(s, d, "events").select("event_id", "event_type", "value"),
             "value",
@@ -5732,6 +5740,44 @@ def _all_oracle_sql() -> dict[str, str]:
                    END AS user_id,
                    event_type
             FROM events
+        """,
+        "clean_winsorize_hist": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(greatest(0, least(19, floor((value - 0.0) / 25.0)))
+                          AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ), b AS (
+              SELECT event_type, bin, n,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+              FROM h
+            ), t AS (
+              SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+              FROM h GROUP BY 1
+            ), tg AS (
+              SELECT event_type, CAST(q AS DOUBLE) AS q,
+                     CAST(q AS DOUBLE) * CAST(total AS DOUBLE) AS target
+              FROM t, (VALUES (0.05), (0.95)) AS qv(q)
+            ), qs AS (
+              SELECT tg.event_type, tg.q,
+                     0.0 + CAST(bin AS DOUBLE) * 25.0
+                         + (target - CAST(cum - n AS DOUBLE))
+                           / CAST(n AS DOUBLE) * 25.0 AS value_q
+              FROM tg JOIN b ON tg.event_type = b.event_type
+              WHERE CAST(cum AS DOUBLE) >= target
+                AND CAST(cum - n AS DOUBLE) < target
+            ), cuts AS (
+              SELECT event_type,
+                     min(CASE WHEN q = 0.05 THEN value_q END) AS lo,
+                     min(CASE WHEN q = 0.95 THEN value_q END) AS hi
+              FROM qs GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NOT NULL
+                        THEN least(greatest(e.value, c.lo), c.hi)
+                   END AS value_winsorized
+            FROM events e LEFT JOIN cuts c ON e.event_type = c.event_type
         """,
         "clean_winsorize_value": """
             WITH cuts AS (

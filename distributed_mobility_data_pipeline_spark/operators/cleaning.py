@@ -161,3 +161,51 @@ def winsorize(
     return joined.withColumn(
         f"{value_col}_winsorized", clamped
     ).drop("_lo", "_hi")
+
+
+def winsorize_hist(
+    df: DataFrame,
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 20,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Scale path for :func:`winsorize`: clamp to HISTOGRAM-derived
+    percentile cutoffs instead of exact per-group percentiles.
+
+    Exact ``percentile`` buffers each group's values on one reducer —
+    fine for bounded groups, a memory wall for billion-row ones.
+    ``percentile_approx`` fixes the memory but isn't cross-engine
+    checkable. Fixed-bin histograms give both: the cutoffs come from
+    sketches.quantiles_from_histograms (one aggregation to ≤ n_bins
+    rows per group, mergeable, deterministic → hash-checkable), at the
+    cost of bin-width cutoff resolution — the same exact-twin /
+    scale-path split as text_quality_percentile vs
+    text_quality_cutoff."""
+    from distributed_mobility_data_pipeline_spark.operators import sketches
+
+    group_cols = [group_col] if group_col else []
+    hist = sketches.binned_value_histograms(
+        df, group_cols, value_col, lo, hi, n_bins
+    )
+    qs = sketches.quantiles_from_histograms(
+        hist, group_cols, [lo_p, hi_p], lo, hi, n_bins
+    )
+    cuts = qs.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("q") == lo_p, F.col("value_q"))).alias("_lo"),
+        F.min(F.when(F.col("q") == hi_p, F.col("value_q"))).alias("_hi"),
+    )
+    if group_col:
+        joined = df.join(F.broadcast(cuts), group_col, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(cuts))
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+    )
+    return joined.withColumn(
+        f"{value_col}_winsorized", clamped
+    ).drop("_lo", "_hi")

@@ -157,3 +157,24 @@ def test_embedding_drift_null_vector_stays_matched(spark):
     }
     assert by[("added", -1)] == 0
     assert by[("removed", -1)] == 0
+
+
+def test_winsorize_hist_clamps_within_bin_of_exact(spark):
+    """The histogram cutoffs must sit within one bin width of the exact
+    percentile cutoffs, and clamping must preserve NULLs and interior
+    values."""
+    from distributed_mobility_data_pipeline_spark.operators import cleaning
+
+    rows = [("g", float(v)) for v in range(100)] + [("g", None)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {
+        r.value: r.value_winsorized
+        for r in cleaning.winsorize_hist(
+            df, "value", 0.05, 0.95, lo=0.0, hi=100.0, n_bins=20, group_col="grp"
+        ).collect()
+    }
+    assert out[None] is None
+    assert out[50.0] == 50.0  # interior untouched
+    # exact cutoffs are ~5 and ~95; bin width 5 -> clamp bounds within [0,10] & [90,100]
+    assert 0.0 <= out[0.0] <= 10.0 and out[0.0] > 0.0
+    assert 90.0 <= out[99.0] <= 100.0 and out[99.0] < 99.0
