@@ -356,6 +356,7 @@ _DRIVER_FIRST: list[str] = [
     "agg_min_cost_supplier",
     "agg_promotion_suppliers",
     "clean_winsorize_hist",
+    "quality_robust_outliers_hist",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -1543,6 +1544,11 @@ def _all_queries() -> dict[str, QueryFn]:
         # PIT join over SCD2 validity intervals (leakage-safe feature join)
         "join_point_in_time": _pit_status_at_event,
         # robust per-group outlier census (median/MAD modified z-score)
+        # scale path: histogram median/MAD (no per-group percentile
+        # buffer), deterministic and hash-checked
+        "quality_robust_outliers_hist": lambda s, d: quality_ops.robust_outlier_report_hist(
+            _t(s, d, "events"), "event_type", "value", 0.0, 500.0
+        ),
         "quality_robust_outliers": lambda s, d: quality_ops.robust_outlier_report(
             _t(s, d, "events"), "event_type", "value"
         ),
@@ -4864,6 +4870,68 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(least(length(text), 32) AS BIGINT) AS n_bytes_out,
                    sha256(substring(text, 1, 32)) AS resized_sha256
             FROM documents
+        """,
+        "quality_robust_outliers_hist": """
+            WITH nn AS (
+              SELECT event_type, value FROM events WHERE value IS NOT NULL
+            ), h1 AS (
+              SELECT event_type,
+                     CAST(greatest(0, least(39, floor(value / 12.5)))
+                          AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM nn GROUP BY 1, 2
+            ), b1 AS (
+              SELECT event_type, bin, n,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+              FROM h1
+            ), t1 AS (
+              SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+              FROM h1 GROUP BY 1
+            ), med AS (
+              SELECT t1.event_type,
+                     0.0 + CAST(bin AS DOUBLE) * 12.5
+                         + (0.5 * CAST(total AS DOUBLE)
+                            - CAST(cum - n AS DOUBLE))
+                           / CAST(n AS DOUBLE) * 12.5 AS median
+              FROM t1 JOIN b1 ON t1.event_type = b1.event_type
+              WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+                AND CAST(cum - n AS DOUBLE) < 0.5 * CAST(total AS DOUBLE)
+            ), devs AS (
+              SELECT nn.event_type, nn.value, med.median,
+                     abs(nn.value - med.median) AS adev
+              FROM nn JOIN med ON nn.event_type = med.event_type
+            ), h2 AS (
+              SELECT event_type,
+                     CAST(greatest(0, least(39, floor(adev / 12.5)))
+                          AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM devs GROUP BY 1, 2
+            ), b2 AS (
+              SELECT event_type, bin, n,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+              FROM h2
+            ), t2 AS (
+              SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+              FROM h2 GROUP BY 1
+            ), madt AS (
+              SELECT t2.event_type,
+                     0.0 + CAST(bin AS DOUBLE) * 12.5
+                         + (0.5 * CAST(total AS DOUBLE)
+                            - CAST(cum - n AS DOUBLE))
+                           / CAST(n AS DOUBLE) * 12.5 AS mad
+              FROM t2 JOIN b2 ON t2.event_type = b2.event_type
+              WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+                AND CAST(cum - n AS DOUBLE) < 0.5 * CAST(total AS DOUBLE)
+            )
+            SELECT d.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(d.median) AS median,
+                   min(m.mad) AS mad,
+                   CAST(sum(CASE WHEN m.mad > 0
+                                  AND 0.6745 * d.adev / m.mad > 3.5
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM devs d JOIN madt m ON d.event_type = m.event_type
+            GROUP BY 1
         """,
         "quality_k_anonymity": """
             SELECT c_nationkey, c_mktsegment,

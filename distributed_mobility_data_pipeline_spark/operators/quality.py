@@ -387,3 +387,60 @@ def k_anonymity_report(
         .filter(F.col("n_rows") < k)
         .orderBy("n_rows", *qi_cols)
     )
+
+
+def robust_outlier_report_hist(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 40,
+    z_cutoff: float = 3.5,
+) -> DataFrame:
+    """Scale path for :func:`robust_outlier_report`: median and MAD
+    from fixed-bin histograms instead of exact per-group percentiles
+    (which buffer a whole group on one reducer).
+
+    Two bounded passes: a per-group value histogram yields the
+    histogram-median; the absolute deviations from that median feed a
+    second histogram (range [0, hi - lo]) for the MAD. Both medians
+    come from sketches.quantiles_from_histograms — deterministic, so
+    the whole report stays hash-checkable; resolution is bin-width
+    bounded, the standard trade for monitoring cutoffs."""
+    from distributed_mobility_data_pipeline_spark.operators import sketches
+
+    nn = df.filter(F.col(value_col).isNotNull())
+    h1 = sketches.binned_value_histograms(
+        nn, [group_col], value_col, lo, hi, n_bins
+    )
+    med = (
+        sketches.quantiles_from_histograms(
+            h1, [group_col], [0.5], lo, hi, n_bins
+        )
+        .select(group_col, F.col("value_q").alias("median"))
+    )
+    devs = nn.join(F.broadcast(med), group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("median"))
+    )
+    h2 = sketches.binned_value_histograms(
+        devs, [group_col], "_adev", 0.0, hi - lo, n_bins
+    )
+    mad = (
+        sketches.quantiles_from_histograms(
+            h2, [group_col], [0.5], 0.0, hi - lo, n_bins
+        )
+        .select(group_col, F.col("value_q").alias("mad"))
+    )
+    scored = devs.join(F.broadcast(mad), group_col)
+    z = F.lit(0.6745) * F.col("_adev") / F.col("mad")
+    is_outlier = F.when(F.col("mad") > 0, z > z_cutoff).otherwise(F.lit(False))
+    return (
+        scored.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(is_outlier.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -178,3 +178,21 @@ def test_winsorize_hist_clamps_within_bin_of_exact(spark):
     # exact cutoffs are ~5 and ~95; bin width 5 -> clamp bounds within [0,10] & [90,100]
     assert 0.0 <= out[0.0] <= 10.0 and out[0.0] > 0.0
     assert 90.0 <= out[99.0] <= 100.0 and out[99.0] < 99.0
+
+
+def test_robust_outlier_hist_close_to_exact(spark):
+    """Histogram median/MAD must land within a bin width of the exact
+    report's values, and flag the same gross outlier."""
+    from distributed_mobility_data_pipeline_spark.operators import quality
+
+    rows = [("g", float(v)) for v in range(100)] + [("g", 10_000.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    exact = quality.robust_outlier_report(df, "grp", "value").collect()[0]
+    hist = quality.robust_outlier_report_hist(
+        df, "grp", "value", 0.0, 200.0, n_bins=40
+    ).collect()[0]
+    width = 200.0 / 40
+    assert abs(hist.median - exact.median) <= width
+    assert abs(hist.mad - exact.mad) <= width
+    assert hist.n == exact.n
+    assert hist.n_outliers >= 1  # the 10k point is flagged either way
