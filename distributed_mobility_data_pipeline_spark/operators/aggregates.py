@@ -1023,7 +1023,7 @@ def promotion_candidate_suppliers(
         .agg(exact_sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > qty_factor)
         .select(F.col("l_suppkey").alias("suppkey"))
-        .distinct()
+        # no distinct: left_semi has set semantics on the build side
     )
     return (
         supplier.join(qualifying, F.col("s_suppkey") == F.col("suppkey"), "left_semi")

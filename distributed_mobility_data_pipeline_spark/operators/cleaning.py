@@ -185,6 +185,10 @@ def winsorize_hist(
     cost of bin-width cutoff resolution — the same exact-twin /
     scale-path split as text_quality_percentile vs
     text_quality_cutoff."""
+    if not (0.0 <= lo_p < hi_p <= 1.0):
+        raise ValueError(
+            f"need 0 <= lo_p < hi_p <= 1, got ({lo_p}, {hi_p})"
+        )
     from distributed_mobility_data_pipeline_spark.operators import sketches
 
     group_cols = [group_col] if group_col else []

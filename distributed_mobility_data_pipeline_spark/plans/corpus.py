@@ -128,6 +128,36 @@ def prepare_training_corpus(
     }
 
 
+def health_langs() -> tuple[str, ...]:
+    """The language buckets every health surface reports — derived
+    from text.STOPWORDS so adding a language updates the batch plan,
+    the streaming partials, and the merge-on-read reader together."""
+    from distributed_mobility_data_pipeline_spark.operators.text import STOPWORDS
+
+    return tuple(STOPWORDS) + ("unknown",)
+
+
+def health_per_doc(docs: DataFrame) -> DataFrame:
+    """The ONE per-doc projection behind every corpus-health surface
+    (batch dashboard + streaming partials): source, normalized-text
+    fingerprint, token count, quality keep flag, language vote — all
+    column expressions, single scan."""
+    from distributed_mobility_data_pipeline_spark.operators.text import (
+        lang_pred,
+        normalize_text,
+        quality_parts,
+    )
+
+    n_tok, _, _, _, score = quality_parts()
+    return docs.select(
+        "source",
+        F.sha2(normalize_text(), 256).alias("_fp"),
+        n_tok.alias("_n_tok"),
+        (score >= 0.5).cast("int").alias("_keep"),
+        lang_pred().alias("_lang"),
+    )
+
+
 def corpus_health_by_source(docs: DataFrame) -> DataFrame:
     """Per-source corpus health dashboard in ONE single-scan lazy plan:
     volume, exact-dup redundancy, quality keep-rate, token mass, and
@@ -141,20 +171,7 @@ def corpus_health_by_source(docs: DataFrame) -> DataFrame:
     table, so 100 TB of documents is read exactly once and the output
     is source-cardinality-sized. All aggregates are integer counts;
     the ratios are single final divisions — hash-exact cross-engine."""
-    from distributed_mobility_data_pipeline_spark.operators.text import (
-        lang_pred,
-        normalize_text,
-        quality_parts,
-    )
-
-    n_tok, _, _, _, score = quality_parts()
-    per_doc = docs.select(
-        "source",
-        F.sha2(normalize_text(), 256).alias("_fp"),
-        n_tok.alias("_n_tok"),
-        (score >= 0.5).cast("int").alias("_keep"),
-        lang_pred().alias("_lang"),
-    )
+    per_doc = health_per_doc(docs)
     n_docs = F.count(F.lit(1)).cast("bigint")
     n_unique = F.countDistinct("_fp").cast("bigint")
     return (
@@ -168,7 +185,7 @@ def corpus_health_by_source(docs: DataFrame) -> DataFrame:
                 F.sum((F.col("_lang") == lng).cast("int"))
                 .cast("bigint")
                 .alias(f"n_lang_{lng}")
-                for lng in ("en", "es", "fr", "de", "unknown")
+                for lng in health_langs()
             ],
         )
         .select(
@@ -187,10 +204,6 @@ def corpus_health_by_source(docs: DataFrame) -> DataFrame:
             (
                 F.col("n_quality_keep").cast("double") / F.col("n_docs")
             ).alias("quality_keep_rate"),
-            "n_lang_en",
-            "n_lang_es",
-            "n_lang_fr",
-            "n_lang_de",
-            "n_lang_unknown",
+            *[f"n_lang_{lng}" for lng in health_langs()],
         )
     )

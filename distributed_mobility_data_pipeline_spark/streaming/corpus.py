@@ -209,23 +209,15 @@ def health_apply_batch(
     sums, and text uniqueness — not mergeable exactly — is carried as a
     per-partial HLL sketch of the normalized-text fingerprints, so
     merge-on-read unions sketches instead of re-reading any text."""
-    from distributed_mobility_data_pipeline_spark.operators.text import (
-        lang_pred,
-        normalize_text,
-        quality_parts,
+    from distributed_mobility_data_pipeline_spark.plans.corpus import (
+        health_langs,
+        health_per_doc,
     )
 
     if batch_df.isEmpty():
         return
-    n_tok, _, _, _, score = quality_parts()
     partial = (
-        batch_df.select(
-            "source",
-            F.sha2(normalize_text(), 256).alias("_fp"),
-            n_tok.alias("_n_tok"),
-            (score >= 0.5).cast("int").alias("_keep"),
-            lang_pred().alias("_lang"),
-        )
+        health_per_doc(batch_df)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -235,7 +227,7 @@ def health_apply_batch(
                 F.sum((F.col("_lang") == lng).cast("int"))
                 .cast("bigint")
                 .alias(f"n_lang_{lng}")
-                for lng in ("en", "es", "fr", "de", "unknown")
+                for lng in health_langs()
             ],
             F.hll_sketch_agg(F.col("_fp"), F.lit(12)).alias("fp_sketch"),
         )
@@ -253,6 +245,8 @@ def read_corpus_health(spark, path: str) -> DataFrame:
     """Merge-on-read of the streaming health partials: per source, the
     summed counts plus the HLL-unioned approximate distinct-text count
     and the derived approx duplicate rate."""
+    from distributed_mobility_data_pipeline_spark.plans.corpus import health_langs
+
     merged = (
         spark.read.parquet(path)
         .groupBy("source")
@@ -262,7 +256,7 @@ def read_corpus_health(spark, path: str) -> DataFrame:
             F.sum("n_quality_keep").cast("bigint").alias("n_quality_keep"),
             *[
                 F.sum(f"n_lang_{lng}").cast("bigint").alias(f"n_lang_{lng}")
-                for lng in ("en", "es", "fr", "de", "unknown")
+                for lng in health_langs()
             ],
             F.hll_sketch_estimate(F.hll_union_agg(F.col("fp_sketch")))
             .cast("bigint")

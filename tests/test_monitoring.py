@@ -181,22 +181,24 @@ def test_calibration_bins_exact_means(spark):
 def test_contribution_analysis_decomposes_delta(spark):
     from distributed_mobility_data_pipeline_spark.operators import aggregates
 
+    # x -> base period, y -> comp period. Per-dim totals:
+    #   A: base 100 -> comp 50  (delta -50)
+    #   B: base 100 -> comp 130 (delta +30)
+    #   C: base 20  -> comp 0   (delta -20)
     df = spark.createDataFrame(
         [
-            ("x", "A", 100.0), ("x", "B", 100.0),   # A: 100 -> 150 (+50)
-            ("y", "A", 50.0), ("y", "B", 130.0),    # B: 100 -> 130 (+30)
-            ("x", "C", 20.0),                        # C: 20 -> 0 (-20)
+            ("x", "A", 100.0), ("x", "B", 100.0),
+            ("y", "A", 50.0), ("y", "B", 130.0),
+            ("x", "C", 20.0),
         ],
         ["period", "dim", "v"],
     ).withColumn("period", F.when(F.col("period") == "x", "base").otherwise("comp"))
-    # base period rows: first of each pair
     rows = {
         r.dim_value: r
         for r in aggregates.contribution_analysis(
             df, "dim", "v", F.col("period"), "base", "comp"
         ).collect()
     }
-    # deltas: A +(-50)? base A=100, comp A=50 -> -50; B: base 100, comp 130 -> +30; C: base 20, comp 0 -> -20
     assert rows["A"].delta == -50.0 and rows["B"].delta == 30.0
     assert rows["C"].delta == -20.0
     total = sum(r.delta for r in rows.values())
