@@ -357,6 +357,7 @@ _DRIVER_FIRST: list[str] = [
     "agg_promotion_suppliers",
     "clean_winsorize_hist",
     "quality_robust_outliers_hist",
+    "behavior_rfm_hist",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -1498,6 +1499,10 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "behavior_cohort_retention": lambda s, d: behavior_ops.cohort_retention(
             _t(s, d, "events")
+        ),
+        # scale path: histogram-cutoff RFM (no global ntile sort)
+        "behavior_rfm_hist": lambda s, d: behavior_ops.rfm_scores_hist(
+            _t(s, d, "orders")
         ),
         "behavior_rfm_scores": lambda s, d: behavior_ops.rfm_scores(
             _t(s, d, "orders")
@@ -5071,6 +5076,80 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(cohort_size AS BIGINT) AS cohort_size,
                    100.0 * n_users / cohort_size AS retention_pct
             FROM sized
+        """,
+        "behavior_rfm_hist": """
+            WITH maxd AS (SELECT max(o_orderdate) AS a FROM orders),
+            per AS (
+              SELECT o_custkey,
+                     CAST(date_diff('day', max(o_orderdate),
+                                    (SELECT a FROM maxd)) AS DOUBLE) AS r,
+                     CAST(count(*) AS BIGINT) AS f,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE) AS m
+              FROM orders GROUP BY 1
+            ),
+            rh AS (
+              SELECT CAST(greatest(0, least(39, floor((r - 0.0) / 100.0)))
+                          AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
+              FROM per GROUP BY 1
+            ), rb AS (
+              SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+                     (SELECT sum(n) FROM rh) AS total
+              FROM rh
+            ), rq AS (
+              SELECT 0.0 + CAST(bin AS DOUBLE) * 100.0
+                       + (CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
+                          - CAST(cum - n AS DOUBLE))
+                         / CAST(n AS DOUBLE) * 100.0 AS value_q
+              FROM rb, (VALUES (0.25), (0.5), (0.75)) AS qv(q)
+              WHERE CAST(cum AS DOUBLE) >= CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
+                AND CAST(cum - n AS DOUBLE) < CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
+            ),
+            fh AS (
+              SELECT CAST(greatest(0, least(39, floor((f - 0.0) / 2.5)))
+                          AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
+              FROM per GROUP BY 1
+            ), fb AS (
+              SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+                     (SELECT sum(n) FROM fh) AS total
+              FROM fh
+            ), fq AS (
+              SELECT 0.0 + CAST(bin AS DOUBLE) * 2.5
+                       + (CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
+                          - CAST(cum - n AS DOUBLE))
+                         / CAST(n AS DOUBLE) * 2.5 AS value_q
+              FROM fb, (VALUES (0.25), (0.5), (0.75)) AS qv(q)
+              WHERE CAST(cum AS DOUBLE) >= CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
+                AND CAST(cum - n AS DOUBLE) < CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
+            ),
+            mh AS (
+              SELECT CAST(greatest(0, least(39, floor((m - 0.0) / 250000.0)))
+                          AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
+              FROM per GROUP BY 1
+            ), mb AS (
+              SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+                     (SELECT sum(n) FROM mh) AS total
+              FROM mh
+            ), mq AS (
+              SELECT 0.0 + CAST(bin AS DOUBLE) * 250000.0
+                       + (CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
+                          - CAST(cum - n AS DOUBLE))
+                         / CAST(n AS DOUBLE) * 250000.0 AS value_q
+              FROM mb, (VALUES (0.25), (0.5), (0.75)) AS qv(q)
+              WHERE CAST(cum AS DOUBLE) >= CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
+                AND CAST(cum - n AS DOUBLE) < CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
+            )
+            SELECT o_custkey,
+                   CAST(r AS BIGINT) AS recency_days, f AS frequency,
+                   m AS monetary,
+                   CAST(1 + (SELECT count(*) FROM rq WHERE value_q > per.r)
+                        AS INT) AS r_score,
+                   CAST(1 + (SELECT count(*) FROM fq
+                             WHERE value_q < CAST(per.f AS DOUBLE))
+                        AS INT) AS f_score,
+                   CAST(1 + (SELECT count(*) FROM mq WHERE value_q < per.m)
+                        AS INT) AS m_score
+            FROM per
         """,
         "behavior_rfm_scores": """
             WITH refdate AS (

@@ -16,8 +16,8 @@ Scale notes (100 TB):
   all later joins/aggs run on the reduced table.
 - ``rfm_scores`` runs its ntile sorts over the per-customer AGGREGATE
   (dimension-sized), never the order fact. At billions of customers
-  swap the ntile for the broadcast histogram-cutoff machinery
-  (operators/drift.py / text.quality_cutoff_filter pattern).
+  use ``rfm_scores_hist`` below: quantile cutoffs from fixed-bin
+  histograms, broadcast back, map-side scoring — no global sort.
 """
 
 from __future__ import annotations
@@ -641,5 +641,97 @@ def attribution_linear(
         .agg(
             F.sum("_credit").cast("double").alias("linear_credits"),
             F.count(F.lit(1)).cast("bigint").alias("n_touch_events"),
+        )
+    )
+
+
+def rfm_scores_hist(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 4,
+    r_range: tuple[float, float] = (0.0, 4000.0),
+    f_range: tuple[float, float] = (0.0, 100.0),
+    m_range: tuple[float, float] = (0.0, 10_000_000.0),
+    n_bins: int = 40,
+) -> DataFrame:
+    """Scale path for :func:`rfm_scores` — the histogram-cutoff variant
+    the module docstring promises for billions of customers: ntile's
+    global sort over the customer table is replaced by per-dimension
+    quantile CUTOFFS from fixed-bin histograms (bounded summaries,
+    broadcast back, map-side scoring).
+
+    Scoring rule: for frequency/monetary, ``1 + #(cutoffs < value)``;
+    recency scores against the inverted axis so fresher customers score
+    higher — same direction conventions as rfm_scores. NOT a bit-twin
+    of ntile (threshold buckets vs equal-count tiles under ties; cutoff
+    resolution is bin-width bounded) — it is its own deterministic,
+    hash-checkable contract."""
+    from distributed_mobility_data_pipeline_spark.operators import sketches
+
+    asof = orders.agg(F.max(F.col(date_col)).alias("_asof"))
+    per = (
+        orders.groupBy(customer_col)
+        .agg(
+            F.max(date_col).alias("last_order_date"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col(amount_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("_asof"), F.col("last_order_date")).cast("double"),
+        )
+    )
+    qs = [float(i) / n_tiles for i in range(1, n_tiles)]
+
+    def _cutoffs(col: str, lo: float, hi: float):
+        hist = sketches.binned_value_histograms(per, [], col, lo, hi, n_bins)
+        return (
+            sketches.quantiles_from_histograms(hist, [], qs, lo, hi, n_bins)
+            .agg(F.collect_list(F.struct("q", "value_q")).alias("_cl"))
+            .select(
+                F.array_sort("_cl").alias("_cl")  # by q ascending
+            )
+            .select(F.transform("_cl", lambda s: s["value_q"]).alias("cuts"))
+        )
+
+    r_cuts = _cutoffs("recency_days", *r_range).withColumnRenamed("cuts", "_rc")
+    f_cuts = _cutoffs("frequency", *f_range).withColumnRenamed("cuts", "_fc")
+    m_cuts = _cutoffs("monetary", *m_range).withColumnRenamed("cuts", "_mc")
+
+    def _score_above(value_col: str, cuts_col: str):
+        # 1 + number of cutoffs strictly below the value
+        return (
+            F.lit(1)
+            + F.size(
+                F.filter(F.col(cuts_col), lambda c: c < F.col(value_col))
+            )
+        ).cast("int")
+
+    def _score_below(value_col: str, cuts_col: str):
+        # inverted axis: 1 + number of cutoffs strictly above the value
+        return (
+            F.lit(1)
+            + F.size(
+                F.filter(F.col(cuts_col), lambda c: c > F.col(value_col))
+            )
+        ).cast("int")
+
+    return (
+        per.crossJoin(F.broadcast(r_cuts))
+        .crossJoin(F.broadcast(f_cuts))
+        .crossJoin(F.broadcast(m_cuts))
+        .select(
+            customer_col,
+            F.col("recency_days").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+            _score_below("recency_days", "_rc").alias("r_score"),
+            _score_above("frequency", "_fc").alias("f_score"),
+            _score_above("monetary", "_mc").alias("m_score"),
         )
     )

@@ -209,8 +209,15 @@ def quantiles_from_histograms(
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
         "total",
     ).withColumn("target", F.col("q") * F.col("total").cast("double"))
+    # group_cols may be empty (global quantiles): plain join([]) is
+    # invalid, the grouping degenerates to a cross join of the one-row
+    # targets-per-q table with the <= n_bins bin table
+    joined = (
+        targets.join(bins, group_cols) if group_cols
+        else targets.crossJoin(bins)
+    )
     return (
-        targets.join(bins, group_cols)
+        joined
         .filter(
             (F.col("cum").cast("double") >= F.col("target"))
             & ((F.col("cum") - F.col("n")).cast("double") < F.col("target"))

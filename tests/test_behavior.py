@@ -330,3 +330,33 @@ def test_attribution_linear_equal_shares(spark):
     assert out["view"].linear_credits == pytest.approx(2 / 3, abs=1e-9)
     assert out["click"].linear_credits == pytest.approx(1 / 3, abs=1e-9)
     assert out["view"].n_touch_events == 2
+
+
+def test_rfm_hist_close_to_ntile(spark, sf_dir):
+    """Histogram-cutoff RFM must broadly agree with the ntile exact
+    form: identical score direction conventions, and per-dimension
+    scores within one tile for the vast majority of customers (the
+    two bucket different ties/boundaries by design)."""
+    import os
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    exact = {
+        r.custkey: r for r in behavior.rfm_scores(orders).collect()
+    }
+    hist = {
+        r.o_custkey: r for r in behavior.rfm_scores_hist(orders).collect()
+    }
+    assert set(exact) == set(hist)
+    n = len(exact)
+    close = sum(
+        1
+        for k in exact
+        if abs(exact[k].r_score - hist[k].r_score) <= 1
+        and abs(exact[k].f_score - hist[k].f_score) <= 1
+        and abs(exact[k].m_score - hist[k].m_score) <= 1
+    )
+    assert close / n >= 0.9, f"only {close}/{n} within one tile"
+    # direction sanity: the most recent/most valuable customer scores
+    # at least as high as the least on each dimension
+    by_rec = sorted(exact, key=lambda k: exact[k].recency_days)
+    assert hist[by_rec[0]].r_score >= hist[by_rec[-1]].r_score
