@@ -358,6 +358,7 @@ _DRIVER_FIRST: list[str] = [
     "clean_winsorize_hist",
     "quality_robust_outliers_hist",
     "behavior_rfm_hist",
+    "ts_cusum_alarms",
     # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
     # r5 (entry oracle_sql) but never driver-exercised (latest row r04
     # no_oracle); flip it hash-PASS this round
@@ -1534,6 +1535,11 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "ts_gap_stats": lambda s, d: ts_ops.gap_stats(_t(s, d, "events")),
         # hour-of-day seasonal baseline z-score anomaly flags
+        # sequential level-shift detection (CUSUM) — complements the
+        # windowed distributional tests (PSI/KS)
+        "ts_cusum_alarms": lambda s, d: ts_ops.cusum_alarms(
+            _t(s, d, "events")
+        ),
         "ts_seasonal_anomaly": lambda s, d: ts_ops.seasonal_anomaly(
             _t(s, d, "events")
         ),
@@ -5371,6 +5377,47 @@ def _all_oracle_sql() -> dict[str, str]:
                      / sum(o.n_occ) AS avg_tokens_per_word
             FROM occ o JOIN toks t USING (word)
             GROUP BY 1
+        """,
+        "ts_cusum_alarms": """
+            WITH daily AS (
+              SELECT event_type AS series,
+                     strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                              '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), stats AS (
+              SELECT series,
+                     CAST(sum(n) AS DOUBLE) / count(*) AS mean_n,
+                     sqrt((CAST(sum(n * n) AS DOUBLE)
+                           - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE))
+                          / CAST(count(*) AS DOUBLE)) AS sd_n
+              FROM daily GROUP BY 1
+            ), scored AS (
+              SELECT d.series, d.day, d.n,
+                     CASE WHEN s.sd_n > 0
+                          THEN (d.n - s.mean_n) / s.sd_n
+                          ELSE 0.0 END AS z
+              FROM daily d JOIN stats s ON d.series = s.series
+            ), walks AS (
+              SELECT series, day, n, z,
+                     sum(z - 0.5) OVER w AS a_hi,
+                     sum(z + 0.5) OVER w AS a_lo
+              FROM scored
+              WINDOW w AS (PARTITION BY series ORDER BY day
+                           ROWS UNBOUNDED PRECEDING)
+            ), reflected AS (
+              SELECT series, day, n, z,
+                     a_hi - least(min(a_hi) OVER w, 0.0) AS cusum_hi,
+                     -(a_lo - greatest(max(a_lo) OVER w, 0.0)) AS cusum_lo
+              FROM walks
+              WINDOW w AS (PARTITION BY series ORDER BY day
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT series, day, n, z, cusum_hi, cusum_lo,
+                   CAST(cusum_hi > 5.0 AS INT) AS alarm_hi,
+                   CAST(cusum_lo > 5.0 AS INT) AS alarm_lo
+            FROM reflected
         """,
         "ts_seasonal_anomaly": """
             WITH hourly AS (

@@ -250,3 +250,83 @@ def seasonal_anomaly(
             ),
         )
     )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    k_slack: float = 0.5,
+    h_threshold: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection on daily counts per
+    series (Page 1954, the classic sequential drift detector —
+    complements the distributional tests in operators/drift.py: PSI/KS
+    see SHAPE changes per window, CUSUM sees small persistent LEVEL
+    shifts that accumulate).
+
+    Counts are standardized per series against the full-series
+    mean/stddev (reproducible retrospective form). The textbook
+    recurrence ``S_t = max(0, S_{t-1} + z_t - k)`` is sequential, but
+    it has a closed window form: with ``A_t = Σ_{i≤t}(z_i - k)``,
+    ``S_t = A_t - min_{j≤t}(A_j, 0)`` — a cumulative sum minus a
+    running min, two plain window functions. Same for the lower side
+    with signs flipped. Everything is therefore one per-series window
+    pass over the DAY-level rollup (dimension-sized), deterministic
+    (decimal-exact daily sums feed double z-scores with identical
+    operation order cross-engine), and hash-checkable.
+
+    Returns per (series, day): n, z, cusum_hi, cusum_lo, alarm flags
+    at ``h_threshold``.
+    """
+    daily = events.groupBy(
+        F.col(series_col).alias("series"),
+        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = daily.groupBy("series").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean"),
+        F.count(F.lit(1)).cast("double").alias("_days"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("_sumsq"),
+        F.sum("n").cast("double").alias("_sum"),
+    ).select(
+        "series",
+        "_mean",
+        F.sqrt(
+            (F.col("_sumsq") - F.col("_sum") * F.col("_sum") / F.col("_days"))
+            / F.col("_days")
+        ).alias("_sd"),
+    )
+    z = F.when(
+        F.col("_sd") > 0, (F.col("n") - F.col("_mean")) / F.col("_sd")
+    ).otherwise(F.lit(0.0))
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        daily.join(F.broadcast(stats), "series")
+        .withColumn("z", z)
+        .withColumn("_a_hi", F.sum(F.col("z") - F.lit(k_slack)).over(w))
+        .withColumn("_a_lo", F.sum(F.col("z") + F.lit(k_slack)).over(w))
+        .withColumn(
+            "cusum_hi",
+            F.col("_a_hi") - F.least(F.min("_a_hi").over(w), F.lit(0.0)),
+        )
+        .withColumn(
+            "cusum_lo",
+            -(F.col("_a_lo") - F.greatest(F.max("_a_lo").over(w), F.lit(0.0))),
+        )
+    )
+    return scored.select(
+        "series",
+        "day",
+        "n",
+        "z",
+        "cusum_hi",
+        "cusum_lo",
+        (F.col("cusum_hi") > h_threshold).cast("int").alias("alarm_hi"),
+        (F.col("cusum_lo") > h_threshold).cast("int").alias("alarm_lo"),
+    )

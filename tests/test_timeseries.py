@@ -185,3 +185,49 @@ def test_seasonal_anomaly_degenerate_profile_unflagged(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = ts.seasonal_anomaly(df).collect()
     assert all(r.z is None and not r.is_anomaly for r in out)
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """The window closed form (cumsum minus clamped running min) must
+    equal the textbook sequential recurrence on a series with a planted
+    level shift, and alarm exactly when the recurrence crosses h."""
+    import datetime
+
+    from distributed_mobility_data_pipeline_spark.operators import timeseries as ts
+
+    base = datetime.datetime(2024, 1, 1)
+    # 20 quiet days (n=10), then a persistent +5 shift
+    counts = [10] * 20 + [15] * 10
+    rows = []
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append(("s", base + datetime.timedelta(days=d, seconds=i)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {
+        r.day: r
+        for r in ts.cusum_alarms(df, h_threshold=3.0).collect()
+    }
+    # python reference recurrence
+    import statistics
+
+    mean = statistics.mean(counts)
+    sd = statistics.pstdev(counts)
+    s_hi = s_lo = 0.0
+    for d, c in enumerate(counts):
+        z = (c - mean) / sd
+        s_hi = max(0.0, s_hi + z - 0.5)
+        s_lo = max(0.0, s_lo - z - 0.5)
+        day = (base + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+        r = got[day]
+        assert abs(r.cusum_hi - s_hi) < 1e-9, (day, r.cusum_hi, s_hi)
+        assert abs(r.cusum_lo - s_lo) < 1e-9
+        assert r.alarm_hi == int(s_hi > 3.0)
+    # the shifted tail must alarm on the high side; with retrospective
+    # full-series standardization the quiet period sits below the mean,
+    # so low-side alarms there are correct too — assert placement, not
+    # absence: high alarms only in the shifted tail, low alarms only in
+    # the quiet head
+    shift_start = (base + datetime.timedelta(days=20)).strftime("%Y-%m-%d")
+    assert any(r.alarm_hi for d, r in got.items() if d >= shift_start)
+    assert not any(r.alarm_hi for d, r in got.items() if d < shift_start)
+    assert not any(r.alarm_lo for d, r in got.items() if d >= shift_start)

@@ -65,6 +65,7 @@ AUDITS = {
     "clean_winsorize_hist": "scale-path winsorize: cutoffs from the <=20-row-per-group histogram (no per-group percentile buffer), broadcast back, map-side clamp",
     "quality_robust_outliers_hist": "scale-path median/MAD: two bounded histogram passes (broadcast median between them), no per-group percentile buffer",
     "behavior_rfm_hist": "scale-path RFM: three bounded histogram-cutoff tables broadcast back, map-side scoring — the global ntile sort eliminated",
+    "ts_cusum_alarms": "CUSUM via the reflected-walk identity: cumsum minus clamped running min — two window passes over the day-level rollup, no sequential recursion",
     "text_winnow_fingerprints": "winnowing: map-only kgram explode, ONE per-doc window pass for the rightmost-min selection, distinct — no joins",
     "dedup_docs_winnow": "passage dup pairs from a fingerprint EQUI-join (never all-pairs); boilerplate fingerprints dropped by the max_df semi-join first",
     "text_token_rarity": "corpus stats from the tf table: raw token stream exploded+aggregated once",
