@@ -1535,12 +1535,12 @@ def _all_queries() -> dict[str, QueryFn]:
         ),
         "ts_gap_stats": lambda s, d: ts_ops.gap_stats(_t(s, d, "events")),
         # hour-of-day seasonal baseline z-score anomaly flags
+        "ts_seasonal_anomaly": lambda s, d: ts_ops.seasonal_anomaly(
+            _t(s, d, "events")
+        ),
         # sequential level-shift detection (CUSUM) — complements the
         # windowed distributional tests (PSI/KS)
         "ts_cusum_alarms": lambda s, d: ts_ops.cusum_alarms(
-            _t(s, d, "events")
-        ),
-        "ts_seasonal_anomaly": lambda s, d: ts_ops.seasonal_anomaly(
             _t(s, d, "events")
         ),
         "ts_resample_interpolate": lambda s, d: ts_ops.resample_interpolate(
@@ -5154,7 +5154,14 @@ def _all_oracle_sql() -> dict[str, str]:
                              WHERE value_q < CAST(per.f AS DOUBLE))
                         AS INT) AS f_score,
                    CAST(1 + (SELECT count(*) FROM mq WHERE value_q < per.m)
-                        AS INT) AS m_score
+                        AS INT) AS m_score,
+                   CAST(1 + (SELECT count(*) FROM rq WHERE value_q > per.r)
+                        AS VARCHAR)
+                   || CAST(1 + (SELECT count(*) FROM fq
+                                WHERE value_q < CAST(per.f AS DOUBLE))
+                           AS VARCHAR)
+                   || CAST(1 + (SELECT count(*) FROM mq WHERE value_q < per.m)
+                           AS VARCHAR) AS segment
             FROM per
         """,
         "behavior_rfm_scores": """
@@ -5379,19 +5386,30 @@ def _all_oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "ts_cusum_alarms": """
-            WITH daily AS (
+            WITH observed AS (
               SELECT event_type AS series,
-                     strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
-                              '%Y-%m-%d') AS day,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS d,
                      CAST(count(*) AS BIGINT) AS n
               FROM events GROUP BY 1, 2
+            ), grid AS (
+              SELECT series,
+                     unnest(generate_series(min(d), max(d),
+                                            INTERVAL 1 DAY)) AS d
+              FROM observed GROUP BY series
+            ), daily AS (
+              SELECT g.series, strftime(CAST(g.d AS DATE), '%Y-%m-%d') AS day,
+                     COALESCE(o.n, 0) AS n
+              FROM grid g LEFT JOIN observed o
+                ON g.series = o.series AND CAST(g.d AS DATE) = o.d
             ), stats AS (
               SELECT series,
                      CAST(sum(n) AS DOUBLE) / count(*) AS mean_n,
-                     sqrt((CAST(sum(n * n) AS DOUBLE)
-                           - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)
-                             / CAST(count(*) AS DOUBLE))
-                          / CAST(count(*) AS DOUBLE)) AS sd_n
+                     sqrt(greatest(
+                       (sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                        - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE))
+                       / CAST(count(*) AS DOUBLE), 0.0)) AS sd_n
               FROM daily GROUP BY 1
             ), scored AS (
               SELECT d.series, d.day, d.n,

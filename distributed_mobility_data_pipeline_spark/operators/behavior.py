@@ -667,7 +667,14 @@ def rfm_scores_hist(
     higher — same direction conventions as rfm_scores. NOT a bit-twin
     of ntile (threshold buckets vs equal-count tiles under ties; cutoff
     resolution is bin-width bounded) — it is its own deterministic,
-    hash-checkable contract."""
+    hash-checkable contract.
+
+    CHOOSE THE RANGES: values outside [lo, hi) clamp into the edge
+    bins, and if most of a dimension's mass clamps, all its cutoffs
+    collapse into one bin and the scores stop discriminating (near-
+    constant tiles). Size each range from the metric's profile
+    (quality_full_report / freshness give the bounds); the defaults fit
+    the driver dataset only."""
     from distributed_mobility_data_pipeline_spark.operators import sketches
 
     asof = orders.agg(F.max(F.col(date_col)).alias("_asof"))
@@ -721,7 +728,7 @@ def rfm_scores_hist(
             )
         ).cast("int")
 
-    return (
+    scored = (
         per.crossJoin(F.broadcast(r_cuts))
         .crossJoin(F.broadcast(f_cuts))
         .crossJoin(F.broadcast(m_cuts))
@@ -734,4 +741,12 @@ def rfm_scores_hist(
             _score_above("frequency", "_fc").alias("f_score"),
             _score_above("monetary", "_mc").alias("m_score"),
         )
+    )
+    # same derived segment label as rfm_scores, so this really is a
+    # drop-in for consumers of the exact form
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
     )

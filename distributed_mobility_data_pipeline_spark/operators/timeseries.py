@@ -278,24 +278,55 @@ def cusum_alarms(
 
     Returns per (series, day): n, z, cusum_hi, cusum_lo, alarm flags
     at ``h_threshold``.
+
+    Robustness choices (each bites at scale): the day grid is DENSIFIED
+    per series (min..max observed day, zero-filled) so a complete
+    outage — the most extreme downward shift — still produces scored
+    days and can alarm low; squared counts accumulate in DOUBLE (a
+    bigint sum of n² wraps silently at ~3e9 events/day); and the
+    one-pass variance clamps at zero before the sqrt (catastrophic
+    cancellation at large magnitudes can round it negative → NaN,
+    which comparisons then treat as greater-than-everything).
     """
-    daily = events.groupBy(
+    observed = events.groupBy(
         F.col(series_col).alias("series"),
-        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
-            "day"
-        ),
+        F.to_date(F.date_trunc("day", F.col(ts_col))).alias("_d"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = observed.groupBy("series").agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    grid = bounds.select(
+        "series",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
+        ).alias("_d"),
+    )
+    daily = (
+        grid.join(observed, ["series", "_d"], "left")
+        .select(
+            "series",
+            F.date_format("_d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    nd = F.col("n").cast("double")
     stats = daily.groupBy("series").agg(
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean"),
         F.count(F.lit(1)).cast("double").alias("_days"),
-        F.sum(F.col("n") * F.col("n")).cast("double").alias("_sumsq"),
+        F.sum(nd * nd).alias("_sumsq"),
         F.sum("n").cast("double").alias("_sum"),
     ).select(
         "series",
         "_mean",
         F.sqrt(
-            (F.col("_sumsq") - F.col("_sum") * F.col("_sum") / F.col("_days"))
-            / F.col("_days")
+            F.greatest(
+                (
+                    F.col("_sumsq")
+                    - F.col("_sum") * F.col("_sum") / F.col("_days")
+                )
+                / F.col("_days"),
+                F.lit(0.0),
+            )
         ).alias("_sd"),
     )
     z = F.when(

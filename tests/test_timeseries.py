@@ -231,3 +231,30 @@ def test_cusum_matches_sequential_recurrence(spark):
     assert any(r.alarm_hi for d, r in got.items() if d >= shift_start)
     assert not any(r.alarm_hi for d, r in got.items() if d < shift_start)
     assert not any(r.alarm_lo for d, r in got.items() if d >= shift_start)
+
+
+def test_cusum_outage_alarms_low(spark):
+    """A complete outage must still alarm on the low side: the day grid
+    is densified, so zero-count days are scored rather than absent."""
+    import datetime
+
+    from distributed_mobility_data_pipeline_spark.operators import timeseries as ts
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 30 active days then 10 days of silence, closed by one final event
+    # (the grid spans min..max observed day)
+    for d in range(30):
+        for i in range(10):
+            rows.append(("s", base + datetime.timedelta(days=d, seconds=i)))
+    rows.append(("s", base + datetime.timedelta(days=40)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {r.day: r for r in ts.cusum_alarms(df, h_threshold=3.0).collect()}
+    assert len(got) == 41  # densified: silent days present
+    silent_day = (base + datetime.timedelta(days=35)).strftime("%Y-%m-%d")
+    assert got[silent_day].n == 0
+    assert any(
+        r.alarm_lo
+        for d, r in got.items()
+        if d >= (base + datetime.timedelta(days=30)).strftime("%Y-%m-%d")
+    )
