@@ -75,6 +75,10 @@ EXTENDED = [
     "agg_product_type_profit",
     "agg_min_cost_supplier",
     "agg_promotion_suppliers",
+    "ts_cusum_alarms",
+    "behavior_rfm_hist",
+    "quality_robust_outliers_hist",
+    "clean_winsorize_hist",
     # (dedup_docs_winnow_clusters / sample_cluster_safe_split are
     # excluded: their iterative pointer-doubling dominates panel wall
     # at ~10-12s each; they stay driver-checked + pytest-covered)
