@@ -312,78 +312,22 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-6 rotation (driver caps its check at the first 50 queries() keys;
+# Round-7 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
-# accrues across rotations; tools/rotate_driver_order.py orders it):
-# 1) the 12 queries that have never had a driver row (r05 verdict list,
-#    led by text_quality_cutoff, the round-4-weak fix);
-# 2) pipeline_corpus_prep (composed oracle added r5, never driver-run)
-#    and text_bpe_learn (oracle added r6 — previously rows-only);
-# 3) round-6 additions (winnowing, histogram quantiles, cluster-safe
-#    split, row diff);
-# 4) the 37-query r02-latest stale band, oldest-first.
+# accrues across rotations; tools/rotate_driver_order.py orders it).
+# After r06 every query has had at least one driver row, so the rotation
+# is now pure recency maintenance:
+# 1) sim_pq_encode — deterministic but previously rows-only; gained a
+#    DuckDB oracle this round, so its first HASH row lands here;
+# 2) the 20 queries whose latest driver green is r02 (VERDICT r06 #2's
+#    full list — the band-4 spill the r06 window couldn't reach);
+# 3) oldest r03 greens, queries()-order, filling the 50-slot window.
 # All queries were locally oracle-verified on current data this session
 # (tools/verify_local.py: 0 fails), so staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
-    # band 1 — never driver-checked (12; led by text_quality_cutoff,
-    # the round-4-weak fix that has no driver row yet)
-    "text_quality_cutoff",
-    "text_unigram_logprob",
-    "text_bigram_pmi",
-    "text_vocab_coverage",
-    "sample_importance_weighted",
-    "win_scd2_history",
-    "dedup_docs_segments",
-    "scale_skew_report",
-    "agg_incremental_daily_revenue",
-    "scale_partition_plan",
+    # band 1 — oracle added this round (was no_oracle in r06)
     "sim_pq_encode",
-    "sim_pq_ann",
-    # new in round 6: winnowing fingerprints + passage-level dup pairs
-    "text_winnow_fingerprints",
-    "dedup_docs_winnow",
-    "agg_quantile_rollup_hist",
-    "dedup_docs_winnow_clusters",
-    "agg_rolling_quantile_hist",
-    "sample_cluster_safe_split",
-    "scale_row_diff",
-    "pipeline_corpus_health",
-    "dedup_docs_winnow_spans",
-    "sim_embedding_drift",
-    "agg_contribution_analysis",
-    "quality_k_anonymity",
-    "agg_product_type_profit",
-    "agg_min_cost_supplier",
-    "agg_promotion_suppliers",
-    "clean_winsorize_hist",
-    "quality_robust_outliers_hist",
-    "behavior_rfm_hist",
-    "ts_cusum_alarms",
-    # band 2 — pipeline_corpus_prep: composed DuckDB-CTE oracle added
-    # r5 (entry oracle_sql) but never driver-exercised (latest row r04
-    # no_oracle); flip it hash-PASS this round
-    "pipeline_corpus_prep",
-    # text_bpe_learn: gained an unrolled DuckDB oracle this round
-    # (previously no_oracle) — flip it to its first hash-PASS
-    "text_bpe_learn",
-    # band 3 — latest driver green is r02 (37-query stale band)
-    "dedup_docs_clusters",
-    "dedup_docs_clusters_jaccard",
-    "dedup_docs_simhash",
-    "dedup_docs_simhash_hamming",
-    "sim_cosine_topk",
-    "sim_knn_label_agreement",
-    "sim_pairs_above_threshold",
-    "dedup_embedding_clusters",
-    "agg_forecast_revenue_change",
-    "agg_priority_shipping",
-    "agg_promo_revenue_pct",
-    "agg_shipping_priority",
-    "agg_local_supplier_volume",
-    "agg_order_priority_checks",
-    "agg_returned_item_losses",
-    "agg_customer_order_distribution",
-    "agg_supplier_counts_by_part",
+    # band 2 — latest driver green is r02 (20 queries, drains the band)
     "agg_large_volume_customers",
     "agg_dormant_customers",
     "agg_nation_trade_volume",
@@ -404,9 +348,36 @@ _DRIVER_FIRST: list[str] = [
     "scalar_math_functions",
     "win_distribution_functions",
     "agg_exact_quantiles",
-    # band 4 — oldest r03 green (spills past the 50-slot cap;
-    # rotation continues in r07)
+    # band 3 — oldest r03 greens (29 fit; rotation continues in r08)
     "agg_hourly_demand",
+    "agg_revenue_daily",
+    "agg_driver_daily_summary",
+    "agg_pricing_summary",
+    "agg_supply_demand_hourly",
+    "agg_approx_distinct_hourly",
+    "agg_histogram_value",
+    "agg_status_distribution",
+    "agg_top_k_global",
+    "agg_top_k_per_group",
+    "agg_cube_revenue",
+    "agg_rollup_revenue",
+    "agg_pivot_status",
+    "clean_ensure_columns",
+    "clean_range_filter",
+    "dedup_keep_latest",
+    "dedup_distinct_projection",
+    "dedup_duplicate_stats",
+    "star_dim_time",
+    "star_dim_entity",
+    "star_dim_locations",
+    "star_trips_fact",
+    "star_payments_fact",
+    "join_ri_check",
+    "join_semi_orders_with_lines",
+    "join_anti_customers_no_orders",
+    "set_union_nation_keys",
+    "set_intersect_nation_keys",
+    "set_except_nation_keys",
 ]
 
 
@@ -1167,10 +1138,13 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4],
             centroids=_ivf_centroids(s, d),
         ),
-        # PQ: compressed-code similarity (rows-only — codebooks are
-        # k-means artifacts; recall guarded by tests/test_ann_quality.py)
+        # PQ encode: the argmin-over-codebooks mapping, hash-checked
+        # against DuckDB. Uses deterministic formula codebooks (same
+        # float literals embedded in both engines — see
+        # sim_ops.fixed_pq_codebooks); the ANN-path queries below keep
+        # KMeans-trained books (recall pinned in tests/test_ann_quality).
         "sim_pq_encode": lambda s, d: sim_ops.encode_pq(
-            _t(s, d, "embeddings"), _pq_codebooks(s, d)
+            _t(s, d, "embeddings"), sim_ops.fixed_pq_codebooks(64)
         ).select(
             "vec_id", "label", F.concat_ws(",", F.col("codes")).alias("codes")
         ),
@@ -1777,6 +1751,47 @@ def _norm2_sql(e: str) -> str:
         f"* 1000000000000) AS BIGINT))) AS DOUBLE) "
         f"/ CAST(1000000000000 AS DOUBLE))"
     )
+
+
+def _pq_encode_oracle_sql() -> str:
+    """DuckDB twin of sim_pq_encode: both engines embed the IDENTICAL
+    float literals (repr round-trips doubles exactly) from
+    fixed_pq_codebooks(64), score via the shared fixed-point dot, and
+    break argmax ties the way Spark's array_max over (score, code)
+    structs does — larger code wins."""
+    books = sim_ops.fixed_pq_codebooks(64)
+    d_sub = len(books[0][0][1])
+    rows = []
+    for j, book in enumerate(books):
+        for code, cent in book:
+            lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+            half = repr(-sum(x * x for x in cent) / 2.0)
+            rows.append(f"({j}, {code}, {lit}, {half})")
+    values = ",\n              ".join(rows)
+    sub = f"list_slice(e.emb, b.j*{d_sub}+1, b.j*{d_sub}+{d_sub})"
+    pivot = ", ".join(
+        f"CAST(max(CASE WHEN j = {j} THEN code END) AS VARCHAR)"
+        for j in range(len(books))
+    )
+    return f"""
+        WITH books(j, code, centroid, half_cc_neg) AS (VALUES
+              {values}
+        ),
+        e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT e.vec_id, e.label, b.j,
+                 first(b.code ORDER BY
+                       {_dot_sql(sub, "b.centroid")} + b.half_cc_neg DESC,
+                       b.code DESC) AS code
+          FROM e CROSS JOIN books b
+          GROUP BY e.vec_id, e.label, b.j
+        )
+        SELECT vec_id, label, concat_ws(',', {pivot}) AS codes
+        FROM scored GROUP BY vec_id, label
+    """
 
 
 # DuckDB twin of the Spark minhash: same md5-prefix base hash, same
@@ -3983,6 +3998,7 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.25
         """,
+        "sim_pq_encode": _pq_encode_oracle_sql(),
         "dedup_embedding_clusters": """
             WITH RECURSIVE n2 AS (
               SELECT vec_id, embedding,

@@ -5,6 +5,15 @@ Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The driver captures only the TAIL of stdout (~2 KB) and parses the
+final JSON line; round 6's single line outgrew that budget
+(BENCH_r06.json `parsed: null` — VERDICT r06 #1). The final printed
+line is therefore a COMPACT object (headline metric + warm per-query
+timings + scalar totals, bounded well under the capture budget), while
+the full payload — cold per-query detail, the extended operator panel,
+error maps — is written to BENCH_DETAIL.json next to this file for the
+judge and for cross-round diffing.
+
 Each query is timed end-to-end (plan + execute); results are consumed
 with a count-style action so nothing is collected to the driver.
 """
@@ -187,8 +196,38 @@ def main() -> None:
         payload["errors_cold"] = errors_cold
     if errors_ext:
         payload["errors_extended"] = errors_ext
-    print(json.dumps(payload))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(_compact_line(payload))
     spark.stop()
+
+
+def _compact_line(payload: dict) -> str:
+    """The driver keeps only the tail of stdout (~2 KB) and parses the
+    final JSON line, so it must stay compact. Keeps every scalar plus the
+    warm headline per-query map the contract requires; cold/extended
+    per-query detail stays in BENCH_DETAIL.json."""
+    compact = {
+        k: payload[k]
+        for k in (
+            "metric", "value", "unit", "queries", "cold_total",
+            "calibration", "value_normalized", "cold_total_normalized",
+            "n_queries", "n_timed", "n_errors", "n_errors_cold",
+            "extended_total", "n_errors_extended", "sf",
+        )
+        if k in payload
+    }
+    compact["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1600:
+        # degrade, never die: shed the per-query map before the scalars —
+        # a parseable headline total beats a complete-but-truncated line
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

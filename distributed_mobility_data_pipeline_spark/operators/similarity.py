@@ -440,6 +440,44 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
 # expressions: no shuffle, no Python, no MLlib on the query path.
 
 
+def fixed_pq_codebooks(
+    dim: int, m: int = 4, k: int = 16, scale: float = 0.25
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic, data-independent PQ codebooks: a cosine grid
+    ``centroid[j][c][t] = round(scale * cos(1 + 0.37c + 0.11t + 0.53j),
+    6)``, same structure as :func:`fit_pq_codebooks` output.
+
+    ``encode_pq``'s correctness is the argmin mapping (subspace slicing,
+    the half-||c||^2 trick, the array_max selection) — codebook
+    provenance is orthogonal to it. A formula codebook makes the encode
+    step exactly reproducible in any engine (the driver's DuckDB oracle
+    embeds the identical float literals), whereas KMeans-trained books
+    depend on MLlib's iteration schedule. KMeans books
+    (:func:`fit_pq_codebooks`) remain the ANN-path default; recall for
+    that path is pinned in tests/test_ann_quality.py.
+
+    ``scale`` defaults to 0.25 ≈ the RMS component of a unit vector in
+    64 dims, so scores are well spread for unit-normalized embeddings."""
+    import math
+
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return [
+        [
+            (
+                c,
+                [
+                    round(scale * math.cos(1.0 + 0.37 * c + 0.11 * t + 0.53 * j), 6)
+                    for t in range(d_sub)
+                ],
+            )
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+
+
 def fit_pq_codebooks(
     embeddings: DataFrame,
     m: int = 4,

@@ -24,6 +24,49 @@ def test_rotation_names_and_oracle_subset():
     assert all(name in q for name in window)
 
 
+def test_bench_final_line_fits_tail_capture():
+    # BENCH_r06.json recorded `parsed: null` because the single JSON line
+    # outgrew the driver's ~2 KB tail capture. Pin the fix: a worst-case
+    # payload (every headline query timed warm+cold, full extended panel,
+    # error maps) must still produce a final line under the budget, and
+    # that line must parse standalone.
+    import json
+
+    import bench
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 14.47,
+        "unit": "sec",
+        "queries": {n: 123.456 for n in bench.HEADLINE},
+        "cold_total": 28.01,
+        "queries_cold": {n: 123.456 for n in bench.HEADLINE},
+        "calibration": 0.0538,
+        "value_normalized": 276.43,
+        "cold_total_normalized": 559.83,
+        "n_queries": len(bench.HEADLINE),
+        "n_timed": len(bench.HEADLINE),
+        "n_errors": 2,
+        "n_errors_cold": 2,
+        "queries_extended": {n: 123.456 for n in bench.EXTENDED},
+        "extended_total": 99.9,
+        "n_errors_extended": 1,
+        "sf": 0.1,
+        "errors": {"q": "x" * 300},
+        "errors_cold": {"q": "x" * 300},
+        "errors_extended": {"q": "x" * 300},
+    }
+    line = bench._compact_line(payload)
+    assert len(line) <= 1600, f"compact bench line is {len(line)} bytes"
+    parsed = json.loads(line)
+    # contract fields the driver/judge read
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["value"] == 14.47 and parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1 and "queries" in parsed
+    # detail payload must NOT leak into the compact line
+    assert "queries_cold" not in parsed and "queries_extended" not in parsed
+
+
 def test_entry_query_is_registered(spark):
     # entry() must correspond to a queries() member so the smoke check
     # and the correctness gate exercise the same code path
