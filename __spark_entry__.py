@@ -3933,9 +3933,12 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(greatest(0, least(19, floor((c - (-1.0)) / 0.1)))
                         AS BIGINT) AS bin,
                    CAST(count(*) AS BIGINT) AS n
-            -- NULL cosines (NULL vectors on a matched id) are excluded,
-            -- matching binned_value_histograms' NOT NULL filter
-            FROM matched WHERE c IS NOT NULL GROUP BY 2
+            -- undefined cosines (NULL or zero-norm vectors on a matched
+            -- id) go to the dedicated matched_null bucket below
+            FROM matched WHERE c IS NOT NULL AND NOT isnan(c) GROUP BY 2
+            UNION ALL
+            SELECT 'matched_null', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
+            FROM matched WHERE c IS NULL OR isnan(c)
             UNION ALL
             SELECT 'added', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
             FROM j WHERE oid IS NULL
@@ -5161,7 +5164,7 @@ def _all_oracle_sql() -> dict[str, str]:
               WHERE CAST(cum AS DOUBLE) >= CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
                 AND CAST(cum - n AS DOUBLE) < CAST(q AS DOUBLE) * CAST(total AS DOUBLE)
             )
-            SELECT o_custkey,
+            SELECT o_custkey AS custkey,
                    CAST(r AS BIGINT) AS recency_days, f AS frequency,
                    m AS monetary,
                    CAST(1 + (SELECT count(*) FROM rq WHERE value_q > per.r)

@@ -733,7 +733,9 @@ def rfm_scores_hist(
         .crossJoin(F.broadcast(f_cuts))
         .crossJoin(F.broadcast(m_cuts))
         .select(
-            customer_col,
+            # same key name as rfm_scores, so joins written against the
+            # exact form keep working on substitution
+            F.col(customer_col).alias("custkey"),
             F.col("recency_days").cast("bigint").alias("recency_days"),
             "frequency",
             "monetary",

@@ -880,8 +880,11 @@ def embedding_drift_hist(
     Matched ids get the cosine between old and new vector, binned over
     [-1, 1] into ``n_bins`` buckets (``status='matched'``); ids present
     on one side only are counted as ``'added'`` / ``'removed'`` rows
-    with bin -1. An unchanged snapshot puts every matched count in the
-    top bin — mass anywhere else is drift, localized by bin.
+    with bin -1; matched ids whose cosine is undefined (NULL or
+    zero-norm vector on either side) are counted as ``'matched_null'``
+    with bin -1, so the status rows partition the full id universe. An
+    unchanged snapshot puts every matched count in the top bin — mass
+    anywhere else is drift, localized by bin.
 
     Deterministic: the cosine uses the fixed-point dot (order-free
     int64 fold, see _dot) and fixed bin edges, so the whole report is
@@ -906,14 +909,36 @@ def embedding_drift_hist(
     matched = j.filter(
         F.col("_in_o").isNotNull() & F.col("_in_n").isNotNull()
     ).select(
-        (
-            _dot(F.col("_vo"), F.col("_vn"))
-            / (_norm(F.col("_vo")) * _norm(F.col("_vn")))
-        ).alias("_cos")
+        # try_divide: a zero-norm vector must yield NULL (counted below),
+        # not an ANSI DIVIDE_BY_ZERO error killing the whole report
+        F.try_divide(
+            _dot(F.col("_vo"), F.col("_vn")),
+            _norm(F.col("_vo")) * _norm(F.col("_vn")),
+        ).alias("_cos_raw")
+    ).withColumn(
+        # NULL vectors give a NULL cosine; zero-norm vectors NULL via
+        # try_divide (NaN inputs would otherwise ride least() into the
+        # TOP bin and read as "no drift"). Fold both into NULL here and
+        # count them in a dedicated 'matched_null' bucket below so the
+        # report partitions the full id universe.
+        "_cos",
+        F.when(
+            F.col("_cos_raw").isNotNull() & ~F.isnan("_cos_raw"),
+            F.col("_cos_raw"),
+        ),
     )
     hist = sketches.binned_value_histograms(
         matched, [], "_cos", -1.0, 1.0, n_bins
     ).select(F.lit("matched").alias("status"), "bin", "n")
+    matched_null = (
+        matched.filter(F.col("_cos").isNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("matched_null").alias("status"),
+            F.lit(-1).cast("bigint").alias("bin"),
+            "n",
+        )
+    )
     added = (
         j.filter(F.col("_in_o").isNull())
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -932,4 +957,4 @@ def embedding_drift_hist(
             "n",
         )
     )
-    return hist.unionByName(added).unionByName(removed)
+    return hist.unionByName(matched_null).unionByName(added).unionByName(removed)

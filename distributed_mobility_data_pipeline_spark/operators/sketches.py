@@ -216,12 +216,18 @@ def quantiles_from_histograms(
         targets.join(bins, group_cols) if group_cols
         else targets.crossJoin(bins)
     )
+    # q = 0 (target 0) satisfies no "cum_before < target" bin — answer it
+    # with the first nonempty bin instead (its lo edge = the histogram's
+    # minimum), so callers like winsorize_hist(lo_p=0.0) clamp at the lo
+    # edge rather than silently receiving no row / NULL cutoff
+    answers = F.when(
+        F.col("target") > 0.0,
+        (F.col("cum").cast("double") >= F.col("target"))
+        & ((F.col("cum") - F.col("n")).cast("double") < F.col("target")),
+    ).otherwise((F.col("n") > 0) & (F.col("cum") - F.col("n") == 0))
     return (
         joined
-        .filter(
-            (F.col("cum").cast("double") >= F.col("target"))
-            & ((F.col("cum") - F.col("n")).cast("double") < F.col("target"))
-        )
+        .filter(answers)
         .select(
             *group_cols,
             "q",

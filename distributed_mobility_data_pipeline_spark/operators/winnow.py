@@ -97,7 +97,21 @@ def winnow_fingerprints(
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
     kg = kgram_hashes(docs, k, text_col, id_col)
-    key = F.col("h") * _POS_CAP + (F.lit(_POS_CAP - 1) - F.col("pos"))
+    # positions beyond the pack cap would make the offset negative and
+    # silently corrupt the min selection — fail loudly instead
+    # (assert_true returns NULL on success, so the when() is a no-op)
+    guard = F.assert_true(
+        F.col("pos") < _POS_CAP,
+        F.lit(
+            f"winnow: document exceeds {_POS_CAP - 1} k-grams; the packed "
+            "selection key would corrupt — split longer documents before "
+            "fingerprinting"
+        ),
+    )
+    key = F.when(
+        guard.isNull(),
+        F.col("h") * _POS_CAP + (F.lit(_POS_CAP - 1) - F.col("pos")),
+    )
     frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     per_doc = Window.partitionBy(id_col)
     return (

@@ -344,8 +344,9 @@ def test_rfm_hist_close_to_ntile(spark, sf_dir):
         r.custkey: r for r in behavior.rfm_scores(orders).collect()
     }
     hist = {
-        r.o_custkey: r for r in behavior.rfm_scores_hist(orders).collect()
+        r.custkey: r for r in behavior.rfm_scores_hist(orders).collect()
     }
+    # the hist form is key-name drop-in for rfm_scores (both emit custkey)
     assert set(exact) == set(hist)
     n = len(exact)
     close = sum(

@@ -140,23 +140,30 @@ def test_embedding_drift_identity_and_statuses(spark):
 
 
 def test_embedding_drift_null_vector_stays_matched(spark):
-    """A matched id whose VECTOR is NULL must not be misread as
-    added/removed (presence is keyed on the join markers, not vector
-    nullness)."""
+    """A matched id whose VECTOR is NULL or zero-norm must not be
+    misread as added/removed (presence is keyed on the join markers),
+    must not vanish from the report, and must not ride NaN into the top
+    bin — it lands in the dedicated matched_null bucket, so the status
+    rows partition the full id universe."""
     from distributed_mobility_data_pipeline_spark.operators import similarity
 
     old = spark.createDataFrame(
-        [(1, None), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        [(1, None), (2, [1.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
     )
     new = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
     )
-    by = {
-        (r.status, r.bin): r.n
-        for r in similarity.embedding_drift_hist(old, new).collect()
-    }
+    rows = similarity.embedding_drift_hist(old, new).collect()
+    by = {(r.status, r.bin): r.n for r in rows}
     assert by[("added", -1)] == 0
     assert by[("removed", -1)] == 0
+    # id 1 (NULL vector) + id 3 (zero-norm -> NaN cosine) -> matched_null
+    assert by[("matched_null", -1)] == 2
+    # id 2 is the only binned matched id; counts cover the id universe
+    assert sum(n for (s, _), n in by.items() if s == "matched") == 1
+    assert sum(by.values()) == 3
 
 
 def test_winsorize_hist_clamps_within_bin_of_exact(spark):
@@ -196,3 +203,44 @@ def test_robust_outlier_hist_close_to_exact(spark):
     assert abs(hist.mad - exact.mad) <= width
     assert hist.n == exact.n
     assert hist.n_outliers >= 1  # the 10k point is flagged either way
+
+
+def test_quantile_q_zero_returns_first_nonempty_bin_edge(spark):
+    """q=0 satisfies no cum_before < target bin, which used to drop the
+    row entirely; it must answer with the lo edge of the first NONEMPTY
+    bin (the histogram's minimum)."""
+    # values 23..77 over [0, 100) with width 10: first nonempty bin is 2
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(23, 78)], "value double"
+    )
+    hist = sketches.binned_value_histograms(df, [], "value", 0.0, 100.0, 10)
+    got = {
+        r.q: r.value_q
+        for r in sketches.quantiles_from_histograms(
+            hist, [], [0.0, 0.5], 0.0, 100.0, 10
+        ).collect()
+    }
+    assert got[0.0] == 20.0  # lo edge of bin 2, not a missing row
+    assert 20.0 <= got[0.5] <= 60.0
+
+
+def test_winsorize_hist_lo_p_zero_clamps_at_lo_edge(spark):
+    """lo_p=0.0 used to silently produce a NULL _lo cutoff (no lower
+    clamp at all); now the cutoff is the first nonempty bin's lo edge,
+    so values still clamp and nothing NULLs out."""
+    from distributed_mobility_data_pipeline_spark.operators import cleaning
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(23, 78)], "value double"
+    )
+    out = {
+        r.value: r.value_winsorized
+        for r in cleaning.winsorize_hist(
+            df, "value", lo_p=0.0, hi_p=0.5, lo=0.0, hi=100.0, n_bins=10
+        ).collect()
+    }
+    assert None not in out.values()
+    # lower cutoff = 20.0 (first nonempty bin edge) -> below-min values keep
+    assert out[23.0] == 23.0
+    # upper cutoff = the hist median (~50): larger values clamp DOWN
+    assert out[77.0] <= 60.0

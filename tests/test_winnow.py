@@ -126,3 +126,81 @@ def test_shared_spans_locate_the_passage(spark):
     assert 11 <= r.b_start <= r.b_end <= 30
     # offsets agree up to the prefix shift
     assert r.b_start - r.a_start == 10 and r.b_end - r.a_end == 10
+
+
+def test_pos_cap_guard_raises_instead_of_corrupting(spark, monkeypatch):
+    """Positions at/above _POS_CAP would make the packed-key offset
+    negative and silently corrupt the min selection; the guard must
+    fail loudly instead. Exercised by shrinking the cap (a real 2M-word
+    doc would just be slow)."""
+    monkeypatch.setattr(winnow, "_POS_CAP", 8)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))],  # 18 k-grams > cap
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="k-grams"):
+        winnow.winnow_fingerprints(docs, k=3, w=4).collect()
+    # under the cap: same patched limit, shorter doc -> no raise
+    short = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(9)))],  # 7 k-grams < cap
+        "doc_id long, text string",
+    )
+    assert winnow.winnow_fingerprints(short, k=3, w=4).count() > 0
+
+
+def test_span_envelope_intersects_every_shared_run(spark):
+    """The span is a bounding envelope over ALL shared fingerprints, so
+    disjoint shared passages merge into one span — but the winnowing
+    guarantee still promises that every shared run of >= w + k - 1
+    tokens contributes a fingerprint inside the run, hence the reported
+    span must INTERSECT every such run, in both documents' coordinates.
+    Randomized layouts (seeded): two disjoint shared passages at varying
+    offsets with doc-unique filler between them."""
+    import random
+
+    rng = random.Random(7)
+    k, w = 3, 4
+    for trial in range(6):
+        n1 = rng.randint(6, 12)  # >= w + k - 1 = 6
+        n2 = rng.randint(6, 12)
+        p1 = " ".join(f"s{trial}p{i}" for i in range(n1))
+        p2 = " ".join(f"t{trial}q{i}" for i in range(n2))
+
+        def fill(tag: str, n: int) -> str:
+            return " ".join(f"{tag}{trial}x{i}" for i in range(n))
+
+        a_lens = (rng.randint(0, 8), rng.randint(3, 8), rng.randint(0, 8))
+        b_lens = (rng.randint(0, 8), rng.randint(3, 8), rng.randint(0, 8))
+        a_text = " ".join(
+            x for x in (fill("a", a_lens[0]), p1, fill("c", a_lens[1]),
+                        p2, fill("e", a_lens[2])) if x
+        )
+        b_text = " ".join(
+            x for x in (fill("b", b_lens[0]), p1, fill("d", b_lens[1]),
+                        p2, fill("f", b_lens[2])) if x
+        )
+        docs = spark.createDataFrame(
+            [(1, a_text), (2, b_text)], "doc_id long, text string"
+        )
+        rows = winnow.winnow_shared_spans(
+            docs, k=k, w=w, min_overlap=0.05
+        ).collect()
+        assert len(rows) == 1, (trial, rows)
+        r = rows[0]
+        # 1-based inclusive word spans of each shared run per doc
+        runs_a = [
+            (a_lens[0] + 1, a_lens[0] + n1),
+            (a_lens[0] + n1 + a_lens[1] + 1, a_lens[0] + n1 + a_lens[1] + n2),
+        ]
+        runs_b = [
+            (b_lens[0] + 1, b_lens[0] + n1),
+            (b_lens[0] + n1 + b_lens[1] + 1, b_lens[0] + n1 + b_lens[1] + n2),
+        ]
+        for start, end in runs_a:
+            assert r.a_start <= end and start <= r.a_end, (
+                trial, "run missed in doc a", (start, end), r
+            )
+        for start, end in runs_b:
+            assert r.b_start <= end and start <= r.b_end, (
+                trial, "run missed in doc b", (start, end), r
+            )
