@@ -83,8 +83,14 @@ def trips_fact(
     """5-way star fact assembly — J1 (silver_to_gold.py:110-116).
 
     lineitem is the fact; orders/customer/part/supplier play the dims.
-    Dims are projected narrow *before* the join (column pruning) and
-    broadcast (small sides), so the fact table never shuffles.
+    Dims are projected narrow *before* the join (column pruning); the
+    three TRUE dims (customer/part/supplier) are broadcast-hinted so the
+    fact never shuffles for them. Orders is different: it grows with the
+    fact (fact-sized at 100 TB — billions of rows), so its join strategy
+    is left to the planner — auto-broadcast below the threshold (the
+    sf0.1 plan is still 4 BroadcastHashJoins), sort-merge/AQE above it.
+    A forced broadcast here would OOM every executor the first time
+    orders outgrows memory (measured two-decade curve in SCALE_NOTES.md).
     """
     ord_dim = orders.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
@@ -99,7 +105,7 @@ def trips_fact(
         "s_suppkey", surrogate_key("s_suppkey").alias("driver_key")
     )
     return (
-        lineitem.join(F.broadcast(ord_dim), lineitem.l_orderkey == ord_dim.o_orderkey, "left")
+        lineitem.join(ord_dim, lineitem.l_orderkey == ord_dim.o_orderkey, "left")
         .join(F.broadcast(cust_dim), F.col("o_custkey") == cust_dim.c_custkey, "left")
         .join(F.broadcast(part_dim), F.col("l_partkey") == part_dim.p_partkey, "left")
         .join(F.broadcast(supp_dim), F.col("l_suppkey") == supp_dim.s_suppkey, "left")

@@ -21,7 +21,8 @@ BUILD_EXECUTES = {
     "ml_train_classifier",
     "stream_stateful_counts",
     "sim_ivf_ann",
-    "sim_pq_encode",
+    # sim_pq_encode left this set in round 7: its fixed formula codebooks
+    # build without executing anything, so it is plan-guarded again
     "sim_pq_ann",
     "serve_demand_batch",
 }
