@@ -325,8 +325,9 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All queries were locally oracle-verified on current data this session
 # (tools/verify_local.py: 0 fails), so staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
-    # band 1 — oracle added this round (was no_oracle in r06)
+    # band 1 — oracles added this round (were no_oracle in r06)
     "sim_pq_encode",
+    "sim_pq_ann",
     # band 2 — latest driver green is r02 (20 queries, drains the band)
     "agg_large_volume_customers",
     "agg_dormant_customers",
@@ -348,7 +349,7 @@ _DRIVER_FIRST: list[str] = [
     "scalar_math_functions",
     "win_distribution_functions",
     "agg_exact_quantiles",
-    # band 3 — oldest r03 greens (29 fit; rotation continues in r08)
+    # band 3 — oldest r03 greens (28 fit; rotation continues in r08)
     "agg_hourly_demand",
     "agg_revenue_daily",
     "agg_driver_daily_summary",
@@ -377,7 +378,6 @@ _DRIVER_FIRST: list[str] = [
     "join_anti_customers_no_orders",
     "set_union_nation_keys",
     "set_intersect_nation_keys",
-    "set_except_nation_keys",
 ]
 
 
@@ -1156,9 +1156,13 @@ def _all_queries() -> dict[str, QueryFn]:
             _ivf_centroids(s, d),
             _pq_codebooks(s, d),
         ),
+        # PQ asymmetric-distance ANN with the same fixed codebooks as
+        # sim_pq_encode → ADC scoring + top-k are hash-checked against
+        # DuckDB. The KMeans-trained codebook path stays live (and
+        # recall-pinned) via sim_ivfpq_ann above.
         "sim_pq_ann": lambda s, d: sim_ops.pq_ann(
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4],
-            codebooks=_pq_codebooks(s, d),
+            codebooks=sim_ops.fixed_pq_codebooks(64),
         ),
         # unpivot/melt + explicit grouping sets (relational extras)
         "agg_unpivot_measures": lambda s, d: _t(s, d, "lineitem")
@@ -1753,12 +1757,10 @@ def _norm2_sql(e: str) -> str:
     )
 
 
-def _pq_encode_oracle_sql() -> str:
-    """DuckDB twin of sim_pq_encode: both engines embed the IDENTICAL
-    float literals (repr round-trips doubles exactly) from
-    fixed_pq_codebooks(64), score via the shared fixed-point dot, and
-    break argmax ties the way Spark's array_max over (score, code)
-    structs does — larger code wins."""
+def _pq_books_values() -> tuple[str, int, int]:
+    """(VALUES rows, d_sub, m) for fixed_pq_codebooks(64): both engines
+    embed the IDENTICAL float literals (repr round-trips doubles
+    exactly)."""
     books = sim_ops.fixed_pq_codebooks(64)
     d_sub = len(books[0][0][1])
     rows = []
@@ -1767,30 +1769,92 @@ def _pq_encode_oracle_sql() -> str:
             lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
             half = repr(-sum(x * x for x in cent) / 2.0)
             rows.append(f"({j}, {code}, {lit}, {half})")
-    values = ",\n              ".join(rows)
+    return ",\n              ".join(rows), d_sub, len(books)
+
+
+def _pq_encode_cte() -> str:
+    """Shared encode CTEs: ``scored0`` holds per-(vector, subspace)
+    winning codes — argmax of the fixed-point dot + half-||c||^2 score,
+    ties broken the way Spark's array_max over (score, code) structs
+    does (larger code wins)."""
+    values, d_sub, _m = _pq_books_values()
     sub = f"list_slice(e.emb, b.j*{d_sub}+1, b.j*{d_sub}+{d_sub})"
-    pivot = ", ".join(
-        f"CAST(max(CASE WHEN j = {j} THEN code END) AS VARCHAR)"
-        for j in range(len(books))
-    )
     return f"""
-        WITH books(j, code, centroid, half_cc_neg) AS (VALUES
+        books(j, code, centroid, half_cc_neg) AS (VALUES
               {values}
         ),
         e AS (
           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
           FROM embeddings
         ),
-        scored AS (
+        scored0 AS (
           SELECT e.vec_id, e.label, b.j,
                  first(b.code ORDER BY
                        {_dot_sql(sub, "b.centroid")} + b.half_cc_neg DESC,
                        b.code DESC) AS code
           FROM e CROSS JOIN books b
           GROUP BY e.vec_id, e.label, b.j
-        )
+        )"""
+
+
+def _pq_encode_oracle_sql() -> str:
+    """DuckDB twin of sim_pq_encode (fixed formula codebooks)."""
+    _values, _d_sub, m = _pq_books_values()
+    pivot = ", ".join(
+        f"CAST(max(CASE WHEN j = {j} THEN code END) AS VARCHAR)"
+        for j in range(m)
+    )
+    return f"""
+        WITH {_pq_encode_cte()}
         SELECT vec_id, label, concat_ws(',', {pivot}) AS codes
-        FROM scored GROUP BY vec_id, label
+        FROM scored0 GROUP BY vec_id, label
+    """
+
+
+def _pq_ann_oracle_sql() -> str:
+    """DuckDB twin of sim_pq_ann: encode the corpus with the shared
+    fixed codebooks, then asymmetric-distance top-k — approx dot(q, x)
+    = Σ_j fixedpoint_dot(q_sub_j, centroid_j[code_j]), summed in the
+    same left-to-right subspace order as the Spark column expression so
+    the doubles agree bitwise."""
+    _values, d_sub, m = _pq_books_values()
+    code_cols = ", ".join(
+        f"max(CASE WHEN j = {j} THEN code END) AS c{j}" for j in range(m)
+    )
+    book_joins = "\n          ".join(
+        f"JOIN books b{j} ON b{j}.j = {j} AND b{j}.code = enc.c{j}"
+        for j in range(m)
+    )
+    terms = " + ".join(
+        _dot_sql(
+            f"list_slice(q.qe, {j}*{d_sub}+1, {j}*{d_sub}+{d_sub})",
+            f"b{j}.centroid",
+        )
+        for j in range(m)
+    )
+    return f"""
+        WITH {_pq_encode_cte()},
+        enc AS (
+          SELECT vec_id AS vid, label AS c_label, {code_cols}
+          FROM scored0 GROUP BY vec_id, label
+        ),
+        q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        scored AS (
+          SELECT q.qid, enc.vid, enc.c_label,
+                 {terms} AS approx_dot
+          FROM q CROSS JOIN enc
+          {book_joins}
+          WHERE q.qid != enc.vid
+        )
+        SELECT qid, vid, CAST(rank AS INT) AS rank, approx_dot, c_label
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY approx_dot DESC, vid) AS rank
+          FROM scored
+        ) WHERE rank <= 3
     """
 
 
@@ -4002,6 +4066,7 @@ def _all_oracle_sql() -> dict[str, str]:
             ) WHERE cos_sim >= 0.25
         """,
         "sim_pq_encode": _pq_encode_oracle_sql(),
+        "sim_pq_ann": _pq_ann_oracle_sql(),
         "dedup_embedding_clusters": """
             WITH RECURSIVE n2 AS (
               SELECT vec_id, embedding,

@@ -21,9 +21,9 @@ BUILD_EXECUTES = {
     "ml_train_classifier",
     "stream_stateful_counts",
     "sim_ivf_ann",
-    # sim_pq_encode left this set in round 7: its fixed formula codebooks
-    # build without executing anything, so it is plan-guarded again
-    "sim_pq_ann",
+    # sim_pq_encode / sim_pq_ann left this set in round 7: their fixed
+    # formula codebooks build without executing anything, so both are
+    # plan-guarded again
     "serve_demand_batch",
 }
 
