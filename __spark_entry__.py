@@ -328,6 +328,7 @@ _DRIVER_FIRST: list[str] = [
     # band 1 — oracles added this round (were no_oracle in r06)
     "sim_pq_encode",
     "sim_pq_ann",
+    "sim_lsh_bucketed_ann",
     # band 2 — latest driver green is r02 (20 queries, drains the band)
     "agg_large_volume_customers",
     "agg_dormant_customers",
@@ -349,7 +350,7 @@ _DRIVER_FIRST: list[str] = [
     "scalar_math_functions",
     "win_distribution_functions",
     "agg_exact_quantiles",
-    # band 3 — oldest r03 greens (28 fit; rotation continues in r08)
+    # band 3 — oldest r03 greens (27 fit; rotation continues in r08)
     "agg_hourly_demand",
     "agg_revenue_daily",
     "agg_driver_daily_summary",
@@ -377,7 +378,6 @@ _DRIVER_FIRST: list[str] = [
     "join_semi_orders_with_lines",
     "join_anti_customers_no_orders",
     "set_union_nation_keys",
-    "set_intersect_nation_keys",
 ]
 
 
@@ -1795,6 +1795,64 @@ def _pq_encode_cte() -> str:
           FROM e CROSS JOIN books b
           GROUP BY e.vec_id, e.label, b.j
         )"""
+
+
+def _lsh_bucketed_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of sim_lsh_bucketed_ann. The hyperplanes are
+    deterministic by construction (similarity._hyperplane_sign: weight
+    for element i of plane p is ±1 from the parity of the first sha256
+    hex char of 'plane_{p}_{i}'), so the oracle PRECOMPUTES the sign
+    matrix with hashlib (same sha256 → same hex → same parity) and
+    embeds it as literals. Projections mirror Spark's decimal(28,12)
+    per-product rounding; within-bucket cosine reuses the shared
+    fixed-point dot."""
+    import hashlib
+
+    sign_rows = []
+    for p in range(n_planes):
+        signs = [
+            "1.0"
+            if ord(hashlib.sha256(f"plane_{p}_{i}".encode()).hexdigest()[0]) % 2 == 0
+            else "-1.0"
+            for i in range(dim)
+        ]
+        sign_rows.append(f"({p}, [{', '.join(signs)}]::DOUBLE[])")
+    values = ",\n              ".join(sign_rows)
+    return f"""
+        WITH planes(p, signs) AS (VALUES
+              {values}
+        ),
+        sig AS (
+          SELECT e.vec_id, e.embedding,
+                 string_agg(
+                   CASE WHEN list_sum(list_transform(
+                          list_zip(e.embedding, pl.signs),
+                          z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+                               AS DECIMAL(28,12)))) >= 0
+                        THEN '1' ELSE '0' END, '' ORDER BY pl.p
+                 ) AS bucket
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id, e.embedding
+        ),
+        n2 AS (
+          SELECT s.vec_id, s.bucket, s.embedding,
+                 {_norm2_sql("s.embedding")} AS nrm2
+          FROM sig s
+        ),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS vid,
+                 {_dot_sql("q.embedding", "c.embedding")}
+                 / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos_sim
+          FROM n2 q JOIN n2 c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+          WHERE q.vec_id IN (0, 1, 2, 3, 4)
+        )
+        SELECT qid, vid, CAST(rank AS INT) AS rank, cos_sim
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, vid) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """
 
 
 def _pq_encode_oracle_sql() -> str:
@@ -4067,6 +4125,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "sim_pq_encode": _pq_encode_oracle_sql(),
         "sim_pq_ann": _pq_ann_oracle_sql(),
+        "sim_lsh_bucketed_ann": _lsh_bucketed_oracle_sql(),
         "dedup_embedding_clusters": """
             WITH RECURSIVE n2 AS (
               SELECT vec_id, embedding,
