@@ -199,8 +199,12 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    with open(detail_path, "w") as f:
-        json.dump(payload, f, indent=2)
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(payload, f, indent=2)
+    except OSError as exc:  # read-only checkout / disk full: the detail
+        # file is a nicety — the compact line below must still be emitted
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
     print(_compact_line(payload))
     spark.stop()
 

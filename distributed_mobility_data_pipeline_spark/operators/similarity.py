@@ -456,8 +456,10 @@ def fixed_pq_codebooks(
     (:func:`fit_pq_codebooks`) remain the ANN-path default; recall for
     that path is pinned in tests/test_ann_quality.py.
 
-    ``scale`` defaults to 0.25 ≈ the RMS component of a unit vector in
-    64 dims, so scores are well spread for unit-normalized embeddings."""
+    ``scale`` defaults to 0.25 — about 2x the RMS component (1/sqrt(64)
+    = 0.125) of a unit vector in 64 dims — so centroid magnitudes sit at
+    component scale and scores spread well for unit-normalized
+    embeddings."""
     import math
 
     if dim % m != 0:

@@ -21,7 +21,11 @@ SF = "/root/testdata/sf0.1"
 
 AUDITS = {
     "agg_pricing_summary": "filter + projection pushdown into the parquet scan",
-    "star_trips_fact": "all four dim joins broadcast; fact side never shuffles",
+    "star_trips_fact": (
+        "all four dim joins broadcast at sf0.1 (true dims hinted; orders is "
+        "planner-chosen — sort-merge at the 100x probe, see SCALE_NOTES.md); "
+        "fact side never shuffles"
+    ),
     "dedup_keep_latest": "WindowGroupLimit pushes rank<=1 below the shuffle",
     "agg_top_k_global": "global top-k compiles to TakeOrderedAndProject",
     "agg_local_supplier_volume": "multi-way join mixes broadcast + shuffle sides",

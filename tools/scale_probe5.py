@@ -41,8 +41,8 @@ PROBE_ROOT = "/tmp/spark_graft_r7_probe"
 
 QUERIES = ["star_trips_fact", "agg_pricing_summary", "dedup_keep_latest"]
 
-# tables the three queries touch; small dims are copied verbatim
-FACTS = ("events", "orders", "lineitem")
+# facts (events/orders/lineitem) are replicated explicitly in
+# generate(); these small dims are copied verbatim
 DIMS = ("customer", "supplier", "part", "nation", "region")
 
 
