@@ -88,6 +88,11 @@ EXTENDED = [
     "behavior_rfm_hist",
     "quality_robust_outliers_hist",
     "clean_winsorize_hist",
+    # round-7 additions: the ANN queries flipped from rows-only to
+    # hash-checked (fixed codebooks / deterministic hyperplanes)
+    "sim_pq_encode",
+    "sim_pq_ann",
+    "sim_lsh_bucketed_ann",
     # (dedup_docs_winnow_clusters / sample_cluster_safe_split are
     # excluded: their iterative pointer-doubling dominates panel wall
     # at ~10-12s each; they stay driver-checked + pytest-covered)
