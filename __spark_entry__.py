@@ -2255,7 +2255,7 @@ def _all_oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(d AS VARCHAR) AS d, event_type, n,
                    s1 / cnt AS avg_7r,
-                   CASE WHEN cnt > 1 THEN sqrt((s2 - s1*s1/cnt) / (cnt-1)) END AS std_7r,
+                   CASE WHEN cnt > 1 THEN sqrt(greatest((s2 - s1*s1/cnt) / (cnt-1), 0.0)) END AS std_7r,
                    CAST(cnt AS BIGINT) AS cnt_7r
             FROM m
         """,
@@ -2275,7 +2275,7 @@ def _all_oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(d AS VARCHAR) AS d, event_type, n,
                    s1 / cnt AS avg_7d,
-                   CASE WHEN cnt > 1 THEN sqrt((s2 - s1*s1/cnt) / (cnt-1)) END AS std_7d,
+                   CASE WHEN cnt > 1 THEN sqrt(greatest((s2 - s1*s1/cnt) / (cnt-1), 0.0)) END AS std_7d,
                    CAST(cnt AS BIGINT) AS cnt_7d
             FROM m
         """,
@@ -2518,7 +2518,8 @@ def _all_oracle_sql() -> dict[str, str]:
               SELECT doc_id + 300000, text, source, n_chars FROM documents
             ), t AS (
               SELECT source,
-                     sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+                     coalesce(sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')),
+                              '__null__' || CAST(doc_id AS VARCHAR))
                        AS fp,
                      string_split(trim(text), ' ') AS toks,
                      n_chars
@@ -3067,7 +3068,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "stream_corpus_dedup": """
             WITH fp AS (
               SELECT doc_id, source,
-                     sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+                     coalesce(sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')),
+                              '__null__' || CAST(doc_id AS VARCHAR))
                        AS fingerprint
               FROM documents)
             SELECT doc_id, source, fingerprint FROM (
@@ -3158,7 +3160,8 @@ def _all_oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 200000, text FROM documents
             )
-            SELECT sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint,
+            SELECT coalesce(sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')),
+                            '__null__' || CAST(doc_id AS VARCHAR)) AS fingerprint,
                    min(doc_id) AS keep_doc_id,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM all_docs GROUP BY 1
@@ -3763,8 +3766,10 @@ def _all_oracle_sql() -> dict[str, str]:
             ),
             surv1 AS (  -- stage 1: exact dedup, lowest doc_id survives
               SELECT doc_id, text, n_chars, ntext FROM (
-                SELECT *, row_number() OVER (PARTITION BY ntext
-                                             ORDER BY doc_id) AS rn
+                SELECT *, row_number() OVER (
+                    PARTITION BY coalesce(ntext,
+                                          '__null__' || CAST(doc_id AS VARCHAR))
+                    ORDER BY doc_id) AS rn
                 FROM norm) WHERE rn = 1
             ),
             toks AS (SELECT doc_id, string_split(ntext, ' ') AS t FROM surv1),
@@ -4679,7 +4684,7 @@ def _all_oracle_sql() -> dict[str, str]:
             ), d AS (
               SELECT *, comp_total - base_total AS delta FROM agg
             ), t AS (
-              SELECT CAST(sum(CAST(delta AS DECIMAL(18,6))) AS DOUBLE)
+              SELECT CAST(sum(CAST(delta AS DECIMAL(28,6))) AS DOUBLE)
                        AS total_delta
               FROM d
             )
@@ -4768,7 +4773,7 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT CAST(d AS VARCHAR) AS d, event_type, n, sum_value,
                    n_lag_1, n_lag_7,
                    s1 / cnt AS avg_7r,
-                   CASE WHEN cnt > 1 THEN sqrt((s2 - s1*s1/cnt) / (cnt-1)) END AS std_7r,
+                   CASE WHEN cnt > 1 THEN sqrt(greatest((s2 - s1*s1/cnt) / (cnt-1), 0.0)) END AS std_7r,
                    CAST(cnt AS BIGINT) AS cnt_7r,
                    CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
                    CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,

@@ -143,18 +143,17 @@ def approx_supply_demand_hourly(events: DataFrame, rsd: float = 0.01) -> DataFra
 
 
 def histogram(df: DataFrame, col: str, edges: list[float]) -> DataFrame:
-    """Fixed-edge histogram — A9 (model_monitoring.py:105-113) as a
-    chained-when bucketize + groupBy count. Buckets clamp: anything below
-    edges[1] is bucket 0, anything ≥ edges[-2] is the last bucket; nulls
-    are bucket -1. Edges are explicit so the oracle is deterministic
-    (approxQuantile-derived edges live in drift.py)."""
-    n = len(edges) - 1
-    bucket = F.when(F.col(col).isNull(), F.lit(-1))
-    for i in range(n - 1):
-        bucket = bucket.when(F.col(col) < F.lit(edges[i + 1]), F.lit(i))
-    bucket = bucket.otherwise(F.lit(n - 1))
+    """Fixed-edge histogram — A9 (model_monitoring.py:105-113): shared
+    bucketize (drift._bucketize — one home for the clamp/NULL boundary
+    rule, also used by metrics.calibration_bins) + groupBy count.
+    Buckets clamp: anything below edges[1] is bucket 0, anything ≥
+    edges[-2] is the last bucket; nulls are bucket -1. Edges are
+    explicit so the oracle is deterministic (approxQuantile-derived
+    edges live in drift.py)."""
+    from distributed_mobility_data_pipeline_spark.operators.drift import _bucketize
+
     return (
-        df.withColumn("bucket", bucket)
+        _bucketize(df, col, edges)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
@@ -863,7 +862,15 @@ def contribution_analysis(
         )
         .withColumn("delta", F.col("comp_total") - F.col("base_total"))
     )
-    total = agg.agg(F.sum(dec("delta")).cast("double").alias("_total_delta"))
+    # delta is a per-dimension TOTAL, not a ≤6-digit source measure:
+    # dec()'s decimal(18,6) would overflow (ANSI cast error) once
+    # |delta| reaches 1e12 — plausible for revenue at 100 TB. Sum at
+    # decimal(28,6): still order-free/exact, headroom to 1e22.
+    total = agg.agg(
+        F.sum(F.col("delta").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("_total_delta")
+    )
     w = Window.orderBy(F.abs(F.col("delta")).desc(), F.col("dim_value"))
     return (
         agg.crossJoin(F.broadcast(total))

@@ -569,8 +569,12 @@ def stickiness(
         F.count(F.lit(1)).cast("bigint").alias("dau")
     )
     days = activity.select("_d").distinct().withColumnRenamed("_d", "_day")
+    # pure-inequality join → BroadcastNestedLoopJoin: pin the BOUNDED
+    # day list as the broadcast build side (same deliberate shape as
+    # sketches.rolling_distinct_exact, which plan-guards it) so Catalyst
+    # can never pick the unbounded activity table from size estimates
     rolling = (
-        days.join(
+        F.broadcast(days).join(
             activity,
             (F.col("_d") <= F.col("_day"))
             & (F.col("_d") > F.date_sub(F.col("_day"), window_days)),

@@ -74,10 +74,26 @@ def with_exact_copies(docs: DataFrame, id_offset: int = 200_000) -> DataFrame:
     return docs.unionByName(dup)
 
 
+def content_fingerprint(id_col: str = "doc_id") -> Column:
+    """sha2 of the normalized text, NULL-safe for GROUPING: a NULL-text
+    document (failed fetch, pending extraction) gets a per-doc sentinel
+    instead of a NULL fingerprint. Without it every NULL-text doc lands
+    in the same NULL group and all but one are silently dropped as
+    "duplicates" — absent content is missing data, not shared content
+    (corpus_diff documents the same presence-vs-content distinction).
+    Use THIS wherever a fingerprint is grouped/deduped on; the plain
+    per-doc fingerprint surface (text.fingerprint) keeps honest NULLs."""
+    return F.coalesce(
+        F.sha2(normalize_text(), 256),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup: min doc_id survives per normalized-content
-    fingerprint. One shuffle on the sha2 key."""
-    fp = docs.select("doc_id", F.sha2(normalize_text(), 256).alias("fingerprint"))
+    fingerprint (NULL-safe: see content_fingerprint). One shuffle on
+    the sha2 key."""
+    fp = docs.select("doc_id", content_fingerprint().alias("fingerprint"))
     return (
         fp.groupBy("fingerprint")
         .agg(
@@ -471,7 +487,7 @@ def keep_first_by_fingerprint(
 
     w = Window.partitionBy("_fp").orderBy("doc_id")
     out = (
-        docs.withColumn("_fp", F.sha2(normalize_text(), 256))
+        docs.withColumn("_fp", content_fingerprint())
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")

@@ -64,12 +64,18 @@ def hash_split(
 
 
 def mix_sources(
-    docs: DataFrame, source_col: str, weights: dict[str, float], salt: str = "mix"
+    docs: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+    key_col: str = "doc_id",
 ) -> DataFrame:
     """Weighted corpus mixing: per-source keep-rates applied with the
     layout-independent hash rule — the 'data mixture' step of an LLM
     pipeline as one filter (no shuffle, no drift between runs).
-    Weights are keep-fractions per source; unlisted sources drop."""
+    Weights are keep-fractions per source; unlisted sources drop.
+    ``key_col`` is the stable id the keep-decision hashes on (same
+    contract as hash_sample / hash_split)."""
     rate = None
     for src, w in weights.items():
         if rate is None:
@@ -77,7 +83,7 @@ def mix_sources(
         else:
             rate = rate.when(F.col(source_col) == src, F.lit(w))
     rate = rate.otherwise(F.lit(0.0))
-    bucket = _key_bucket(F.col("doc_id"), salt)
+    bucket = _key_bucket(F.col(key_col), salt)
     # explicit floor: a bare long cast truncates in Spark but CAST
     # rounds in DuckDB — floor() agrees everywhere, so weights like 0.3
     # (not exactly representable) can't diverge by one bucket

@@ -138,25 +138,24 @@ def pairs_above_threshold(
 
 def _hyperplane_sign(e: Column, plane_seed: str, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane side: weight for element i
-    is ±1 from the parity of a sha2 hex char of (seed, i). Cheap,
-    seedable, reproducible across engines and runs."""
-    signs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            F.ascii(
-                F.substring(
-                    F.sha2(F.concat(F.lit(plane_seed + "_"), i.cast("string")), 256),
-                    1,
-                    1,
-                )
-            )
-            % 2
-            == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    is ±1 from the parity of the first sha256 hex char of
+    ``{plane_seed}_{i}`` — seedable, reproducible across engines and
+    runs. The signs depend only on (seed, i), so they are PRECOMPUTED
+    driver-side with hashlib (same sha256 → same hex → same parity as
+    the previous in-plan sha2 form, bit-identical output) and enter the
+    plan as a literal array: the hot path does dim multiply-adds per
+    plane instead of dim crypto hashes per row."""
+    import hashlib
+
+    signs = [
+        1.0
+        if ord(hashlib.sha256(f"{plane_seed}_{i}".encode()).hexdigest()[0]) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+    signs_col = F.array(*[F.lit(s) for s in signs])
     proj = F.aggregate(
-        F.zip_with(e, signs, lambda x, s: (x.cast("double") * s).cast(DEC)),
+        F.zip_with(e, signs_col, lambda x, s: (x.cast("double") * s).cast(DEC)),
         F.lit(0).cast(DEC),
         lambda acc, v: (acc + v).cast(DEC),
     ).cast("double")

@@ -87,10 +87,15 @@ def rolling_distinct_sketch(
     hash-checked oracle query."""
     daily = daily_distinct_sketches(events, key_col, ts_col, lg_k)
     # the un-partitioned window runs over the DAILY table — one row per
-    # day (bounded dimension), never event rows
+    # day (bounded dimension), never event rows. RANGE frame over a day
+    # index, not ROWS: with zero-event days missing from the daily table
+    # a rows frame would mean "last N observed days" and silently union
+    # sketches older than the window (the exact twin uses a true date
+    # range — a rows frame diverges from it on any gapped series).
+    day_idx = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
     w = (
-        Window.orderBy("day")
-        .rowsBetween(-(window_days - 1), 0)
+        Window.orderBy(day_idx)
+        .rangeBetween(-(window_days - 1), 0)
     )
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),

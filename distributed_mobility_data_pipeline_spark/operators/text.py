@@ -352,10 +352,23 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.sum("n_chunk_tokens").over(w)
+    # the capacity argument above assumes the chunks really were built
+    # with THIS chunk_size: a wider actual chunk (caller passed a
+    # chunk_size smaller than the one chunk_documents used) would
+    # silently overflow every pack, so fail loudly per-row instead
+    # (assert_true is NULL on success, making the when() a pass-through)
+    guard = F.assert_true(
+        F.col("n_chunk_tokens") <= chunk_size,
+        F.lit(
+            f"pack_chunks: chunk has more than chunk_size={chunk_size} "
+            "tokens — the at-most-budget guarantee would break; pass the "
+            "chunk_size the chunks were built with"
+        ),
+    )
     return chunks.select(
         "doc_id",
         "chunk_idx",
-        "n_chunk_tokens",
+        F.when(guard.isNull(), F.col("n_chunk_tokens")).alias("n_chunk_tokens"),
         cum.alias("cum_tokens"),
         (F.col("chunk_idx") / F.lit(per_pack)).cast("int").alias("pack_id"),
     )

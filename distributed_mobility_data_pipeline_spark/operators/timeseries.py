@@ -218,7 +218,13 @@ def seasonal_anomaly(
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
         F.sum("n").cast("bigint").alias("sum_n"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        # n² as DECIMAL, never bigint*bigint: n above ~3.0e9 events/hour
+        # would overflow int64 (ANSI error under Spark 4, silent wrap
+        # otherwise — the hazard cusum_alarms documents). decimal(38,0)
+        # keeps the sum exact AND order-free up to 1e38.
+        F.sum(
+            F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+        ).alias("sum_sq"),
     )
     mean = F.col("sum_n").cast("double") / F.col("n_obs")
     # sample variance from exact sums: (Σn² - (Σn)²/n_obs) / (n_obs-1)

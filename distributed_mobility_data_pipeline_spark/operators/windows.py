@@ -71,9 +71,13 @@ def _exact_rolling(
 
 
 def _std_from_moments(cnt: Column, s1: Column, s2: Column) -> Column:
-    return F.when(
-        cnt > 1, F.sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))
-    ).otherwise(F.lit(None))
+    # zero-clamp before sqrt: on constant-valued frames catastrophic
+    # cancellation can make s2 - s1²/cnt a tiny NEGATIVE double, and
+    # sqrt of that is NaN — which Spark orders GREATER than any number,
+    # so a downstream z-score filter would flag exactly the flat frames
+    # that have zero variance (same hardening as cusum_alarms).
+    var = F.greatest((s2 - s1 * s1 / cnt) / (cnt - 1), F.lit(0.0))
+    return F.when(cnt > 1, F.sqrt(var)).otherwise(F.lit(None))
 
 
 def with_rolling_rows(

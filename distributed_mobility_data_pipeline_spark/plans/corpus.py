@@ -144,14 +144,19 @@ def health_per_doc(docs: DataFrame) -> DataFrame:
     column expressions, single scan."""
     from distributed_mobility_data_pipeline_spark.operators.text import (
         lang_pred,
-        normalize_text,
         quality_parts,
+    )
+
+    from distributed_mobility_data_pipeline_spark.operators.dedup_llm import (
+        content_fingerprint,
     )
 
     n_tok, _, _, _, score = quality_parts()
     return docs.select(
         "source",
-        F.sha2(normalize_text(), 256).alias("_fp"),
+        # NULL-safe: a NULL-text doc counts as its own distinct content
+        # in the redundancy metric, not as a shared NULL fingerprint
+        content_fingerprint().alias("_fp"),
         n_tok.alias("_n_tok"),
         (score >= 0.5).cast("int").alias("_keep"),
         lang_pred().alias("_lang"),

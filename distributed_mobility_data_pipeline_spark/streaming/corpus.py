@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_mobility_data_pipeline_spark.operators.text import normalize_text
 
 DOCS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
@@ -41,7 +40,13 @@ def read_documents_stream(
 
 
 def with_fingerprint(docs: DataFrame) -> DataFrame:
-    return docs.withColumn("fingerprint", F.sha2(normalize_text(), 256))
+    # NULL-safe grouping fingerprint (dedup_llm.content_fingerprint):
+    # NULL-text docs must not collapse into one dropDuplicates group
+    from distributed_mobility_data_pipeline_spark.operators.dedup_llm import (
+        content_fingerprint,
+    )
+
+    return docs.withColumn("fingerprint", content_fingerprint())
 
 
 def dedup_stream_exact(docs: DataFrame) -> DataFrame:

@@ -117,3 +117,37 @@ def test_corpus_health_by_source_single_scan_and_counts(spark):
     # and once as a numbered "(n) Scan ..." detail header — count the
     # detail headers)
     assert len(re.findall(r"\(\d+\) Scan", plan)) == 1, plan[:1500]
+
+
+def test_null_text_docs_are_not_deduped_away(spark):
+    """NULL-text documents (failed fetches, pending extraction) must
+    each survive exact dedup as their own group — grouping on a plain
+    sha2(normalize_text) collapses every NULL-text doc into one NULL
+    fingerprint and silently drops all but the lowest id."""
+    from distributed_mobility_data_pipeline_spark.operators import dedup_llm
+    from distributed_mobility_data_pipeline_spark.streaming import (
+        corpus as stream_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", "a", 14),
+            (2, "same text here", "a", 14),  # true duplicate of 1
+            (10, None, "a", 0),
+            (11, None, "b", 0),
+            (12, None, "c", 0),
+        ],
+        "doc_id long, text string, source string, n_chars int",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_llm.keep_first_by_fingerprint(docs).collect()
+    )
+    assert kept == [1, 10, 11, 12]  # dup dropped; NULL-text docs all kept
+    exact = dedup_llm.exact_dedup(docs).collect()
+    assert sorted(r.keep_doc_id for r in exact) == [1, 10, 11, 12]
+    assert all(r.n_copies == 1 for r in exact if r.keep_doc_id >= 10)
+    # streaming batch twin shares the rule
+    kept_s = sorted(
+        r.doc_id for r in stream_corpus.dedup_batch_exact(docs).collect()
+    )
+    assert kept_s == [1, 10, 11, 12]

@@ -49,6 +49,24 @@ def test_rolling_frame_excludes_current_row(spark):
     assert rows[4].avg_w == 3.5  # rows 3,4 (frame of 2, excludes self)
 
 
+def test_rolling_std_is_zero_not_nan_on_constant_frames(spark):
+    """s2 - s1²/cnt can cancel to a tiny NEGATIVE double on a constant
+    series; sqrt of that is NaN, and Spark orders NaN above every
+    number — a z-score filter would then flag exactly the flat frames.
+    The moment formula must zero-clamp."""
+    import math
+
+    v = 35273.368321  # a value whose squared moments don't cancel cleanly
+    df = spark.createDataFrame(
+        [("g", i, v) for i in range(1, 6)], "g string, i long, v double"
+    )
+    rows = windows.with_rolling_rows(df, ["g"], "i", "v", 4, "w").collect()
+    for r in rows:
+        if r.std_w is not None:
+            assert not math.isnan(r.std_w), r
+            assert r.std_w == 0.0, r
+
+
 def test_histogram_clamps_out_of_range(spark):
     df = spark.createDataFrame(
         [(-5.0,), (5.0,), (15.0,), (999.0,), (None,)], "x double"

@@ -244,3 +244,32 @@ def test_winsorize_hist_lo_p_zero_clamps_at_lo_edge(spark):
     assert out[23.0] == 23.0
     # upper cutoff = the hist median (~50): larger values clamp DOWN
     assert out[77.0] <= 60.0
+
+
+def test_rolling_distinct_sketch_respects_day_gaps(spark):
+    """The sketch window must be a true trailing-N-DAYS range, not the
+    last N observed ROWS: activity older than the window separated by a
+    gap of zero-event days must NOT inflate the estimate (it used to —
+    a rows frame unioned the stale sketches)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12)
+    rows = []
+    for day, users in ((0, (1, 2, 3)), (1, (4, 5, 6)), (9, (7, 8, 9))):
+        for u in users:
+            rows.append((base + datetime.timedelta(days=day), u))
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {
+        r.day: r.approx_users
+        for r in sketches.rolling_distinct_sketch(
+            df, window_days=7
+        ).collect()
+    }
+    exact = {
+        r.day: r.n_users
+        for r in sketches.rolling_distinct_exact(df, window_days=7).collect()
+    }
+    # day 9 sits > 7 days after days 0/1: only its own 3 users count
+    assert exact["2024-01-10"] == 3
+    assert got["2024-01-10"] == 3  # HLL exact at tiny cardinality
+    assert got == exact
