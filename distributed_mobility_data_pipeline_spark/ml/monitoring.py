@@ -83,8 +83,13 @@ def alerts(record: DataFrame, feature_col: str) -> DataFrame:
         F.when(shift_col >= MISSING_SHIFT_WARN, F.lit("warn"))
         .otherwise(F.lit("ok"))
         .alias("missing_status"),
+        # NULL ratio means the baseline window had ZERO rows (outage or
+        # misconfigured split) — the case that must alarm loudest, and
+        # exactly the one `NULL < x -> otherwise('ok')` would wave through
         F.when(
-            F.col("volume_ratio") < VOLUME_DROP_RATIO, F.lit("critical")
+            F.col("volume_ratio").isNull()
+            | (F.col("volume_ratio") < VOLUME_DROP_RATIO),
+            F.lit("critical"),
         )
         .otherwise(F.lit("ok"))
         .alias("volume_status"),

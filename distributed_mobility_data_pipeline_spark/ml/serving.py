@@ -87,17 +87,22 @@ def serve_surge(
 
 
 def log_prediction_events(
-    responses: DataFrame, path: str, task: str, latency_ms: int
+    responses: DataFrame, path: str, task: str, latency_ms: int,
+    status: int = 200,
 ) -> None:
-    """Append prediction events as JSONL (app.py:219-239's log shape;
-    read back by ml/monitoring.latency_stats). Distributed append — no
-    driver-side row loop."""
+    """Append prediction events as JSONL (app.py:219-239's log shape,
+    extended with the endpoint/status fields ml/monitoring.latency_stats
+    groups and error-counts on — the reference logs latency_ms only, so
+    without these the documented log→stats round-trip would fail on
+    UNRESOLVED_COLUMN). Distributed append — no driver-side row loop."""
     (
         responses.select(
             "request_id",
             F.lit(task).alias("task"),
+            F.lit(f"/predict/{task}").alias("endpoint"),
             "model_used",
             F.lit(latency_ms).alias("latency_ms"),
+            F.lit(status).alias("status"),
         )
         .write.mode("append")
         .json(path)

@@ -41,7 +41,17 @@ def silver(bronze_df: DataFrame) -> DataFrame:
     df = cleaning.require_not_null(
         df, ["trip_id", "user_id", "driver_id", "requested_at"]
     )
-    return dedup.keep_latest(df, ["trip_id"], "ingested_at", ["source_file"])
+    # bronze() stamps one current_timestamp() per QUERY and one literal
+    # source_file per load, so same-load duplicates of a trip_id tie on
+    # both — tiebreak on the remaining payload columns too, making the
+    # survivor a deterministic function of row CONTENT rather than
+    # shuffle order (keep_latest exists precisely to fix the reference's
+    # nondeterministic tie; an incomplete tiebreak reintroduced it)
+    tiebreak = ["source_file"] + sorted(
+        c for c in df.columns
+        if c not in ("trip_id", "ingested_at", "source_file")
+    )
+    return dedup.keep_latest(df, ["trip_id"], "ingested_at", tiebreak)
 
 
 def gold(silver_df: DataFrame) -> dict[str, DataFrame]:

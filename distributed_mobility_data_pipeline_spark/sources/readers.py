@@ -120,12 +120,19 @@ def load_testdata(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:
     """Load the driver's parquet tables from ``sf_dir`` and register each
-    as a temp view (so both DataFrame and ``spark.sql`` paths work)."""
+    as a temp view (so both DataFrame and ``spark.sql`` paths work).
+    ``events`` goes through :func:`read_events` — like
+    catalog.register_views — so its ts column is normalized to
+    TimestampType regardless of the file's timestamp encoding (a plain
+    parquet read leaves µs data as timestamp_ntz and fails outright on
+    the nanos encoding FIXTURES.md documents)."""
     out: dict[str, DataFrame] = {}
     for name in tables or schemas.TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
-            df = spark.read.parquet(p)
+            df = read_events(spark, p) if name == "events" else (
+                spark.read.parquet(p)
+            )
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -241,11 +241,29 @@ def merge_upsert(
     if not table_exists(spark, path):
         write_overwrite(source, path, partition_by)
         return
+    _replace_keys_and_swap(
+        spark, path, source, source, keys, "._tmp_merge", partition_by
+    )
+
+
+def _replace_keys_and_swap(
+    spark: SparkSession,
+    path: str,
+    key_rows: DataFrame,
+    new_rows: DataFrame,
+    keys: list[str],
+    tmp_suffix: str,
+    partition_by: list[str] | None,
+) -> None:
+    """Shared parquet-MERGE tail (merge_upsert + apply_cdc_batch —
+    one home for the rewrite so fixes can't drift between them): drop
+    every target row whose key appears in ``key_rows`` (null-safe <=>,
+    matching the Delta MERGE condition: NULL-keyed rows replace their
+    NULL-keyed match instead of duplicating on every re-run), union
+    ``new_rows``, write to a sibling temp path, swap atomically — a
+    crash mid-write keeps the old table."""
     target = spark.read.parquet(path)
-    # Null-safe key comparison (<=>) matches the Delta MERGE condition
-    # above: rows with NULL merge keys replace their NULL-keyed match
-    # instead of duplicating on every re-run.
-    src_keys = source.select(*keys).dropDuplicates(keys).alias("_mrg_s")
+    src_keys = key_rows.select(*keys).dropDuplicates(keys).alias("_mrg_s")
     tgt = target.alias("_mrg_t")
     cond = reduce(
         lambda a, b: a & b,
@@ -255,10 +273,8 @@ def merge_upsert(
         ],
     )
     kept = tgt.join(src_keys, on=cond, how="left_anti")
-    merged = kept.unionByName(source, allowMissingColumns=True)
-    # Write the merged table to a sibling temp path, then swap atomically
-    # — no lineage break needed, and a crash mid-write keeps the old table.
-    tmp = path + "._tmp_merge"
+    merged = kept.unionByName(new_rows, allowMissingColumns=True)
+    tmp = path + tmp_suffix
     writer = merged.write.mode("overwrite").format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -306,24 +322,11 @@ def apply_cdc_batch(
     if not table_exists(spark, path):
         write_overwrite(upserts, path, partition_by)
         return
-    target = spark.read.parquet(path)
-    all_keys = latest.select(*keys).dropDuplicates(keys).alias("_cdc_s")
-    tgt = target.alias("_cdc_t")
-    cond = reduce(
-        lambda a, b: a & b,
-        [
-            F.col(f"_cdc_t.`{k}`").eqNullSafe(F.col(f"_cdc_s.`{k}`"))
-            for k in keys
-        ],
+    # keys come from ALL latest changes (deletes drop the key from the
+    # table); only the upsert rows come back in
+    _replace_keys_and_swap(
+        spark, path, latest, upserts, keys, "._tmp_cdc", partition_by
     )
-    kept = tgt.join(all_keys, on=cond, how="left_anti")
-    merged = kept.unionByName(upserts, allowMissingColumns=True)
-    tmp = path + "._tmp_cdc"
-    writer = merged.write.mode("overwrite").format("parquet")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.save(tmp)
-    _atomic_replace(spark, tmp, path)
 
 
 def _spread_bits16(x):
@@ -368,7 +371,11 @@ def delete_where(
     """
     df = spark.read.parquet(path)
     kept = df.filter(~predicate | predicate.isNull())
-    n_deleted = df.count() - kept.count()
+    # one aggregate, not two full-scan count()s: rows are deleted iff
+    # the predicate is TRUE (NULL keeps the row, matching the filter)
+    n_deleted = df.agg(
+        F.sum(F.when(predicate, 1).otherwise(0)).cast("bigint")
+    ).collect()[0][0] or 0
     if n_deleted == 0:
         return 0
     tmp = path + "._tmp_delete"

@@ -77,10 +77,24 @@ def dedup_stream_within_watermark(
 ) -> DataFrame:
     """Bounded-state variant: duplicates are only suppressed within the
     watermark horizon — the production choice when re-ingestions arrive
-    close to the original and state must not grow forever."""
+    close to the original and state must not grow forever.
+
+    ``ts_col`` is the INGEST event-time column the watermark advances
+    on. The raw documents table (DOCS_SCHEMA) carries no timestamp, so
+    an ingest pipeline stamps one (e.g. ``withColumn("ingested_at",
+    F.current_timestamp())``) before this stage; a missing column is
+    rejected up front with the composition hint rather than a bare
+    UNRESOLVED_COLUMN from inside withWatermark."""
     fp = with_fingerprint(docs)
     if not fp.isStreaming:
         return fp.dropDuplicates(["fingerprint"])
+    if ts_col not in fp.columns:
+        raise ValueError(
+            f"dedup_stream_within_watermark: column {ts_col!r} not in "
+            f"{fp.columns} — stamp an ingest timestamp on the stream "
+            "(e.g. .withColumn('ingested_at', current_timestamp())) "
+            "before the bounded-state dedup"
+        )
     return fp.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )

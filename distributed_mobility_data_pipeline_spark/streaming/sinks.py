@@ -42,16 +42,22 @@ def stream_merge_upsert(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         one = batch_df
         if dedup_order_col is not None:
-            from pyspark.sql import Window
-            from pyspark.sql import functions as F
+            from distributed_mobility_data_pipeline_spark.operators import dedup
 
-            w = Window.partitionBy(*keys).orderBy(
-                F.col(dedup_order_col).desc(), *[F.col(k) for k in keys]
+            # the canonical keep-latest (don't re-inline it), tiebroken
+            # on every NON-key payload column: the keys are constant
+            # inside each window partition, so tiebreaking on them (the
+            # old inline form) left equal-order_col rows to arbitrary
+            # shuffle order — a replayed micro-batch could then pick a
+            # DIFFERENT survivor and break the module's replay-converges
+            # claim. Content-based tiebreak is deterministic for any
+            # row multiset.
+            tiebreak = sorted(
+                c for c in batch_df.columns
+                if c not in keys and c != dedup_order_col
             )
-            one = (
-                batch_df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
+            one = dedup.keep_latest(
+                batch_df, keys, dedup_order_col, tiebreak
             )
         writers.merge_upsert(
             batch_df.sparkSession, one, path, keys, partition_by
@@ -101,17 +107,31 @@ def stream_quality_gate(
     checks: dict[str, "Column"],
     checkpoint_dir: str,
 ):
-    """foreachBatch quality gate: per micro-batch, passing rows append
-    to the main table, failing rows (with their violation list) append
-    to the quarantine path. Returns the started StreamingQuery."""
+    """foreachBatch quality gate: per micro-batch, passing rows land in
+    the main table and failing rows (with their violation list) in the
+    quarantine path — both partitioned by batch_id with dynamic
+    partition overwrite, so a REPLAYED micro-batch (at-least-once
+    delivery; crash between write and checkpoint commit) rewrites its
+    own partition instead of double-appending (same idempotency
+    discipline as histogram_apply_batch / neardedup_apply_batch).
+    Returns the started StreamingQuery."""
     from pyspark.sql import functions as F
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         good, bad = quality_gate_split(batch_df, checks)
-        good.write.mode("append").parquet(good_path)
+        (
+            good.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(good_path)
+        )
         (
             bad.withColumn("violations", F.concat_ws(",", "violations"))
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(quarantine_path)
         )
 
@@ -152,14 +172,19 @@ def stream_drift_monitor(
         if n == 0:
             return
         psi = drift.psi_fixed_bins(baseline, batch_df, col, edges)
+        # batch_id-partitioned dynamic overwrite: a replayed batch
+        # rewrites its own one-row partition instead of appending a
+        # duplicate (batch_id, psi) record to the dashboard feed
         (
             psi.select(
-                F.lit(batch_id).alias("batch_id"),
                 "psi",
                 "n_buckets",
                 F.lit(n).alias("n_rows"),
+                F.lit(batch_id).alias("batch_id"),
             )
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_path)
         )
 

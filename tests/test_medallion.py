@@ -87,3 +87,24 @@ def test_medallion_persist_roundtrip(spark, tmp_path):
         F.col("requested_date") == F.lit(one_day)
     )
     assert 0 < pruned.count() < back.count()
+
+
+def test_silver_dedup_is_deterministic_on_same_load_duplicates(spark):
+    """bronze() stamps one current_timestamp per query and one
+    source_file per load, so duplicate trip_ids tie on the dedup order
+    columns — the survivor must be a deterministic function of row
+    CONTENT (payload tiebreak), not of shuffle order."""
+    import pandas as pd
+
+    pdf = trips_pdf(n=40, n_dups=0)
+    dup = pdf.iloc[[0]].copy()
+    dup["fare_amount"] = dup["fare_amount"] + 1.0  # same trip_id, new payload
+    raw_pdf = pd.concat([pdf, dup], ignore_index=True)
+    picks = set()
+    for n_parts in (1, 7, 32):
+        raw = spark.createDataFrame(raw_pdf).repartition(n_parts)
+        sil = medallion.silver(medallion.bronze(raw))
+        r = [x for x in sil.collect() if x.trip_id == 1]
+        assert len(r) == 1
+        picks.add(r[0].fare_amount)
+    assert len(picks) == 1, picks  # content-deterministic survivor

@@ -225,3 +225,15 @@ def test_k_anonymity_flags_small_groups(spark):
         quality.k_anonymity_report(df, [], 3)
     with _pytest.raises(ValueError):
         quality.k_anonymity_report(df, ["qi1"], 1)
+
+
+def test_alerts_null_volume_ratio_is_critical(spark):
+    """An EMPTY baseline window yields volume_ratio NULL (can't
+    compute) — the outage case must alarm, not read as 'ok' via
+    NULL < threshold -> otherwise('ok')."""
+    rec = spark.createDataFrame(
+        [(0.0, 0.0, None)],
+        "psi_n_lag_1 double, missing_shift_n_lag_1 double, volume_ratio double",
+    )
+    al = {r.check: r.status for r in monitoring.alerts(rec, "n_lag_1").collect()}
+    assert al["volume"] == "critical"

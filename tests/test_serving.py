@@ -43,7 +43,16 @@ def test_prediction_log_roundtrip(spark, tmp_path):
     assert {r.latency_ms for r in back.collect()} == {12, 20}
     assert back.columns and set(back.columns) >= {
         "request_id", "task", "model_used", "latency_ms",
+        "endpoint", "status",
     }
+    # the DOCUMENTED round-trip: the log this module writes must feed
+    # ml/monitoring.latency_stats directly (it groups on endpoint and
+    # error-counts on status — a log without them fails to resolve)
+    from distributed_mobility_data_pipeline_spark.ml import monitoring
+
+    stats = monitoring.latency_stats(back).collect()
+    assert len(stats) == 1 and stats[0].endpoint == "/predict/demand"
+    assert stats[0].n_requests == 2 and stats[0].n_errors == 0
 
 
 def test_health_row(spark):

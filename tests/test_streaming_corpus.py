@@ -88,3 +88,35 @@ def test_stream_health_matches_batch_and_replays_idempotently(
     for s in merged:
         assert again[s].n_docs == merged[s].n_docs
         assert again[s].approx_unique_texts == merged[s].approx_unique_texts
+
+
+def test_watermark_dedup_validates_and_runs(spark, tmp_path):
+    """dedup_stream_within_watermark: a stream without the ingest
+    timestamp is rejected with the composition hint; with one stamped,
+    the bounded-state dedup runs end-to-end and suppresses the
+    re-ingested duplicate."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s0", 10), (2, "gamma delta", "en", "s0", 11)],
+        sc.DOCS_SCHEMA,
+    )
+    redo = spark.createDataFrame(
+        [(3, "Alpha  Beta", "en", "s1", 11)], sc.DOCS_SCHEMA
+    )  # normalizes to doc 1's content
+    base.write.parquet(str(tmp_path / "f1.parquet"))
+    redo.write.parquet(str(tmp_path / "f2.parquet"))
+    raw = sc.read_documents_stream(spark, str(tmp_path / "f*.parquet"))
+
+    with pytest.raises(ValueError, match="ingested_at"):
+        sc.dedup_stream_within_watermark(raw)
+
+    stamped = raw.withColumn("ingested_at", F.current_timestamp())
+    out = run_stream_to_memory(
+        spark,
+        sc.dedup_stream_within_watermark(stamped),
+        "corpus_wm_dedup",
+        "append",
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept in ([1, 2], [2, 3])  # one survivor per content, doc 2 always
