@@ -136,9 +136,9 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n.startswith("bench_") and n not in HEADLINE
-    ]
+    # the headline set is the closed list above — rounds stay comparable
+    # only if nothing can join it implicitly
+    names = [n for n in HEADLINE if n in qs]
     # COLD pass: first execution in a fresh JVM — includes codegen/JIT and
     # first-touch scan I/O (caches warm progressively as the pass runs, so
     # only the earliest queries see a truly cold page cache).
@@ -165,7 +165,15 @@ def main() -> None:
     extended = _run_pass(
         spark, qs, [n for n in EXTENDED if n in qs], errors_ext
     )
-    calibration = _calibration(spark)
+    # the canary must not be able to kill the artifact: a broken
+    # lineitem scan here would discard every timing already gathered
+    # and leave the driver with parsed:null (the r03 failure mode the
+    # per-query guards exist to prevent)
+    try:
+        calibration = _calibration(spark)
+    except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+        print(f"bench: calibration failed: {exc}", file=sys.stderr)
+        calibration = None
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",

@@ -130,10 +130,12 @@ def test_key_skew_report_orders_and_accumulates(spark):
     assert out[1].cum_share > out[0].cum_share  # cumulative is monotone
 
 
-def test_incremental_state_merge_equals_full_aggregate(spark):
+def test_incremental_state_merge_equals_full_aggregate(spark, sf_dir):
+    import os
+
     from distributed_mobility_data_pipeline_spark.operators import aggregates as agg
 
-    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     from pyspark.sql import functions as F
 
     full = agg.finalize_daily_revenue(agg.daily_revenue_state(li))

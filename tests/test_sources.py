@@ -56,7 +56,9 @@ def test_optimize_layout_parquet(spark, tmp_path):
     assert back.select(F.sum("id")).collect()[0][0] == 499500
 
 
-def test_orc_roundtrip(spark, tmp_path):
+def test_orc_read_with_filter(spark, tmp_path):
+    # distinct name from the write/read round-trip test below — a
+    # duplicate definition would shadow this one and kill its coverage
     p = str(tmp_path / "orc_t")
     spark.range(100).withColumn("k", F.col("id") % 5).write.orc(p)
     df = readers.read_orc(spark, p)

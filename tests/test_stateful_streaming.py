@@ -42,6 +42,13 @@ def test_stateful_running_totals(spark, sf_dir):
             F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias("total_value"),
         )
     )
-    got = {(r.event_type, r.total_events) for r in final.collect()}
-    want = {(r.event_type, r.total_events) for r in truth.collect()}
-    assert got == want and len(got) > 0
+    got = {r.event_type: r for r in final.collect()}
+    want = {r.event_type: r for r in truth.collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        assert got[k].total_events == want[k].total_events, k
+        # value accumulation order differs (incremental state vs one
+        # batch sum), so compare at the op's own 1e-6 rounding grain
+        assert abs(got[k].total_value - want[k].total_value) <= 1e-6, (
+            k, got[k].total_value, want[k].total_value
+        )

@@ -27,7 +27,13 @@ import __spark_entry__ as entrymod
 def main() -> None:
     green: set[str] = set()
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    # anchor at the repo root (like the import path above): a CWD-relative
+    # glob run from tools/ would find zero artifacts and silently emit a
+    # rotation that marks every query never-checked
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert artifacts, f"no CORRECTNESS_r*.json under {root}"
+    for path in artifacts:
         rnd = int(path.split("_r")[-1].split(".")[0])
         with open(path) as f:
             art = json.load(f)

@@ -66,9 +66,18 @@ def main() -> None:
         "the queries whose shuffle/partitioning strategy matters at 100 TB",
         "(documents/embeddings tables grow 10×, not 100×, across these sf dirs).",
     ]
-    with open("SCALE_NOTES.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote SCALE_NOTES.md")
+    # NEVER truncate SCALE_NOTES.md: later rounds append probe sections
+    # and hand-written findings there (pipeline_bench.py, round notes) —
+    # a 'w' rewrite would silently destroy that evidence. Emit this
+    # run's table as its own dated-by-round section at the END, anchored
+    # at the repo root so CWD doesn't matter.
+    notes = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_NOTES.md",
+    )
+    with open(notes, "a") as f:
+        f.write("\n## scale_curve.py run\n\n" + "\n".join(lines) + "\n")
+    print("appended to SCALE_NOTES.md")
 
 
 if __name__ == "__main__":

@@ -82,7 +82,10 @@ def gen_docs(spark) -> None:
         salted.alias("text"),
         "lang",
         "source",
-        "n_chars",
+        # recompute from the SALTED text — tokens grew by "_<r>", so the
+        # copied source n_chars would understate length and skew any
+        # quality/length-scored operator timed against the probe slice
+        F.length(salted).cast("long").alias("n_chars"),
     ).repartition(32).write.mode("overwrite").parquet(
         os.path.join(PROBE, "documents.parquet")
     )
