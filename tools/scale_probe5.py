@@ -41,6 +41,12 @@ PROBE_ROOT = "/tmp/spark_graft_r7_probe"
 
 QUERIES = ["star_trips_fact", "agg_pricing_summary", "dedup_keep_latest"]
 
+# documents-table family (run with --docs): replicas carry doc_id-salted
+# tokens (same honest regime as scale_probe4 — cross-replica fingerprint
+# overlap is zero, so dup-pair volume grows with dup DENSITY, not
+# corpus² — unsalted replicas would manufacture quadratic pairs)
+DOC_QUERIES = ["text_doc_stats", "dedup_docs_minhash_lsh", "dedup_docs_winnow"]
+
 # facts (events/orders/lineitem) are replicated explicitly in
 # generate(); these small dims are copied verbatim
 DIMS = ("customer", "supplier", "part", "nation", "region")
@@ -93,6 +99,31 @@ def generate(spark, n_rep: int) -> None:
             shutil.copyfile(src, dst)
 
 
+def generate_docs(spark, n_rep: int) -> None:
+    out = probe_dir(n_rep)
+    reps = spark.range(n_rep).withColumnRenamed("id", "r")
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    salted = F.when(F.col("r") == 0, F.col("text")).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit("_"), F.col("r").cast("string")),
+            ),
+        )
+    )
+    docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("r") * n).alias("doc_id"),
+        salted.alias("text"),
+        "lang",
+        "source",
+        F.length(salted).cast("long").alias("n_chars"),
+    ).repartition(max(16, n_rep)).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+
 def _time(qs, name, spark, d) -> float:
     t0 = time.time()
     qs[name](spark, d).write.format("noop").mode("overwrite").save()
@@ -101,18 +132,20 @@ def _time(qs, name, spark, d) -> float:
 
 def main() -> None:
     decades = [int(a) for a in sys.argv[1:] if a.isdigit()] or [10, 100]
+    docs_mode = "--docs" in sys.argv
     spark = get_spark("scale_probe5")
     for n in decades:
+        marker = "documents.parquet" if docs_mode else "lineitem.parquet"
         if "--regen" in sys.argv or not os.path.exists(
-            os.path.join(probe_dir(n), "lineitem.parquet")
+            os.path.join(probe_dir(n), marker)
         ):
             t0 = time.time()
-            generate(spark, n)
+            (generate_docs if docs_mode else generate)(spark, n)
             print(f"generated {n}x slice in {time.time() - t0:.1f}s", flush=True)
 
     qs = entrymod.queries()
     rows = []
-    for name in QUERIES:
+    for name in DOC_QUERIES if docs_mode else QUERIES:
         _time(qs, name, spark, SF01)  # warm the shape
         t = {1: _time(qs, name, spark, SF01)}
         for n in decades:
