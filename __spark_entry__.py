@@ -312,72 +312,72 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-7 rotation (driver caps its check at the first 50 queries() keys;
+# Round-8 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# After r06 every query has had at least one driver row, so the rotation
-# is now pure recency maintenance:
-# 1) sim_pq_encode — deterministic but previously rows-only; gained a
-#    DuckDB oracle this round, so its first HASH row lands here;
-# 2) the 20 queries whose latest driver green is r02 (VERDICT r06 #2's
-#    full list — the band-4 spill the r06 window couldn't reach);
-# 3) oldest r03 greens, queries()-order, filling the 50-slot window.
+# Every query has had a driver row and none is staler than r03, so the
+# rotation is pure recency maintenance:
+# 1) sim_ivf_ann_fixed — new this round (fixed-centroid IVF twin; its
+#    first HASH row lands here);
+# 2) the 19 queries whose latest driver green is r03 (drains the band);
+# 3) oldest r04 greens, queries()-order, filling the 50-slot window
+#    (30 of 49 fit; the rest lead r09's band).
 # All queries were locally oracle-verified on current data this session
 # (tools/verify_local.py: 0 fails), so staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
-    # band 1 — oracles added this round (were no_oracle in r06)
-    "sim_pq_encode",
-    "sim_pq_ann",
-    "sim_lsh_bucketed_ann",
-    # band 2 — latest driver green is r02 (20 queries, drains the band)
-    "agg_large_volume_customers",
-    "agg_dormant_customers",
-    "agg_nation_trade_volume",
-    "agg_market_share",
-    "agg_top_revenue_suppliers",
-    "agg_brand_promo_revenue",
-    "agg_sole_return_suppliers",
-    "agg_important_part_values",
-    "agg_unpivot_measures",
-    "agg_grouping_sets",
-    "sample_hash_docs",
-    "sample_hash_split_train",
-    "sample_mix_sources",
-    "scale_salted_count",
-    "agg_small_quantity_orders",
-    "scalar_string_functions",
-    "scalar_date_functions",
-    "scalar_math_functions",
-    "win_distribution_functions",
-    "agg_exact_quantiles",
-    # band 3 — oldest r03 greens (27 fit; rotation continues in r08)
-    "agg_hourly_demand",
-    "agg_revenue_daily",
-    "agg_driver_daily_summary",
-    "agg_pricing_summary",
-    "agg_supply_demand_hourly",
-    "agg_approx_distinct_hourly",
-    "agg_histogram_value",
-    "agg_status_distribution",
-    "agg_top_k_global",
-    "agg_top_k_per_group",
-    "agg_cube_revenue",
-    "agg_rollup_revenue",
-    "agg_pivot_status",
-    "clean_ensure_columns",
-    "clean_range_filter",
-    "dedup_keep_latest",
-    "dedup_distinct_projection",
-    "dedup_duplicate_stats",
-    "star_dim_time",
-    "star_dim_entity",
-    "star_dim_locations",
-    "star_trips_fact",
-    "star_payments_fact",
-    "join_ri_check",
-    "join_semi_orders_with_lines",
-    "join_anti_customers_no_orders",
-    "set_union_nation_keys",
+    # band 1 — oracle-backed query added this round
+    "sim_ivf_ann_fixed",
+    # band 2 — latest driver green is r03 (19 queries, drains the band)
+    "set_intersect_nation_keys",
+    "set_except_nation_keys",
+    "win_lag_demand",
+    "win_rolling_rows",
+    "sim_mllib_lsh",
+    "sim_ivf_ann",
+    "sample_bernoulli",
+    "array_functions_embeddings",
+    "ml_demand_features",
+    "ml_churn_features",
+    "ml_score_pandas_udf",
+    "ml_score_expression",
+    "ml_score_surge",
+    "serve_demand_batch",
+    "ml_train_demand_models",
+    "ml_train_classifier",
+    "mm_media_metadata",
+    "mm_extract_features",
+    "drift_missing_rate_shift",
+    # band 3 — oldest r04 greens (30 fit; rotation continues in r09)
+    "clean_events_silver",
+    "win_rolling_range_days",
+    "win_running_total",
+    "win_rank_customers",
+    "win_churn_label",
+    "quality_null_report",
+    "quality_full_report",
+    "quality_negative_report",
+    "quality_freshness",
+    "quality_volume_check",
+    "metrics_regression",
+    "drift_psi_fixed_bins",
+    "drift_psi_quantile_bins",
+    "text_doc_stats",
+    "text_token_frequencies",
+    "text_language_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_token_count_bpe",
+    "text_chunk_documents",
+    "text_redact_pii",
+    "text_contamination",
+    "text_repetition_stats",
+    "text_pack_chunks",
+    "sample_mixing_weights",
+    "sim_quantize_embeddings",
+    "stream_corpus_dedup",
+    "quality_gate_quarantine",
+    "dedup_corpus_diff",
+    "text_quality_percentile",
 ]
 
 
@@ -1138,6 +1138,16 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4],
             centroids=_ivf_centroids(s, d),
         ),
+        # IVF ANN with fixed formula centroids: same assignment/probe/
+        # top-k machinery as sim_ivf_ann, but deterministic centroids
+        # shared with the DuckDB oracle → the whole IVF pipeline is
+        # hash-checked (the KMeans-trained path above stays recall-pinned
+        # in tests/test_ann_quality).
+        "sim_ivf_ann_fixed": lambda s, d: sim_ops.ivf_ann(
+            _t(s, d, "embeddings"), [0, 1, 2, 3, 4],
+            n_probe=4, k=3,
+            centroids=sim_ops.fixed_ivf_centroids(64),
+        ),
         # PQ encode: the argmin-over-codebooks mapping, hash-checked
         # against DuckDB. Uses deterministic formula codebooks (same
         # float literals embedded in both engines — see
@@ -1795,6 +1805,75 @@ def _pq_encode_cte() -> str:
           FROM e CROSS JOIN books b
           GROUP BY e.vec_id, e.label, b.j
         )"""
+
+
+def _ivf_ann_fixed_oracle_sql(n_probe: int = 4, k: int = 3) -> str:
+    """DuckDB twin of sim_ivf_ann_fixed: the full IVF pipeline with the
+    shared fixed formula centroids (similarity.fixed_ivf_centroids —
+    identical float literals embedded here via repr). Mirrors each stage
+    of ivf_ann exactly:
+
+    1. cell assignment — argmax(dot(e,c) − ||c||²/2) where half_cc is
+       the PYTHON-float literal (assign_ivf_cells builds it with
+       F.lit(sum(x*x)/2)), ties → larger cell (Spark's array_max over
+       (score, cell) structs);
+    2. probe ranking — per query, cells by fixed-point dot(q,c) −
+       fixed-point dot(c,c)/2 (ivf_ann computes cc with _dot, NOT the
+       Python literal), ties → smaller cell, top n_probe;
+    3. within-cell cosine — shared fixed-point dot / (qn·cn), rank by
+       cos_sim DESC, vid ASC, top k."""
+    cents = sim_ops.fixed_ivf_centroids(64)
+    rows = []
+    for cell, c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        half = repr(sum(x * x for x in c) / 2.0)
+        rows.append(f"({cell}, {lit}, {half})")
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH cents(cell, centroid, half_cc) AS (VALUES
+              {values}
+        ),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+        ),
+        assigned AS (
+          SELECT e.vec_id, e.emb,
+                 first(c.cell ORDER BY
+                       {_dot_sql("e.emb", "c.centroid")} - c.half_cc DESC,
+                       c.cell DESC) AS cell
+          FROM e CROSS JOIN cents c
+          GROUP BY e.vec_id, e.emb
+        ),
+        q AS (
+          SELECT vec_id AS qid, emb AS qe,
+                 sqrt({_norm2_sql("emb")}) AS qn
+          FROM assigned WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        probes AS (
+          SELECT qid, qe, qn, cell FROM (
+            SELECT q.qid, q.qe, q.qn, c.cell,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     {_dot_sql("q.qe", "c.centroid")}
+                       - {_norm2_sql("c.centroid")} / 2 DESC,
+                     c.cell ASC) AS r
+            FROM q CROSS JOIN cents c
+          ) WHERE r <= {n_probe}
+        ),
+        scored AS (
+          SELECT p.qid, a.vec_id AS vid,
+                 {_dot_sql("p.qe", "a.emb")}
+                 / (p.qn * sqrt({_norm2_sql("a.emb")})) AS cos_sim
+          FROM probes p JOIN assigned a ON p.cell = a.cell
+          WHERE p.qid != a.vec_id
+        )
+        SELECT qid, vid, CAST(rank AS INT) AS rank, cos_sim
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, vid) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def _lsh_bucketed_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
@@ -4130,6 +4209,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "sim_pq_encode": _pq_encode_oracle_sql(),
         "sim_pq_ann": _pq_ann_oracle_sql(),
+        "sim_ivf_ann_fixed": _ivf_ann_fixed_oracle_sql(),
         "sim_lsh_bucketed_ann": _lsh_bucketed_oracle_sql(),
         "dedup_embedding_clusters": """
             WITH RECURSIVE n2 AS (

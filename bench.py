@@ -116,6 +116,46 @@ def _run_pass(spark, qs, names: list[str], errors: dict[str, str]) -> dict[str, 
     return timings
 
 
+def _run_warm_median(
+    spark,
+    qs,
+    names: list[str],
+    errors: dict[str, str],
+    repeats: int = 3,
+) -> tuple[dict[str, float], dict[str, list[float]], float]:
+    """Warm panel with per-query median-of-N timings.
+
+    Single-shot warm totals could not distinguish a ~10% regression from
+    host variance (VERDICT r07 #1: an outlier query moved +48% in the
+    capture and reverted on re-run). N full passes — pass-interleaved,
+    not back-to-back per query, so each repeat sees the same cache state
+    the old single warm pass saw — give a per-query median plus a
+    dispersion figure, making round-over-round deltas signal.
+
+    Returns (medians, per-query runs, spread_sec) where spread_sec is
+    the summed per-query half-range (max−min)/2 — an error bar on the
+    warm total. A query that fails every pass lands in ``errors``; one
+    that fails some passes keeps the median of its successful runs."""
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    last_err: dict[str, str] = {}
+    for _ in range(repeats):
+        pass_err: dict[str, str] = {}
+        pass_t = _run_pass(spark, qs, names, pass_err)
+        for n, t in pass_t.items():
+            runs[n].append(t)
+        last_err.update(pass_err)
+    medians: dict[str, float] = {}
+    spread = 0.0
+    for n in names:
+        ts = sorted(runs[n])
+        if not ts:
+            errors[n] = last_err.get(n, "failed every warm pass")
+            continue
+        medians[n] = ts[len(ts) // 2]
+        spread += (ts[-1] - ts[0]) / 2.0
+    return medians, {n: ts for n, ts in runs.items() if ts}, round(spread, 3)
+
+
 def _calibration(spark) -> float:
     """Host-speed canary: a fixed, plan-stable full scan-count of
     lineitem (no filter, no shuffle beyond the count agg). Its runtime
@@ -160,7 +200,7 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-    timings = _run_pass(spark, qs, names, errors)
+    timings, warm_runs, warm_spread = _run_warm_median(spark, qs, names, errors)
     errors_ext: dict[str, str] = {}
     extended = _run_pass(
         spark, qs, [n for n in EXTENDED if n in qs], errors_ext
@@ -179,7 +219,16 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # per-query MEDIAN of warm_repeats full warm passes (r08+; r07
+        # and earlier were single-shot — see _run_warm_median)
         "queries": timings,
+        "warm_repeats": 3,
+        # summed per-query half-range across the warm repeats: the error
+        # bar on `value`. Cross-round deltas smaller than ~2× this are
+        # host variance, not engine changes.
+        "warm_spread_sec": warm_spread,
+        "warm_rel_spread": round(warm_spread / total, 4) if total else None,
+        "queries_warm_runs": warm_runs,
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
         # host-speed canary + totals normalized by it: cross-round
@@ -230,7 +279,8 @@ def _compact_line(payload: dict) -> str:
     compact = {
         k: payload[k]
         for k in (
-            "metric", "value", "unit", "queries", "cold_total",
+            "metric", "value", "unit", "queries", "warm_repeats",
+            "warm_spread_sec", "warm_rel_spread", "cold_total",
             "calibration", "value_normalized", "cold_total_normalized",
             "n_queries", "n_timed", "n_errors", "n_errors_cold",
             "extended_total", "n_errors_extended", "sf",

@@ -212,6 +212,40 @@ def lsh_bucketed_ann(
     )
 
 
+def fixed_ivf_centroids(
+    dim: int, n_clusters: int = 16, scale: float = 0.25
+) -> list[tuple[int, list[float]]]:
+    """Deterministic, data-independent IVF centroids: a cosine grid
+    ``centroid[cell][t] = round(scale * cos(2 + 0.41*cell + 0.13*t),
+    6)``, same structure as :func:`fit_ivf_quantizer` output.
+
+    Same rationale as :func:`fixed_pq_codebooks`: ``ivf_ann``'s
+    correctness is the assignment/probe/top-k machinery (argmax cell
+    selection, Euclidean probe ranking, within-cell cosine) — centroid
+    provenance is orthogonal to it. Formula centroids make the whole
+    pipeline exactly reproducible in any engine (the driver's DuckDB
+    oracle embeds the identical float literals), so the IVF path gets a
+    hash check; the KMeans-trained path (:func:`fit_ivf_quantizer`)
+    stays the ANN-quality default, recall-pinned in
+    tests/test_ann_quality.py.
+
+    ``scale`` matches the PQ grid default — centroid components at unit
+    vector component scale, so scores spread well for unit-normalized
+    embeddings."""
+    import math
+
+    return [
+        (
+            cell,
+            [
+                round(scale * math.cos(2.0 + 0.41 * cell + 0.13 * t), 6)
+                for t in range(dim)
+            ],
+        )
+        for cell in range(n_clusters)
+    ]
+
+
 def fit_ivf_quantizer(
     embeddings: DataFrame,
     n_clusters: int = 16,

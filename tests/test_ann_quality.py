@@ -198,3 +198,29 @@ def test_ivfpq_prunes_to_probed_cells(clustered):
         ).collect()
     }
     assert probed == full
+
+
+def test_fixed_ivf_centroids_deterministic_shape():
+    cents = similarity.fixed_ivf_centroids(16, n_clusters=5)
+    assert [cell for cell, _ in cents] == [0, 1, 2, 3, 4]
+    assert all(len(c) == 16 for _, c in cents)
+    # pure formula: a second call is bitwise-identical
+    assert cents == similarity.fixed_ivf_centroids(16, n_clusters=5)
+
+
+def test_ivf_fixed_centroids_full_probe_matches_brute_force(clustered):
+    # with n_probe = n_clusters the IVF pipeline degenerates to exact
+    # cosine top-k regardless of centroid quality — pins the fixed-
+    # centroid path (the sim_ivf_ann_fixed oracle twin) end to end
+    cents = similarity.fixed_ivf_centroids(16, n_clusters=4)
+    truth = {
+        (r.qid, r.rank): r.vid
+        for r in similarity.cosine_topk(clustered, [0, 30, 60], 3).collect()
+    }
+    fixed = {
+        (r.qid, r.rank): r.vid
+        for r in similarity.ivf_ann(
+            clustered, [0, 30, 60], n_probe=4, k=3, centroids=cents
+        ).collect()
+    }
+    assert fixed == truth
