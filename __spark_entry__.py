@@ -325,8 +325,9 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All queries were locally oracle-verified on current data this session
 # (tools/verify_local.py: 0 fails), so staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
-    # band 1 — oracle-backed query added this round
+    # band 1 — oracle-backed queries added this round
     "sim_ivf_ann_fixed",
+    "sim_ivfpq_ann_fixed",
     # band 2 — latest driver green is r03 (19 queries, drains the band)
     "set_intersect_nation_keys",
     "set_except_nation_keys",
@@ -1174,6 +1175,19 @@ def _all_queries() -> dict[str, QueryFn]:
             _t(s, d, "embeddings"), [0, 1, 2, 3, 4],
             codebooks=sim_ops.fixed_pq_codebooks(64),
         ),
+        # composed IVF-PQ with BOTH fixed models (formula centroids +
+        # formula codebooks): cell pruning, probe ranking, ADC scoring
+        # and top-k — the full billion-vector index layout — hash-checked
+        # end to end against DuckDB. The KMeans-trained composition stays
+        # live above (sim_ivfpq_ann, recall-pinned in test_ann_quality).
+        "sim_ivfpq_ann_fixed": lambda s, d: sim_ops.ivfpq_ann(
+            _t(s, d, "embeddings"),
+            [0, 1, 2, 3, 4],
+            centroids=sim_ops.fixed_ivf_centroids(64),
+            codebooks=sim_ops.fixed_pq_codebooks(64),
+            n_probe=4,
+            k=3,
+        ),
         # unpivot/melt + explicit grouping sets (relational extras)
         "agg_unpivot_measures": lambda s, d: _t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
@@ -1945,6 +1959,94 @@ def _pq_encode_oracle_sql() -> str:
         WITH {_pq_encode_cte()}
         SELECT vec_id, label, concat_ws(',', {pivot}) AS codes
         FROM scored0 GROUP BY vec_id, label
+    """
+
+
+def _ivfpq_ann_fixed_oracle_sql(n_probe: int = 4, k: int = 3) -> str:
+    """DuckDB twin of sim_ivfpq_ann_fixed: the composed IVF-PQ index
+    with BOTH fixed models (similarity.fixed_ivf_centroids +
+    fixed_pq_codebooks — identical float literals embedded here via
+    repr). Composes the two already-hash-green recipes stage by stage,
+    mirroring ivfpq_ann exactly:
+
+    1. cell assignment — argmax(dot(e,c) − ||c||²/2) with half_cc the
+       PYTHON-float literal (assign_ivf_cells builds it with
+       F.lit(sum(x*x)/2)), ties → larger cell;
+    2. PQ encode of the whole corpus — shared _pq_encode_cte (argmax
+       per subspace, ties → larger code), exactly encode_pq(assigned);
+    3. probe ranking — per query, cells by fixed-point dot(q,c) −
+       fixed-point dot(c,c)/2 (ivfpq_ann computes cc with _dot, NOT
+       the Python literal), ties → smaller cell, top n_probe;
+    4. ADC scoring over probed cells only — approx dot summed in the
+       same left-to-right subspace order as _pq_approx_dot; rank by
+       approx_dot DESC, vid ASC, top k."""
+    cents = sim_ops.fixed_ivf_centroids(64)
+    rows = []
+    for cell, c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        half = repr(sum(x * x for x in c) / 2.0)
+        rows.append(f"({cell}, {lit}, {half})")
+    cent_values = ",\n              ".join(rows)
+    _values, d_sub, m = _pq_books_values()
+    code_cols = ", ".join(
+        f"max(CASE WHEN j = {j} THEN code END) AS c{j}" for j in range(m)
+    )
+    book_joins = "\n          ".join(
+        f"JOIN books b{j} ON b{j}.j = {j} AND b{j}.code = enc.c{j}"
+        for j in range(m)
+    )
+    terms = " + ".join(
+        _dot_sql(
+            f"list_slice(p.qe, {j}*{d_sub}+1, {j}*{d_sub}+{d_sub})",
+            f"b{j}.centroid",
+        )
+        for j in range(m)
+    )
+    return f"""
+        WITH {_pq_encode_cte()},
+        cents(cell, centroid, half_cc) AS (VALUES
+              {cent_values}
+        ),
+        assigned AS (
+          SELECT e.vec_id,
+                 first(c.cell ORDER BY
+                       {_dot_sql("e.emb", "c.centroid")} - c.half_cc DESC,
+                       c.cell DESC) AS cell
+          FROM e CROSS JOIN cents c
+          GROUP BY e.vec_id
+        ),
+        enc AS (
+          SELECT s.vec_id AS vid, s.label AS c_label, a.cell, {code_cols}
+          FROM scored0 s JOIN assigned a ON a.vec_id = s.vec_id
+          GROUP BY s.vec_id, s.label, a.cell
+        ),
+        q AS (
+          SELECT vec_id AS qid, emb AS qe
+          FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        probes AS (
+          SELECT qid, qe, cell FROM (
+            SELECT q.qid, q.qe, c.cell,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     {_dot_sql("q.qe", "c.centroid")}
+                       - {_norm2_sql("c.centroid")} / 2 DESC,
+                     c.cell ASC) AS r
+            FROM q CROSS JOIN cents c
+          ) WHERE r <= {n_probe}
+        ),
+        scored AS (
+          SELECT p.qid, enc.vid, enc.c_label,
+                 {terms} AS approx_dot
+          FROM probes p JOIN enc ON p.cell = enc.cell
+          {book_joins}
+          WHERE p.qid != enc.vid
+        )
+        SELECT qid, vid, CAST(rank AS INT) AS rank, approx_dot, c_label
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY approx_dot DESC, vid) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
     """
 
 
@@ -4210,6 +4312,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "sim_pq_encode": _pq_encode_oracle_sql(),
         "sim_pq_ann": _pq_ann_oracle_sql(),
         "sim_ivf_ann_fixed": _ivf_ann_fixed_oracle_sql(),
+        "sim_ivfpq_ann_fixed": _ivfpq_ann_fixed_oracle_sql(),
         "sim_lsh_bucketed_ann": _lsh_bucketed_oracle_sql(),
         "dedup_embedding_clusters": """
             WITH RECURSIVE n2 AS (

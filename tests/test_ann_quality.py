@@ -224,3 +224,24 @@ def test_ivf_fixed_centroids_full_probe_matches_brute_force(clustered):
         ).collect()
     }
     assert fixed == truth
+
+
+def test_ivfpq_fixed_full_probe_matches_pq_ann(clustered):
+    # with n_probe = n_clusters the IVF stage prunes nothing, so the
+    # composed index must return exactly what pure PQ ADC returns with
+    # the same codebooks — pins the fixed-model composition (the
+    # sim_ivfpq_ann_fixed oracle twin) end to end: assignment and probe
+    # machinery can only REMOVE candidates, never change a score
+    cents = similarity.fixed_ivf_centroids(16, n_clusters=4)
+    books = similarity.fixed_pq_codebooks(16, m=4, k=8)
+    pure_pq = {
+        (r.qid, r.rank): (r.vid, round(r.approx_dot, 9))
+        for r in similarity.pq_ann(clustered, [0, 30, 60], books, k=3).collect()
+    }
+    composed = {
+        (r.qid, r.rank): (r.vid, round(r.approx_dot, 9))
+        for r in similarity.ivfpq_ann(
+            clustered, [0, 30, 60], cents, books, n_probe=4, k=3
+        ).collect()
+    }
+    assert composed == pure_pq

@@ -92,6 +92,8 @@ AUDITS = {
     "scale_partition_plan": "one aggregation to partition-key cardinality; file-count arithmetic on the small plan table",
     "sim_pq_encode": "PQ encoding is a literal-codebook expression per subspace: map-only, no shuffle, no MLlib on the query path",
     "sim_pq_ann": "asymmetric-distance ANN: broadcast probes x m-byte codes, centroid lookup from literal arrays, per-query top-k window",
+    "sim_ivf_ann_fixed": "hash-checked IVF twin: fixed formula centroids keep assignment a literal expression; probe ranking and within-cell cosine identical to sim_ivf_ann — same plan, now oracle-verified end to end",
+    "sim_ivfpq_ann_fixed": "hash-checked IVF-PQ twin: both models literal (formula centroids + formula codebooks); cell pruning join + ADC over m-int codes identical to sim_ivfpq_ann — the composed billion-vector layout, oracle-verified end to end",
     "behavior_funnel": "milestone windows + per-user collapse share one hash partitioning on user_id (one event-stream exchange; the second is the one-row global-agg combine)",
     "behavior_cohort_retention": "events reduced to distinct (user, week) first; cohort-size window runs over the tiny rollup",
     "behavior_rfm_scores": "ntile sorts run over the per-customer aggregate (dimension-sized), never the order fact; as-of date broadcast",
