@@ -317,11 +317,11 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accrues across rotations; tools/rotate_driver_order.py orders it).
 # Every query has had a driver row and none is staler than r03, so the
 # rotation is pure recency maintenance:
-# 1) sim_ivf_ann_fixed — new this round (fixed-centroid IVF twin; its
-#    first HASH row lands here);
+# 1) sim_ivf_ann_fixed + sim_ivfpq_ann_fixed — new this round (the
+#    fixed-model IVF and IVF-PQ twins; their first HASH rows land here);
 # 2) the 19 queries whose latest driver green is r03 (drains the band);
 # 3) oldest r04 greens, queries()-order, filling the 50-slot window
-#    (30 of 49 fit; the rest lead r09's band).
+#    (29 of 49 fit after the two band-1 slots; the rest lead r09's band).
 # All queries were locally oracle-verified on current data this session
 # (tools/verify_local.py: 0 fails), so staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
@@ -348,7 +348,8 @@ _DRIVER_FIRST: list[str] = [
     "mm_media_metadata",
     "mm_extract_features",
     "drift_missing_rate_shift",
-    # band 3 — oldest r04 greens (30 fit; rotation continues in r09)
+    # band 3 — oldest r04 greens (29 of these 30 fit the 50-slot
+    # window after the two band-1 slots; rotation continues in r09)
     "clean_events_silver",
     "win_rolling_range_days",
     "win_running_total",
