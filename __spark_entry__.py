@@ -5874,7 +5874,7 @@ def _all_oracle_sql() -> dict[str, str]:
                        || COALESCE(replace(replace(CAST(o_custkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
                        || COALESCE(replace(replace(CAST(o_orderstatus AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
                        || COALESCE(replace(replace(CAST(o_orderpriority AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')
-                     ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+                     ), 1, 8)) AS BIGINT)) % 4611686018427387904 AS BIGINT) AS checksum
             FROM orders GROUP BY 1
         """,
         "scale_checksum_diff": """
@@ -5894,7 +5894,7 @@ def _all_oracle_sql() -> dict[str, str]:
                          || COALESCE(replace(replace(CAST(o_custkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
                          || COALESCE(replace(replace(CAST(o_orderstatus AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
                          || COALESCE(replace(replace(CAST(o_orderpriority AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')
-                       ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum_a
+                       ), 1, 8)) AS BIGINT)) % 4611686018427387904 AS BIGINT) AS checksum_a
               FROM orders GROUP BY 1
             ), cb AS (
               SELECT CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
@@ -5906,7 +5906,7 @@ def _all_oracle_sql() -> dict[str, str]:
                          || COALESCE(replace(replace(CAST(o_custkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
                          || COALESCE(replace(replace(CAST(o_orderstatus AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
                          || COALESCE(replace(replace(CAST(o_orderpriority AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')
-                       ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum_b
+                       ), 1, 8)) AS BIGINT)) % 4611686018427387904 AS BIGINT) AS checksum_b
               FROM tampered GROUP BY 1
             )
             SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,

@@ -34,6 +34,12 @@ def range_join_bucketed(
     otherwise plan the raw inequality as a nested-loop join — this form
     is a hash join, the 100 TB-safe shape (bucket width = range width
     so each row lands in ≤3 buckets)."""
+    if max_days <= 0:
+        # width 0 would divide the bucket expression by zero — with
+        # non-ANSI doubles that is a NULL bucket on BOTH sides and the
+        # equi-join silently returns nothing. For same-day matching use
+        # max_days=1 (the |datediff| filter still enforces the radius).
+        raise ValueError(f"max_days must be positive, got {max_days}")
     width = max_days  # bucket width in days == range radius
     lb = F.floor(
         F.datediff(F.col(left_time), F.lit("1970-01-01")) / F.lit(width)

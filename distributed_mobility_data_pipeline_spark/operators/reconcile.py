@@ -59,6 +59,16 @@ def table_checksum(
     sum is order- and partitioning-independent (integer addition), so
     two replicas produce identical summaries iff their bucket contents
     match (up to md5-collision odds).
+
+    The sum accumulates in DECIMAL(38,0) and is reduced mod 2^62
+    before the bigint output cast: digests are up to 2^32, so a plain
+    bigint sum overflows once a bucket holds ~2^31 rows — reachable at
+    100 TB with the default 1024 buckets (ANSI error under Spark 4,
+    silent wrap otherwise). The modular sum keeps the output type and
+    every existing checksum value (sums below 2^62 are unchanged)
+    while staying exact at any bucket size; equality of mod-sums
+    detects mismatches with the same collision character as the raw
+    sum. The DuckDB oracle applies the identical modulus.
     """
     if not cols:
         raise ValueError("cols must be a non-empty column list")
@@ -77,12 +87,14 @@ def table_checksum(
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("_digest").alias("checksum"),
+            F.sum(F.col("_digest").cast("decimal(38,0)")).alias("_csum"),
         )
         .select(
             F.col("bucket").cast("int").alias("bucket"),
             F.col("n_rows").cast("bigint").alias("n_rows"),
-            F.col("checksum").cast("bigint").alias("checksum"),
+            F.pmod(F.col("_csum"), F.lit(2**62).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("checksum"),
         )
     )
 

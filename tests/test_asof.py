@@ -132,3 +132,12 @@ def test_point_in_time_join_boundaries(spark):
         (1, "2024-01-10 00:00:00"): "gold",
         (1, "2024-02-01 00:00:00"): "gold",
     }
+
+
+def test_range_join_rejects_nonpositive_radius(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "2024-01-10")], "k long, ld string")
+    right = spark.createDataFrame([(1, "2024-01-10", 1)], "k long, rd string, rid long")
+    with pytest.raises(ValueError, match="max_days"):
+        asof.range_join_bucketed(left, right, "k", "k", "ld", "rd", 0)

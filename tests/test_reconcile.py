@@ -113,3 +113,29 @@ def test_row_diff_null_to_null_is_no_change(spark):
     assert reconcile.row_diff(a, b, "k", ["x"]).count() == 0
     with pytest.raises(ValueError):
         reconcile.row_diff(a, b, "k", [])
+
+
+def test_checksum_matches_python_modular_sum(spark):
+    # pins the digest formula AND the overflow-proof accumulation:
+    # checksum == (sum of md5-prefix digests) % 2^62, computed here in
+    # arbitrary-precision Python. A plain bigint sum would overflow at
+    # ~2^31 rows per bucket (digests are up to 2^32); the decimal
+    # accumulate + modulus keeps the bigint output exact at any size.
+    import hashlib
+
+    df = _orders(spark)
+    out = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in reconcile.table_checksum(df, "k", COLS, n_buckets=4).collect()
+    }
+    expect: dict[int, list[int]] = {}
+    for i in range(200):
+        row = (i, i % 7, "O" if i % 2 else "F", "3-MEDIUM")
+        bucket = int(hashlib.md5(f"{i}ck".encode()).hexdigest()[:8], 16) % 4
+        canon = "|".join(
+            str(v).replace("\\", "\\\\").replace("|", "\\|") for v in row
+        )
+        digest = int(hashlib.md5(canon.encode()).hexdigest()[:8], 16)
+        expect.setdefault(bucket, []).append(digest)
+    for bucket, digests in expect.items():
+        assert out[bucket] == (len(digests), sum(digests) % 2**62), bucket
