@@ -93,6 +93,10 @@ EXTENDED = [
     "sim_pq_encode",
     "sim_pq_ann",
     "sim_lsh_bucketed_ann",
+    # round-8 additions: the fixed-model IVF and composed IVF-PQ twins
+    # (both hash-checked; trained variants stay recall-pinned)
+    "sim_ivf_ann_fixed",
+    "sim_ivfpq_ann_fixed",
     # (dedup_docs_winnow_clusters / sample_cluster_safe_split are
     # excluded: their iterative pointer-doubling dominates panel wall
     # at ~10-12s each; they stay driver-checked + pytest-covered)
