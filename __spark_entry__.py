@@ -312,74 +312,73 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-8 rotation (driver caps its check at the first 50 queries() keys;
+# Round-9 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# Every query has had a driver row and none is staler than r03, so the
-# rotation is pure recency maintenance:
-# 1) sim_ivf_ann_fixed + sim_ivfpq_ann_fixed — new this round (the
-#    fixed-model IVF and IVF-PQ twins; their first HASH rows land here);
-# 2) the 19 queries whose latest driver green is r03 (drains the band);
-# 3) oldest r04 greens, queries()-order, filling the 50-slot window
-#    (29 of 49 fit after the two band-1 slots; the rest lead r09's band).
-# All queries were locally oracle-verified on current data this session
-# (tools/verify_local.py: 0 fails), so staleness risk is bounded.
+# All 217 queries have driver rows across r01–r08 with zero hash-FAILs,
+# so the rotation is pure recency maintenance:
+# 1) the 20 queries whose latest driver green is r04 (drains the band —
+#    after this round no query's latest row is older than r05);
+# 2) the 30 oldest r05 greens, queries()-order, filling the 50-slot
+#    window (19 r05 greens remain for r10's band).
+# Latest-round histogram going in: {r04: 20, r05: 49, r06: 48, r07: 50,
+# r08: 50}. All queries were locally oracle-verified on current data
+# this session (tools/verify_local.py: 0 fails), so staleness risk is
+# bounded.
 _DRIVER_FIRST: list[str] = [
-    # band 1 — oracle-backed queries added this round
-    "sim_ivf_ann_fixed",
-    "sim_ivfpq_ann_fixed",
-    # band 2 — latest driver green is r03 (19 queries, drains the band)
-    "set_intersect_nation_keys",
-    "set_except_nation_keys",
-    "win_lag_demand",
-    "win_rolling_rows",
-    "sim_mllib_lsh",
-    "sim_ivf_ann",
-    "sample_bernoulli",
-    "array_functions_embeddings",
-    "ml_demand_features",
-    "ml_churn_features",
-    "ml_score_pandas_udf",
-    "ml_score_expression",
-    "ml_score_surge",
-    "serve_demand_batch",
-    "ml_train_demand_models",
-    "ml_train_classifier",
-    "mm_media_metadata",
-    "mm_extract_features",
-    "drift_missing_rate_shift",
-    # band 3 — oldest r04 greens (29 of these 30 fit the 50-slot
-    # window after the two band-1 slots; rotation continues in r09)
-    "clean_events_silver",
-    "win_rolling_range_days",
-    "win_running_total",
-    "win_rank_customers",
-    "win_churn_label",
-    "quality_null_report",
-    "quality_full_report",
-    "quality_negative_report",
-    "quality_freshness",
-    "quality_volume_check",
-    "metrics_regression",
-    "drift_psi_fixed_bins",
-    "drift_psi_quantile_bins",
-    "text_doc_stats",
-    "text_token_frequencies",
-    "text_language_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_token_count_bpe",
-    "text_chunk_documents",
-    "text_redact_pii",
-    "text_contamination",
-    "text_repetition_stats",
-    "text_pack_chunks",
-    "sample_mixing_weights",
-    "sim_quantize_embeddings",
-    "stream_corpus_dedup",
-    "quality_gate_quarantine",
-    "dedup_corpus_diff",
+    # band 1 — latest driver green is r04 (20 queries, drains the band)
     "text_quality_percentile",
+    "sample_negative_pairs",
+    "sample_fixed_k_per_source",
+    "scalar_morton_key",
+    "text_token_rarity",
+    "text_tfidf_top_terms",
+    "dedup_docs_exact",
+    "dedup_docs_jaccard_pairs",
+    "dedup_docs_minhash_sig",
+    "dedup_docs_minhash_lsh",
+    "stream_tumbling_hourly",
+    "stream_sliding_counts",
+    "stream_sessionize",
+    "stream_dedup",
+    "stream_stateful_counts",
+    "join_asof_orders_events",
+    "json_from_json_struct",
+    "join_range_bucketed",
+    "json_extract_props",
+    "json_props_agg",
+    # band 2 — oldest r05 greens (30 of 49 fit the 50-slot window;
+    # the remaining 19 lead r10's band)
+    "drift_ks_binned",
+    "scalar_morton3_key",
+    "dedup_canonical_quality",
+    "sim_label_centroids",
+    "sim_prototype_confusion",
+    "sim_cross_contamination",
+    "sim_hard_negatives",
+    "stream_static_enrich",
+    "stream_stream_conversions",
+    "sim_ivfpq_ann",
+    "metrics_calibration",
+    "mm_sample_frames",
+    "mm_resize_meta",
+    "quality_expectations",
+    "behavior_funnel",
+    "behavior_cohort_retention",
+    "behavior_rfm_scores",
+    "link_fuzzy_pairs",
+    "agg_distinct_rollup_exact",
+    "agg_distinct_rollup_sketch",
+    "agg_rolling_distinct_sketch",
+    "agg_rolling_distinct_exact",
+    "ts_resample_ffill",
+    "ts_gap_stats",
+    "ts_seasonal_anomaly",
+    "ts_resample_interpolate",
+    "join_point_in_time",
+    "quality_robust_outliers",
+    "text_bpe_encode",
+    "win_ewma_demand",
 ]
 
 

@@ -120,13 +120,23 @@ def _run_pass(spark, qs, names: list[str], errors: dict[str, str]) -> dict[str, 
     return timings
 
 
+def _median(ts: list[float]) -> float:
+    """True median: averages the two middle values for even-length run
+    lists. ts[n//2] on an even list picks the upper value — biased high
+    when a query fails one of three passes (ADVICE r08)."""
+    n = len(ts)
+    if n % 2:
+        return ts[n // 2]
+    return round((ts[n // 2 - 1] + ts[n // 2]) / 2.0, 3)
+
+
 def _run_warm_median(
     spark,
     qs,
     names: list[str],
     errors: dict[str, str],
     repeats: int = 3,
-) -> tuple[dict[str, float], dict[str, list[float]], float]:
+) -> tuple[dict[str, float], dict[str, list[float]], float, dict[str, int]]:
     """Warm panel with per-query median-of-N timings.
 
     Single-shot warm totals could not distinguish a ~10% regression from
@@ -136,10 +146,14 @@ def _run_warm_median(
     the old single warm pass saw — give a per-query median plus a
     dispersion figure, making round-over-round deltas signal.
 
-    Returns (medians, per-query runs, spread_sec) where spread_sec is
-    the summed per-query half-range (max−min)/2 — an error bar on the
-    warm total. A query that fails every pass lands in ``errors``; one
-    that fails some passes keeps the median of its successful runs."""
+    Returns (medians, per-query runs, spread_sec, flaky) where
+    spread_sec is the summed per-query half-range (max−min)/2 — an
+    error bar on the warm total — and flaky maps each query that failed
+    SOME (not all) passes to its failure count, so consumers can
+    discount those medians (ADVICE r08: a partial failure previously
+    looked fully healthy). A query that fails every pass lands in
+    ``errors``; one that fails some passes keeps the median of its
+    successful runs."""
     runs: dict[str, list[float]] = {n: [] for n in names}
     last_err: dict[str, str] = {}
     for _ in range(repeats):
@@ -149,15 +163,23 @@ def _run_warm_median(
             runs[n].append(t)
         last_err.update(pass_err)
     medians: dict[str, float] = {}
+    flaky: dict[str, int] = {}
     spread = 0.0
     for n in names:
         ts = sorted(runs[n])
         if not ts:
             errors[n] = last_err.get(n, "failed every warm pass")
             continue
-        medians[n] = ts[len(ts) // 2]
+        if len(ts) < repeats:
+            flaky[n] = repeats - len(ts)
+        medians[n] = _median(ts)
         spread += (ts[-1] - ts[0]) / 2.0
-    return medians, {n: ts for n, ts in runs.items() if ts}, round(spread, 3)
+    return (
+        medians,
+        {n: ts for n, ts in runs.items() if ts},
+        round(spread, 3),
+        flaky,
+    )
 
 
 def _calibration(spark) -> float:
@@ -204,9 +226,15 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-    timings, warm_runs, warm_spread = _run_warm_median(spark, qs, names, errors)
+    timings, warm_runs, warm_spread, warm_flaky = _run_warm_median(
+        spark, qs, names, errors
+    )
+    # Extended panel gets the same median-of-3 treatment as of r09
+    # (VERDICT r08 #2): single-shot extended timings left ANN/pagerank
+    # deltas — the panel's dominant costs — unattributable to plan
+    # changes vs host variance.
     errors_ext: dict[str, str] = {}
-    extended = _run_pass(
+    extended, ext_runs, ext_spread, ext_flaky = _run_warm_median(
         spark, qs, [n for n in EXTENDED if n in qs], errors_ext
     )
     # the canary must not be able to kill the artifact: a broken
@@ -250,12 +278,21 @@ def main() -> None:
         "n_timed": len(timings),
         "n_errors": len(errors),
         "n_errors_cold": len(errors_cold),
-        # round-5 operator panel, warm-only, excluded from `value`
+        # round-5 operator panel, warm-only, excluded from `value`.
+        # Per-query MEDIAN of extended_repeats passes (r09+; r08 and
+        # earlier were single-shot — detect via absent extended_repeats).
         "queries_extended": extended,
         "extended_total": round(sum(extended.values()), 3),
+        "extended_repeats": 3,
+        "extended_spread_sec": ext_spread,
+        "queries_extended_runs": ext_runs,
         "n_errors_extended": len(errors_ext),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if warm_flaky:
+        payload["warm_flaky"] = warm_flaky
+    if ext_flaky:
+        payload["extended_flaky"] = ext_flaky
     if errors:
         payload["errors"] = errors
     if errors_cold:
@@ -287,7 +324,8 @@ def _compact_line(payload: dict) -> str:
             "warm_spread_sec", "warm_rel_spread", "cold_total",
             "calibration", "value_normalized", "cold_total_normalized",
             "n_queries", "n_timed", "n_errors", "n_errors_cold",
-            "extended_total", "n_errors_extended", "sf",
+            "extended_total", "extended_repeats", "extended_spread_sec",
+            "n_errors_extended", "warm_flaky", "extended_flaky", "sf",
         )
         if k in payload
     }

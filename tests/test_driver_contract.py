@@ -39,6 +39,10 @@ def test_bench_final_line_fits_tail_capture():
         "value": 14.47,
         "unit": "sec",
         "queries": {n: 123.456 for n in bench.HEADLINE},
+        "warm_repeats": 3,
+        "warm_spread_sec": 1.301,
+        "warm_rel_spread": 0.0788,
+        "queries_warm_runs": {n: [123.4, 123.5, 123.6] for n in bench.HEADLINE},
         "cold_total": 28.01,
         "queries_cold": {n: 123.456 for n in bench.HEADLINE},
         "calibration": 0.0538,
@@ -50,7 +54,12 @@ def test_bench_final_line_fits_tail_capture():
         "n_errors_cold": 2,
         "queries_extended": {n: 123.456 for n in bench.EXTENDED},
         "extended_total": 99.9,
+        "extended_repeats": 3,
+        "extended_spread_sec": 2.345,
+        "queries_extended_runs": {n: [123.4, 123.5] for n in bench.EXTENDED},
         "n_errors_extended": 1,
+        "warm_flaky": {"dedup_docs_minhash_lsh": 1},
+        "extended_flaky": {"graph_pagerank": 2},
         "sf": 0.1,
         "errors": {"q": "x" * 300},
         "errors_cold": {"q": "x" * 300},
@@ -65,6 +74,24 @@ def test_bench_final_line_fits_tail_capture():
     assert parsed["sf"] == 0.1 and "queries" in parsed
     # detail payload must NOT leak into the compact line
     assert "queries_cold" not in parsed and "queries_extended" not in parsed
+    assert "queries_warm_runs" not in parsed
+    assert "queries_extended_runs" not in parsed
+    # flaky-pass markers must survive into the compact line so a partial
+    # warm failure is visible to the driver, not just the detail file
+    assert parsed["warm_flaky"] == {"dedup_docs_minhash_lsh": 1}
+    assert parsed["extended_spread_sec"] == 2.345
+
+
+def test_bench_median_even_run_lists():
+    # ADVICE r08: ts[len//2] on an even-length list picks the upper of
+    # the two middle values (biased high when a query fails one of three
+    # warm passes). Pin the true-median behavior.
+    import bench
+
+    assert bench._median([1.0, 2.0, 3.0]) == 2.0
+    assert bench._median([1.0, 2.0]) == 1.5
+    assert bench._median([4.0]) == 4.0
+    assert bench._median([1.0, 2.0, 3.0, 10.0]) == 2.5
 
 
 def test_entry_query_is_registered(spark):

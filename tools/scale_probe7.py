@@ -107,8 +107,12 @@ def main() -> None:
         t0 = time.time()
         entrymod._IVF_CENTROIDS[d] = sim_ops.fit_ivf_quantizer(emb)
         t_ivf = time.time() - t0
+        t0 = time.time()
+        entrymod._PQ_CODEBOOKS[d] = sim_ops.fit_pq_codebooks(emb)
+        t_pq = time.time() - t0
         n_vec = emb.count()
         print(f"| fit_ivf_quantizer | {n_vec} vecs | {t_ivf:.1f}s |", flush=True)
+        print(f"| fit_pq_codebooks | {n_vec} vecs | {t_pq:.1f}s |", flush=True)
 
     qs = entrymod.queries()
     rows = []
