@@ -312,73 +312,70 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-9 rotation (driver caps its check at the first 50 queries() keys;
+# Round-10 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# All 217 queries have driver rows across r01–r08 with zero hash-FAILs,
+# All 217 queries have driver rows across r01–r09 with zero hash-FAILs,
 # so the rotation is pure recency maintenance:
-# 1) the 20 queries whose latest driver green is r04 (drains the band —
-#    after this round no query's latest row is older than r05);
-# 2) the 30 oldest r05 greens, queries()-order, filling the 50-slot
-#    window (19 r05 greens remain for r10's band).
-# Latest-round histogram going in: {r04: 20, r05: 49, r06: 48, r07: 50,
-# r08: 50}. All queries were locally oracle-verified on current data
-# this session (tools/verify_local.py: 0 fails), so staleness risk is
-# bounded.
+# 1) the 19 queries whose latest driver green is r05 (drains the band —
+#    after this round no query's latest row is older than r06);
+# 2) the 31 oldest r06 greens, queries()-order, filling the 50-slot
+#    window (17 r06 greens remain for r11's band).
+# Latest-round histogram going in: {r05: 19, r06: 48, r07: 50, r08: 50,
+# r09: 50}. All queries were locally oracle-verified on current data
+# last session (tools/verify_local.py: 206 pass / 11 rows-only, 0 fails),
+# re-run this session before commit, so staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
-    # band 1 — latest driver green is r04 (20 queries, drains the band)
-    "text_quality_percentile",
-    "sample_negative_pairs",
-    "sample_fixed_k_per_source",
-    "scalar_morton_key",
-    "text_token_rarity",
-    "text_tfidf_top_terms",
-    "dedup_docs_exact",
-    "dedup_docs_jaccard_pairs",
-    "dedup_docs_minhash_sig",
-    "dedup_docs_minhash_lsh",
-    "stream_tumbling_hourly",
-    "stream_sliding_counts",
-    "stream_sessionize",
-    "stream_dedup",
-    "stream_stateful_counts",
-    "join_asof_orders_events",
-    "json_from_json_struct",
-    "join_range_bucketed",
-    "json_extract_props",
-    "json_props_agg",
-    # band 2 — oldest r05 greens (30 of 49 fit the 50-slot window;
-    # the remaining 19 lead r10's band)
-    "drift_ks_binned",
-    "scalar_morton3_key",
-    "dedup_canonical_quality",
-    "sim_label_centroids",
-    "sim_prototype_confusion",
-    "sim_cross_contamination",
-    "sim_hard_negatives",
-    "stream_static_enrich",
-    "stream_stream_conversions",
-    "sim_ivfpq_ann",
-    "metrics_calibration",
-    "mm_sample_frames",
-    "mm_resize_meta",
-    "quality_expectations",
-    "behavior_funnel",
-    "behavior_cohort_retention",
-    "behavior_rfm_scores",
-    "link_fuzzy_pairs",
-    "agg_distinct_rollup_exact",
-    "agg_distinct_rollup_sketch",
-    "agg_rolling_distinct_sketch",
-    "agg_rolling_distinct_exact",
-    "ts_resample_ffill",
-    "ts_gap_stats",
-    "ts_seasonal_anomaly",
-    "ts_resample_interpolate",
-    "join_point_in_time",
-    "quality_robust_outliers",
-    "text_bpe_encode",
-    "win_ewma_demand",
+    "scale_table_checksum",  # latest green r05
+    "scale_checksum_diff",  # latest green r05
+    "pipeline_user_insights",  # latest green r05
+    "clean_pseudonymize",  # latest green r05
+    "clean_winsorize_value",  # latest green r05
+    "sql_segment_ltv",  # latest green r05
+    "behavior_funnel_timing",  # latest green r05
+    "behavior_transition_matrix",  # latest green r05
+    "behavior_period_growth",  # latest green r05
+    "behavior_type_entropy",  # latest green r05
+    "behavior_attribution_linear",  # latest green r05
+    "behavior_stickiness",  # latest green r05
+    "behavior_window_funnel",  # latest green r05
+    "behavior_attribution",  # latest green r05
+    "behavior_attribution_credit",  # latest green r05
+    "agg_revenue_gini",  # latest green r05
+    "ml_seq_patterns",  # latest green r05
+    "ml_freq_itemsets",  # latest green r05
+    "graph_pagerank",  # latest green r05
+    "pipeline_corpus_health",  # latest green r06
+    "pipeline_corpus_prep",  # latest green r06
+    "text_quality_cutoff",  # latest green r06
+    "text_unigram_logprob",  # latest green r06
+    "text_bigram_pmi",  # latest green r06
+    "text_vocab_coverage",  # latest green r06
+    "sample_importance_weighted",  # latest green r06
+    "win_scd2_history",  # latest green r06
+    "dedup_docs_segments",  # latest green r06
+    "scale_skew_report",  # latest green r06
+    "agg_incremental_daily_revenue",  # latest green r06
+    "scale_partition_plan",  # latest green r06
+    "text_winnow_fingerprints",  # latest green r06
+    "dedup_docs_winnow",  # latest green r06
+    "dedup_docs_winnow_clusters",  # latest green r06
+    "sample_cluster_safe_split",  # latest green r06
+    "dedup_docs_winnow_spans",  # latest green r06
+    "dedup_docs_clusters",  # latest green r06
+    "dedup_docs_clusters_jaccard",  # latest green r06
+    "dedup_docs_simhash",  # latest green r06
+    "dedup_docs_simhash_hamming",  # latest green r06
+    "sim_embedding_drift",  # latest green r06
+    "sim_cosine_topk",  # latest green r06
+    "sim_knn_label_agreement",  # latest green r06
+    "sim_pairs_above_threshold",  # latest green r06
+    "dedup_embedding_clusters",  # latest green r06
+    "agg_forecast_revenue_change",  # latest green r06
+    "agg_priority_shipping",  # latest green r06
+    "agg_promo_revenue_pct",  # latest green r06
+    "agg_shipping_priority",  # latest green r06
+    "agg_local_supplier_volume",  # latest green r06
 ]
 
 

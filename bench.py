@@ -123,10 +123,12 @@ def _run_pass(spark, qs, names: list[str], errors: dict[str, str]) -> dict[str, 
 def _median(ts: list[float]) -> float:
     """True median: averages the two middle values for even-length run
     lists. ts[n//2] on an even list picks the upper value — biased high
-    when a query fails one of three passes (ADVICE r08)."""
+    when a query fails one of three passes (ADVICE r08). Both branches
+    round to 3 decimals so the helper is consistent on raw floats, not
+    just on _run_pass's pre-rounded inputs (ADVICE r09)."""
     n = len(ts)
     if n % 2:
-        return ts[n // 2]
+        return round(ts[n // 2], 3)
     return round((ts[n // 2 - 1] + ts[n // 2]) / 2.0, 3)
 
 
@@ -136,7 +138,8 @@ def _run_warm_median(
     names: list[str],
     errors: dict[str, str],
     repeats: int = 3,
-) -> tuple[dict[str, float], dict[str, list[float]], float, dict[str, int]]:
+    canary=None,
+) -> tuple[dict[str, float], dict[str, list[float]], float, dict[str, int], dict]:
     """Warm panel with per-query median-of-N timings.
 
     Single-shot warm totals could not distinguish a ~10% regression from
@@ -146,40 +149,68 @@ def _run_warm_median(
     the old single warm pass saw — give a per-query median plus a
     dispersion figure, making round-over-round deltas signal.
 
-    Returns (medians, per-query runs, spread_sec, flaky) where
-    spread_sec is the summed per-query half-range (max−min)/2 — an
-    error bar on the warm total — and flaky maps each query that failed
-    SOME (not all) passes to its failure count, so consumers can
-    discount those medians (ADVICE r08: a partial failure previously
-    looked fully healthy). A query that fails every pass lands in
-    ``errors``; one that fails some passes keeps the median of its
-    successful runs."""
-    runs: dict[str, list[float]] = {n: [] for n in names}
+    Intra-capture host drift (VERDICT r09 #2: a systematically slow
+    third pass inflated every headline median's upper run and tripled
+    warm_spread while the engine was unchanged) is handled two ways:
+    (a) if ``canary`` is given it is invoked once per pass, immediately
+    before the pass, so each pass carries its own host-speed sample;
+    (b) a pass whose total over the always-successful query set exceeds
+    1.5× the fastest pass's total is flagged DEGRADED and excluded from
+    the per-query medians and the spread — provided ≥2 clean passes
+    remain, so a genuinely bimodal engine can't hide by self-excluding.
+    Raw per-pass runs are still reported unfiltered for transparency.
+
+    Returns (medians, per-query runs, spread_sec, flaky, pass_info):
+    spread_sec is the summed per-query half-range (max−min)/2 over the
+    runs the medians actually used — an error bar on the warm total;
+    flaky maps each query that failed SOME (not all) passes to its
+    failure count (ADVICE r08); pass_info carries per-pass totals,
+    per-pass canary timings, and the degraded-pass indices. A query
+    that fails every pass lands in ``errors``; one that fails some
+    passes keeps the median of its successful runs."""
+    passes: list[dict[str, float]] = []
+    pass_canaries: list[float | None] = []
     last_err: dict[str, str] = {}
     for _ in range(repeats):
+        if canary is not None:
+            pass_canaries.append(canary())
         pass_err: dict[str, str] = {}
-        pass_t = _run_pass(spark, qs, names, pass_err)
-        for n, t in pass_t.items():
-            runs[n].append(t)
+        passes.append(_run_pass(spark, qs, names, pass_err))
         last_err.update(pass_err)
+    # degraded-pass detection over the queries that succeeded in EVERY
+    # pass, so a pass can't look fast merely by dropping a slow query
+    common = [n for n in names if all(n in p for p in passes)]
+    pass_totals = [round(sum(p[n] for n in common), 3) for p in passes]
+    min_total = min(pass_totals) if common and pass_totals else 0.0
+    degraded = [
+        i for i, t in enumerate(pass_totals) if min_total and t > 1.5 * min_total
+    ]
+    if len(passes) - len(degraded) < 2:
+        degraded = []  # never exclude down to a single-sample "median"
     medians: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     flaky: dict[str, int] = {}
     spread = 0.0
     for n in names:
-        ts = sorted(runs[n])
-        if not ts:
+        all_ts = [p[n] for p in passes if n in p]
+        if not all_ts:
             errors[n] = last_err.get(n, "failed every warm pass")
             continue
-        if len(ts) < repeats:
-            flaky[n] = repeats - len(ts)
+        runs[n] = all_ts
+        clean = [
+            p[n] for i, p in enumerate(passes) if i not in degraded and n in p
+        ]
+        ts = sorted(clean if len(clean) >= 2 else all_ts)
+        if len(all_ts) < repeats:
+            flaky[n] = repeats - len(all_ts)
         medians[n] = _median(ts)
         spread += (ts[-1] - ts[0]) / 2.0
-    return (
-        medians,
-        {n: ts for n, ts in runs.items() if ts},
-        round(spread, 3),
-        flaky,
-    )
+    pass_info = {
+        "pass_totals": pass_totals,
+        "pass_calibrations": pass_canaries,
+        "degraded_passes": degraded,
+    }
+    return medians, runs, round(spread, 3), flaky, pass_info
 
 
 def _calibration(spark) -> float:
@@ -198,6 +229,22 @@ def _calibration(spark) -> float:
     return round(best, 4)
 
 
+def _canary_once(spark):
+    """Single-shot host-speed sample (same lineitem scan-count as
+    _calibration, one run). Invoked once per warm pass so each pass
+    carries its own host-speed reading — a one-sample end-of-capture
+    canary cannot normalize intra-capture drift (VERDICT r09: the
+    canary ran in a fast window while pass 3 hit the slow one). Returns
+    None on failure — the canary must never kill the pass."""
+    try:
+        df = entrymod._t(spark, SF_DIR, "lineitem")
+        t0 = time.time()
+        df.count()
+        return round(time.time() - t0, 4)
+    except Exception:  # noqa: BLE001 — bench must always emit JSON
+        return None
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
@@ -214,6 +261,14 @@ def main() -> None:
     errors_cold: dict[str, str] = {}
     errors: dict[str, str] = {}
     cold = _run_pass(spark, qs, names, errors_cold)
+    # Extended-panel cold pass (VERDICT r09 #6): one shot, same regime as
+    # the headline cold pass — fresh-JVM codegen/JIT cost is real, but
+    # page caches warm progressively as the pass runs (and the headline
+    # cold pass already touched the shared tables), so this measures
+    # "first execution in this JVM", not first-touch disk I/O.
+    ext_names = [n for n in EXTENDED if n in qs]
+    errors_ext_cold: dict[str, str] = {}
+    ext_cold = _run_pass(spark, qs, ext_names, errors_ext_cold)
     # Warm-up: pull every input table through the scan path once more
     # (page cache + parquet footers + codegen) so the warm pass measures
     # steady-state query cost, not first-touch I/O or JIT — the number
@@ -226,16 +281,17 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-    timings, warm_runs, warm_spread, warm_flaky = _run_warm_median(
-        spark, qs, names, errors
+    canary = lambda: _canary_once(spark)  # noqa: E731 — per-pass host sample
+    timings, warm_runs, warm_spread, warm_flaky, warm_passes = _run_warm_median(
+        spark, qs, names, errors, canary=canary
     )
     # Extended panel gets the same median-of-3 treatment as of r09
     # (VERDICT r08 #2): single-shot extended timings left ANN/pagerank
     # deltas — the panel's dominant costs — unattributable to plan
     # changes vs host variance.
     errors_ext: dict[str, str] = {}
-    extended, ext_runs, ext_spread, ext_flaky = _run_warm_median(
-        spark, qs, [n for n in EXTENDED if n in qs], errors_ext
+    extended, ext_runs, ext_spread, ext_flaky, ext_passes = _run_warm_median(
+        spark, qs, ext_names, errors_ext, canary=canary
     )
     # the canary must not be able to kill the artifact: a broken
     # lineitem scan here would discard every timing already gathered
@@ -247,6 +303,16 @@ def main() -> None:
         print(f"bench: calibration failed: {exc}", file=sys.stderr)
         calibration = None
     total = round(sum(timings.values()), 3)
+    # per-pass-normalized warm total: median over passes of
+    # pass_total / that pass's own canary — immune to drift BETWEEN
+    # passes, unlike total/calibration which divides a multi-window sum
+    # by a single-window sample (the r09 misreport)
+    ratios = sorted(
+        t / c
+        for t, c in zip(warm_passes["pass_totals"], warm_passes["pass_calibrations"])
+        if c
+    )
+    value_normalized_perpass = round(_median(ratios), 2) if ratios else None
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -261,8 +327,22 @@ def main() -> None:
         "warm_spread_sec": warm_spread,
         "warm_rel_spread": round(warm_spread / total, 4) if total else None,
         "queries_warm_runs": warm_runs,
+        # per-pass drift instrumentation (r10+, VERDICT r09 #2): each
+        # warm pass's total over the always-successful set, its own
+        # canary sample, and any pass excluded from medians for running
+        # >1.5× the fastest pass (raw runs above stay unfiltered)
+        "warm_pass_totals": warm_passes["pass_totals"],
+        "warm_pass_calibrations": warm_passes["pass_calibrations"],
+        "warm_degraded_passes": warm_passes["degraded_passes"],
+        "value_normalized_perpass": value_normalized_perpass,
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
+        # extended-panel one-shot cold (r10+, VERDICT r09 #6): same
+        # fresh-JVM regime as cold_total; runs after the headline cold
+        # pass so shared tables' page caches are already part-warm
+        "extended_cold_total": round(sum(ext_cold.values()), 3),
+        "queries_extended_cold": ext_cold,
+        "n_errors_extended_cold": len(errors_ext_cold),
         # host-speed canary + totals normalized by it: cross-round
         # comparisons should use *_normalized (dimensionless multiples
         # of the canary scan) to factor out host drift.
@@ -286,6 +366,9 @@ def main() -> None:
         "extended_repeats": 3,
         "extended_spread_sec": ext_spread,
         "queries_extended_runs": ext_runs,
+        "extended_pass_totals": ext_passes["pass_totals"],
+        "extended_pass_calibrations": ext_passes["pass_calibrations"],
+        "extended_degraded_passes": ext_passes["degraded_passes"],
         "n_errors_extended": len(errors_ext),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -299,6 +382,8 @@ def main() -> None:
         payload["errors_cold"] = errors_cold
     if errors_ext:
         payload["errors_extended"] = errors_ext
+    if errors_ext_cold:
+        payload["errors_extended_cold"] = errors_ext_cold
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -323,9 +408,12 @@ def _compact_line(payload: dict) -> str:
             "metric", "value", "unit", "queries", "warm_repeats",
             "warm_spread_sec", "warm_rel_spread", "cold_total",
             "calibration", "value_normalized", "cold_total_normalized",
+            "value_normalized_perpass", "warm_pass_calibrations",
+            "warm_degraded_passes", "extended_degraded_passes",
             "n_queries", "n_timed", "n_errors", "n_errors_cold",
-            "extended_total", "extended_repeats", "extended_spread_sec",
-            "n_errors_extended", "warm_flaky", "extended_flaky", "sf",
+            "extended_total", "extended_cold_total", "extended_repeats",
+            "extended_spread_sec", "n_errors_extended",
+            "n_errors_extended_cold", "warm_flaky", "extended_flaky", "sf",
         )
         if k in payload
     }
@@ -333,8 +421,14 @@ def _compact_line(payload: dict) -> str:
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1600:
         # degrade, never die: shed the per-query map before the scalars —
-        # a parseable headline total beats a complete-but-truncated line
+        # a parseable headline total beats a complete-but-truncated line.
+        # The flaky maps are also unbounded (up to 18+33 long query
+        # names if every query flakes — ADVICE r09): collapse each to
+        # its count so a heavily flaky run can't outgrow the tail.
         compact.pop("queries", None)
+        for k in ("warm_flaky", "extended_flaky"):
+            if k in compact:
+                compact[f"n_{k}"] = len(compact.pop(k))
         line = json.dumps(compact, separators=(",", ":"))
     return line
 

@@ -57,13 +57,24 @@ def test_bench_final_line_fits_tail_capture():
         "extended_repeats": 3,
         "extended_spread_sec": 2.345,
         "queries_extended_runs": {n: [123.4, 123.5] for n in bench.EXTENDED},
+        "extended_pass_totals": [99.1, 99.9, 101.2],
+        "extended_pass_calibrations": [0.0652, 0.0713, 0.0699],
+        "extended_degraded_passes": [2],
+        "warm_pass_totals": [14.1, 14.5, 33.2],
+        "warm_pass_calibrations": [0.0652, 0.0713, 0.0699],
+        "warm_degraded_passes": [2],
+        "value_normalized_perpass": 212.31,
+        "extended_cold_total": 101.5,
+        "queries_extended_cold": {n: 123.456 for n in bench.EXTENDED},
         "n_errors_extended": 1,
+        "n_errors_extended_cold": 1,
         "warm_flaky": {"dedup_docs_minhash_lsh": 1},
         "extended_flaky": {"graph_pagerank": 2},
         "sf": 0.1,
         "errors": {"q": "x" * 300},
         "errors_cold": {"q": "x" * 300},
         "errors_extended": {"q": "x" * 300},
+        "errors_extended_cold": {"q": "x" * 300},
     }
     line = bench._compact_line(payload)
     assert len(line) <= 1600, f"compact bench line is {len(line)} bytes"
@@ -76,10 +87,77 @@ def test_bench_final_line_fits_tail_capture():
     assert "queries_cold" not in parsed and "queries_extended" not in parsed
     assert "queries_warm_runs" not in parsed
     assert "queries_extended_runs" not in parsed
+    assert "queries_extended_cold" not in parsed
     # flaky-pass markers must survive into the compact line so a partial
     # warm failure is visible to the driver, not just the detail file
     assert parsed["warm_flaky"] == {"dedup_docs_minhash_lsh": 1}
     assert parsed["extended_spread_sec"] == 2.345
+    # r10 drift instrumentation the judge reads from the compact line
+    assert parsed["warm_degraded_passes"] == [2]
+    assert parsed["warm_pass_calibrations"] == [0.0652, 0.0713, 0.0699]
+    assert parsed["value_normalized_perpass"] == 212.31
+    assert parsed["extended_cold_total"] == 101.5
+    # per-pass totals are detail-only (3 lists × 2 panels would crowd
+    # the tail budget); the calibrations + degraded flags suffice
+    assert "warm_pass_totals" not in parsed
+
+    # ADVICE r09: the >1600 fallback must ALSO shed the flaky maps —
+    # worst case is every headline+extended query flaky with long names,
+    # which previously survived the fallback unbounded
+    worst = dict(payload)
+    worst["warm_flaky"] = {n: 1 for n in bench.HEADLINE}
+    worst["extended_flaky"] = {n: 2 for n in bench.EXTENDED}
+    line2 = bench._compact_line(worst)
+    assert len(line2) <= 1600, f"fallback line is {len(line2)} bytes"
+    parsed2 = json.loads(line2)
+    if "warm_flaky" not in parsed2:  # fallback fired: counts replace maps
+        assert parsed2["n_warm_flaky"] == len(bench.HEADLINE)
+        assert parsed2["n_extended_flaky"] == len(bench.EXTENDED)
+
+
+def test_bench_degraded_pass_exclusion(monkeypatch):
+    # VERDICT r09 #2: a systematically slow pass (host contention) must
+    # be excluded from medians/spread when >=2 clean passes remain, be
+    # flagged in pass_info, and keep raw runs unfiltered. Spark-free:
+    # canned per-pass timings via a monkeypatched _run_pass.
+    import bench
+
+    canned = [
+        {"q1": 1.0, "q2": 2.0},
+        {"q1": 1.1, "q2": 2.1},
+        {"q1": 2.9, "q2": 5.0},  # pass 3: >1.5x the min pass total
+    ]
+    calls = iter(canned)
+    monkeypatch.setattr(bench, "_run_pass", lambda sp, qs, ns, err: next(calls))
+    meds, runs, spread, flaky, info = bench._run_warm_median(
+        None, {}, ["q1", "q2"], {}, repeats=3, canary=lambda: 0.05
+    )
+    assert info["degraded_passes"] == [2]
+    assert info["pass_totals"] == [3.0, 3.2, 7.9]
+    assert info["pass_calibrations"] == [0.05, 0.05, 0.05]
+    # medians over the two clean passes (even-length -> averaged)
+    assert meds == {"q1": 1.05, "q2": 2.05}
+    # raw runs stay unfiltered for transparency
+    assert runs["q1"] == [1.0, 1.1, 2.9]
+    assert not flaky
+    # spread covers only the runs the medians used
+    assert spread == round((1.1 - 1.0) / 2 + (2.1 - 2.0) / 2, 3)
+
+    # no exclusion when it would leave <2 clean passes: two degraded of
+    # three must disable the filter entirely
+    canned2 = [
+        {"q1": 1.0},
+        {"q1": 9.0},
+        {"q1": 9.1},
+    ]
+    calls2 = iter(canned2)
+    monkeypatch.setattr(bench, "_run_pass", lambda sp, qs, ns, err: next(calls2))
+    meds2, _, _, _, info2 = bench._run_warm_median(
+        None, {}, ["q1"], {}, repeats=3
+    )
+    assert info2["degraded_passes"] == []
+    assert meds2 == {"q1": 9.0}
+    assert info2["pass_calibrations"] == []  # no canary passed
 
 
 def test_bench_median_even_run_lists():

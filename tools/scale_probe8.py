@@ -57,9 +57,17 @@ QUERIES = [
 PAGERANK_QUERIES = ["graph_pagerank"]
 
 
-def _time(qs, name, spark, d) -> float:
+def _time(qs, name, spark, d):
+    """Time one query end-to-end; None on failure. One failing query
+    (e.g. OOM on the 100x run) must not abort the probe and discard
+    every timing already gathered — the same all-or-nothing mode
+    bench._run_pass guards against (ADVICE r09 / VERDICT r03 #4)."""
     t0 = time.time()
-    qs[name](spark, d).write.format("noop").mode("overwrite").save()
+    try:
+        qs[name](spark, d).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001 — print partial table regardless
+        print(f"{name} @ {d}: {type(exc).__name__}: {exc}"[:300], flush=True)
+        return None
     return time.time() - t0
 
 
@@ -83,7 +91,11 @@ def main() -> None:
         for n in decades:
             t[n] = _time(qs, name, spark, probe_dir(n))
         rows.append((name, t))
-        print(name, {k: round(v, 2) for k, v in t.items()}, flush=True)
+        print(
+            name,
+            {k: (round(v, 2) if v is not None else None) for k, v in t.items()},
+            flush=True,
+        )
     spark.stop()
 
     print()
@@ -93,9 +105,11 @@ def main() -> None:
     print(header)
     print("|---" * (2 + 2 * len(decades)) + "|")
     for name, t in rows:
-        cells = [f"{t[1]:.2f}"]
+        fmt = lambda v: f"{v:.2f}" if v is not None else "FAIL"  # noqa: E731
+        cells = [fmt(t[1])]
         for n in decades:
-            cells += [f"{t[n]:.2f}", f"{t[n] / max(t[1], 1e-9):.1f}x"]
+            ok = t[n] is not None and t[1] is not None
+            cells += [fmt(t[n]), f"{t[n] / max(t[1], 1e-9):.1f}x" if ok else "-"]
         print(f"| {name} | " + " | ".join(cells) + " |")
 
 
