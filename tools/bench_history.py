@@ -1,0 +1,92 @@
+"""Cross-round bench comparison with the regime notes applied.
+
+BENCH_r{N}.json artifacts span several measurement regimes, and naive
+round-over-round diffs have repeatedly misread them (the r04 host
+slowdown, the r07→r08 cold creep, the r09 pass-3 contamination — see
+SCALE_NOTES). This tool prints one row per round from the driver's
+parsed bench line, annotating each with its regime so the comparable
+columns are explicit:
+
+- warm per-query timing: single-shot through r07, median-of-3 from r08
+  (``warm_repeats`` present), degraded-pass-filtered from r10
+  (``warm_degraded_passes`` present);
+- extended panel: single-shot r05–r08, median-of-3 from r09;
+- normalization: ``value_normalized`` (single end-of-capture canary,
+  r04+) is vulnerable to intra-capture drift; prefer
+  ``value_normalized_perpass`` (r10+, ~1.3% repeatable vs 13–18% for
+  the raw/single-canary figures — SCALE_NOTES r10).
+
+Usage: python tools/bench_history.py  (no Spark; reads repo-root JSON)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = []
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        rnd = int(path.split("_r")[-1].split(".")[0])
+        with open(path) as f:
+            art = json.load(f)
+        p = art.get("parsed")
+        if not p:
+            rows.append((rnd, None))
+            continue
+        regime = []
+        if p.get("warm_repeats"):
+            regime.append(f"warm med{p['warm_repeats']}")
+        else:
+            regime.append("warm 1shot")
+        if p.get("extended_repeats"):
+            regime.append(f"ext med{p['extended_repeats']}")
+        elif "extended_total" in p:
+            regime.append("ext 1shot")
+        if "warm_degraded_passes" in p:
+            regime.append(
+                "degraded:" + (str(p["warm_degraded_passes"]) or "[]")
+            )
+        rows.append((rnd, p, ", ".join(regime)))
+
+    print(
+        "| round | warm (s) | ±spread | norm | norm/pass | cold (s) | "
+        "ext (s) | ext cold | errs | regime |"
+    )
+    print("|---" * 10 + "|")
+    for row in rows:
+        if row[1] is None:
+            print(f"| r{row[0]:02d} | — unparsed (see artifact tail) "
+                  + "| — " * 8 + "|")
+            continue
+        rnd, p, regime = row
+        fmt = lambda v: ("—" if v is None else f"{v}")  # noqa: E731
+        errs = sum(
+            p.get(k, 0)
+            for k in ("n_errors", "n_errors_cold", "n_errors_extended",
+                      "n_errors_extended_cold")
+        )
+        print(
+            f"| r{rnd:02d} | {fmt(p.get('value'))} |"
+            f" {fmt(p.get('warm_spread_sec'))} |"
+            f" {fmt(p.get('value_normalized'))} |"
+            f" {fmt(p.get('value_normalized_perpass'))} |"
+            f" {fmt(p.get('cold_total'))} |"
+            f" {fmt(p.get('extended_total'))} |"
+            f" {fmt(p.get('extended_cold_total'))} |"
+            f" {errs} | {regime} |"
+        )
+    print()
+    print(
+        "Caveats applied from SCALE_NOTES: r04 +45% and r08-cold +21% are "
+        "host drift (canary-attributed); r09 warm is pass-3-contaminated "
+        "(within its own ±5.3s bar); cross-regime warm deltas "
+        "(r07→r08, r08→r09 extended) are not like-for-like."
+    )
+
+
+if __name__ == "__main__":
+    main()
