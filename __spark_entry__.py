@@ -312,70 +312,70 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-10 rotation (driver caps its check at the first 50 queries() keys;
+# Round-11 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# All 217 queries have driver rows across r01–r09 with zero hash-FAILs,
+# All 217 queries have driver rows across r01-r10 with zero hash-FAILs,
 # so the rotation is pure recency maintenance:
-# 1) the 19 queries whose latest driver green is r05 (drains the band —
-#    after this round no query's latest row is older than r06);
-# 2) the 31 oldest r06 greens, queries()-order, filling the 50-slot
-#    window (17 r06 greens remain for r11's band).
-# Latest-round histogram going in: {r05: 19, r06: 48, r07: 50, r08: 50,
-# r09: 50}. All queries were locally oracle-verified on current data
-# last session (tools/verify_local.py: 206 pass / 11 rows-only, 0 fails),
-# re-run this session before commit, so staleness risk is bounded.
+# 1) the 17 queries whose latest driver green is r06 (drains the band —
+#    after this round no query's latest row is older than r07);
+# 2) the 33 oldest r07 greens, queries()-order, filling the 50-slot
+#    window (17 r07 greens remain for r12's band).
+# Latest-round histogram going in: {r06: 17, r07: 50, r08: 50, r09: 50,
+# r10: 50}. All queries were locally oracle-verified on current data
+# last session (tools/verify_local.py: 206 pass / 11 rows-only, 0 fails)
+# and re-run this session before commit, so staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
-    "scale_table_checksum",  # latest green r05
-    "scale_checksum_diff",  # latest green r05
-    "pipeline_user_insights",  # latest green r05
-    "clean_pseudonymize",  # latest green r05
-    "clean_winsorize_value",  # latest green r05
-    "sql_segment_ltv",  # latest green r05
-    "behavior_funnel_timing",  # latest green r05
-    "behavior_transition_matrix",  # latest green r05
-    "behavior_period_growth",  # latest green r05
-    "behavior_type_entropy",  # latest green r05
-    "behavior_attribution_linear",  # latest green r05
-    "behavior_stickiness",  # latest green r05
-    "behavior_window_funnel",  # latest green r05
-    "behavior_attribution",  # latest green r05
-    "behavior_attribution_credit",  # latest green r05
-    "agg_revenue_gini",  # latest green r05
-    "ml_seq_patterns",  # latest green r05
-    "ml_freq_itemsets",  # latest green r05
-    "graph_pagerank",  # latest green r05
-    "pipeline_corpus_health",  # latest green r06
-    "pipeline_corpus_prep",  # latest green r06
-    "text_quality_cutoff",  # latest green r06
-    "text_unigram_logprob",  # latest green r06
-    "text_bigram_pmi",  # latest green r06
-    "text_vocab_coverage",  # latest green r06
-    "sample_importance_weighted",  # latest green r06
-    "win_scd2_history",  # latest green r06
-    "dedup_docs_segments",  # latest green r06
-    "scale_skew_report",  # latest green r06
-    "agg_incremental_daily_revenue",  # latest green r06
-    "scale_partition_plan",  # latest green r06
-    "text_winnow_fingerprints",  # latest green r06
-    "dedup_docs_winnow",  # latest green r06
-    "dedup_docs_winnow_clusters",  # latest green r06
-    "sample_cluster_safe_split",  # latest green r06
-    "dedup_docs_winnow_spans",  # latest green r06
-    "dedup_docs_clusters",  # latest green r06
-    "dedup_docs_clusters_jaccard",  # latest green r06
-    "dedup_docs_simhash",  # latest green r06
-    "dedup_docs_simhash_hamming",  # latest green r06
-    "sim_embedding_drift",  # latest green r06
-    "sim_cosine_topk",  # latest green r06
-    "sim_knn_label_agreement",  # latest green r06
-    "sim_pairs_above_threshold",  # latest green r06
-    "dedup_embedding_clusters",  # latest green r06
-    "agg_forecast_revenue_change",  # latest green r06
-    "agg_priority_shipping",  # latest green r06
-    "agg_promo_revenue_pct",  # latest green r06
-    "agg_shipping_priority",  # latest green r06
-    "agg_local_supplier_volume",  # latest green r06
+    "agg_order_priority_checks",  # latest green r06
+    "agg_returned_item_losses",  # latest green r06
+    "agg_customer_order_distribution",  # latest green r06
+    "agg_supplier_counts_by_part",  # latest green r06
+    "agg_quantile_rollup_hist",  # latest green r06
+    "agg_rolling_quantile_hist",  # latest green r06
+    "agg_contribution_analysis",  # latest green r06
+    "agg_product_type_profit",  # latest green r06
+    "agg_min_cost_supplier",  # latest green r06
+    "agg_promotion_suppliers",  # latest green r06
+    "quality_k_anonymity",  # latest green r06
+    "behavior_rfm_hist",  # latest green r06
+    "ts_cusum_alarms",  # latest green r06
+    "quality_robust_outliers_hist",  # latest green r06
+    "text_bpe_learn",  # latest green r06
+    "scale_row_diff",  # latest green r06
+    "clean_winsorize_hist",  # latest green r06
+    "agg_hourly_demand",  # latest green r07
+    "agg_revenue_daily",  # latest green r07
+    "agg_driver_daily_summary",  # latest green r07
+    "agg_pricing_summary",  # latest green r07
+    "agg_supply_demand_hourly",  # latest green r07
+    "agg_approx_distinct_hourly",  # latest green r07
+    "agg_histogram_value",  # latest green r07
+    "agg_status_distribution",  # latest green r07
+    "agg_top_k_global",  # latest green r07
+    "agg_top_k_per_group",  # latest green r07
+    "agg_cube_revenue",  # latest green r07
+    "agg_rollup_revenue",  # latest green r07
+    "agg_pivot_status",  # latest green r07
+    "clean_ensure_columns",  # latest green r07
+    "clean_range_filter",  # latest green r07
+    "dedup_keep_latest",  # latest green r07
+    "dedup_distinct_projection",  # latest green r07
+    "dedup_duplicate_stats",  # latest green r07
+    "star_dim_time",  # latest green r07
+    "star_dim_entity",  # latest green r07
+    "star_dim_locations",  # latest green r07
+    "star_trips_fact",  # latest green r07
+    "star_payments_fact",  # latest green r07
+    "join_ri_check",  # latest green r07
+    "join_semi_orders_with_lines",  # latest green r07
+    "join_anti_customers_no_orders",  # latest green r07
+    "set_union_nation_keys",  # latest green r07
+    "sim_lsh_bucketed_ann",  # latest green r07
+    "agg_large_volume_customers",  # latest green r07
+    "agg_dormant_customers",  # latest green r07
+    "agg_nation_trade_volume",  # latest green r07
+    "agg_market_share",  # latest green r07
+    "agg_top_revenue_suppliers",  # latest green r07
 ]
 
 

@@ -209,6 +209,13 @@ def _run_warm_median(
         "pass_totals": pass_totals,
         "pass_calibrations": pass_canaries,
         "degraded_passes": degraded,
+        # pass_totals (and value_normalized_perpass built on them) sum
+        # only the n_common queries that succeeded in EVERY pass, while
+        # the headline `value` sums medians over all timed queries
+        # (ADVICE r10: a slow query flaking one pass silently shrinks
+        # the perpass numerator — consumers compare n_common across
+        # rounds to detect set shrinkage before comparing the figure).
+        "n_common": len(common),
     }
     return medians, runs, round(spread, 3), flaky, pass_info
 
@@ -245,6 +252,19 @@ def _canary_once(spark):
         return None
 
 
+def _canary_min2(spark):
+    """Min-of-2 host-speed sample for the cold-pass windows (VERDICT r10
+    #4: the one-shot cold totals had no canary, so a contended cold
+    capture would misreport with nothing to attribute it to). Runs
+    immediately AFTER a cold pass — never before, which would pre-warm
+    the page cache the cold pass exists to measure. Min-of-2 because the
+    first count in a fresh JVM carries codegen/JIT on the count-agg path
+    (ADVICE r10: the warm-up loop only exercises the noop-write scan
+    path); the second run measures host speed, and min() picks it."""
+    samples = [s for s in (_canary_once(spark), _canary_once(spark)) if s]
+    return min(samples) if samples else None
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
@@ -261,6 +281,12 @@ def main() -> None:
     errors_cold: dict[str, str] = {}
     errors: dict[str, str] = {}
     cold = _run_pass(spark, qs, names, errors_cold)
+    # Cold-window host-speed sample (VERDICT r10 #4): taken immediately
+    # AFTER the cold pass (before would pre-warm the pages the cold pass
+    # measures). cold_total / cold_calibration gives a drift-adjusted
+    # cold figure; a cold_calibration far above the warm passes' flags a
+    # contended cold window that the one-shot regime can't retry away.
+    cold_calibration = _canary_min2(spark)
     # Extended-panel cold pass (VERDICT r09 #6): one shot, same regime as
     # the headline cold pass — fresh-JVM codegen/JIT cost is real, but
     # page caches warm progressively as the pass runs (and the headline
@@ -269,6 +295,7 @@ def main() -> None:
     ext_names = [n for n in EXTENDED if n in qs]
     errors_ext_cold: dict[str, str] = {}
     ext_cold = _run_pass(spark, qs, ext_names, errors_ext_cold)
+    ext_cold_calibration = _canary_min2(spark)
     # Warm-up: pull every input table through the scan path once more
     # (page cache + parquet footers + codegen) so the warm pass measures
     # steady-state query cost, not first-touch I/O or JIT — the number
@@ -281,6 +308,11 @@ def main() -> None:
             ).save()
         except Exception:
             pass
+    # throwaway count so pass-1's per-pass canary measures host speed,
+    # not count-agg codegen/JIT (ADVICE r10: the warm-up loop above only
+    # exercises the noop-write scan path). Usually already warm via the
+    # cold calibrations, but those are allowed to fail silently.
+    _canary_once(spark)
     canary = lambda: _canary_once(spark)  # noqa: E731 — per-pass host sample
     timings, warm_runs, warm_spread, warm_flaky, warm_passes = _run_warm_median(
         spark, qs, names, errors, canary=canary
@@ -334,6 +366,10 @@ def main() -> None:
         "warm_pass_totals": warm_passes["pass_totals"],
         "warm_pass_calibrations": warm_passes["pass_calibrations"],
         "warm_degraded_passes": warm_passes["degraded_passes"],
+        # size of the always-successful set behind pass_totals (and thus
+        # value_normalized_perpass) — compare across rounds before the
+        # perpass figure to detect numerator shrinkage (ADVICE r10)
+        "warm_pass_n_common": warm_passes["n_common"],
         "value_normalized_perpass": value_normalized_perpass,
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
@@ -343,6 +379,23 @@ def main() -> None:
         "extended_cold_total": round(sum(ext_cold.values()), 3),
         "queries_extended_cold": ext_cold,
         "n_errors_extended_cold": len(errors_ext_cold),
+        # window-local cold canaries + cold totals normalized by them
+        # (r11+, VERDICT r10 #4): min-of-2 lineitem scan-count taken
+        # right after each cold pass, so each one-shot cold figure
+        # carries its own host-speed reading. Prefer the *_window
+        # normalized figures for cross-round cold comparisons.
+        "cold_calibration": cold_calibration,
+        "extended_cold_calibration": ext_cold_calibration,
+        "cold_total_normalized_window": (
+            round(sum(cold.values()) / cold_calibration, 2)
+            if cold_calibration
+            else None
+        ),
+        "extended_cold_total_normalized_window": (
+            round(sum(ext_cold.values()) / ext_cold_calibration, 2)
+            if ext_cold_calibration
+            else None
+        ),
         # host-speed canary + totals normalized by it: cross-round
         # comparisons should use *_normalized (dimensionless multiples
         # of the canary scan) to factor out host drift.
@@ -369,6 +422,7 @@ def main() -> None:
         "extended_pass_totals": ext_passes["pass_totals"],
         "extended_pass_calibrations": ext_passes["pass_calibrations"],
         "extended_degraded_passes": ext_passes["degraded_passes"],
+        "extended_pass_n_common": ext_passes["n_common"],
         "n_errors_extended": len(errors_ext),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -409,6 +463,9 @@ def _compact_line(payload: dict) -> str:
             "warm_spread_sec", "warm_rel_spread", "cold_total",
             "calibration", "value_normalized", "cold_total_normalized",
             "value_normalized_perpass", "warm_pass_calibrations",
+            "warm_pass_n_common", "cold_calibration",
+            "extended_cold_calibration", "cold_total_normalized_window",
+            "extended_cold_total_normalized_window",
             "warm_degraded_passes", "extended_degraded_passes",
             "n_queries", "n_timed", "n_errors", "n_errors_cold",
             "extended_total", "extended_cold_total", "extended_repeats",

@@ -47,9 +47,14 @@ def main() -> None:
         elif "extended_total" in p:
             regime.append("ext 1shot")
         if "warm_degraded_passes" in p:
-            regime.append(
-                "degraded:" + (str(p["warm_degraded_passes"]) or "[]")
-            )
+            regime.append("degraded:" + str(p["warm_degraded_passes"]))
+        if p.get("warm_pass_n_common") is not None:
+            # perpass numerator set size (r11+, ADVICE r10): compare
+            # across rounds before comparing norm/pass — a shrunken
+            # always-successful set reads as a spurious improvement
+            regime.append(f"n_common:{p['warm_pass_n_common']}")
+        if p.get("cold_calibration") is not None:
+            regime.append("coldcal")
         rows.append((rnd, p, ", ".join(regime)))
 
     print(
