@@ -89,7 +89,11 @@ def main() -> None:
         "Caveats applied from SCALE_NOTES: r04 +45% and r08-cold +21% are "
         "host drift (canary-attributed); r09 warm is pass-3-contaminated "
         "(within its own ±5.3s bar); cross-regime warm deltas "
-        "(r07→r08, r08→r09 extended) are not like-for-like."
+        "(r07→r08, r08→r09 extended) are not like-for-like; norm/pass "
+        "corrects sustained drift but carries canary burst noise on a "
+        "bursty host (SCALE_NOTES r11) — diagnose via "
+        "warm_pass_calibrations: scattered canaries over flat pass totals "
+        "→ read raw warm ± spread instead."
     )
 
 
