@@ -64,6 +64,12 @@ def test_bench_final_line_fits_tail_capture():
         "warm_pass_calibrations": [0.0652, 0.0713, 0.0699],
         "warm_degraded_passes": [2],
         "value_normalized_perpass": 212.31,
+        "warm_pass_n_common": 18,
+        "extended_pass_n_common": 33,
+        "cold_calibration": 0.0915,
+        "extended_cold_calibration": 0.0693,
+        "cold_total_normalized_window": 355.66,
+        "extended_cold_total_normalized_window": 1030.62,
         "extended_cold_total": 101.5,
         "queries_extended_cold": {n: 123.456 for n in bench.EXTENDED},
         "n_errors_extended": 1,
@@ -97,6 +103,14 @@ def test_bench_final_line_fits_tail_capture():
     assert parsed["warm_pass_calibrations"] == [0.0652, 0.0713, 0.0699]
     assert parsed["value_normalized_perpass"] == 212.31
     assert parsed["extended_cold_total"] == 101.5
+    # r11 additions: cold-window canaries + perpass numerator set size
+    # must reach the compact line (the judge reads shrinkage/contention
+    # from there; window-normalized cold figures ride along)
+    assert parsed["warm_pass_n_common"] == 18
+    assert parsed["cold_calibration"] == 0.0915
+    assert parsed["extended_cold_calibration"] == 0.0693
+    assert parsed["cold_total_normalized_window"] == 355.66
+    assert parsed["extended_cold_total_normalized_window"] == 1030.62
     # per-pass totals are detail-only (3 lists × 2 panels would crowd
     # the tail budget); the calibrations + degraded flags suffice
     assert "warm_pass_totals" not in parsed
@@ -135,6 +149,9 @@ def test_bench_degraded_pass_exclusion(monkeypatch):
     assert info["degraded_passes"] == [2]
     assert info["pass_totals"] == [3.0, 3.2, 7.9]
     assert info["pass_calibrations"] == [0.05, 0.05, 0.05]
+    # ADVICE r10: pass_totals sum only the always-successful set — its
+    # size must be reported so perpass-numerator shrinkage is detectable
+    assert info["n_common"] == 2
     # medians over the two clean passes (even-length -> averaged)
     assert meds == {"q1": 1.05, "q2": 2.05}
     # raw runs stay unfiltered for transparency
