@@ -379,6 +379,13 @@ def main() -> None:
         # perpass figure to detect numerator shrinkage (ADVICE r10)
         "warm_pass_n_common": warm_passes["n_common"],
         "value_normalized_perpass": value_normalized_perpass,
+        # canary regime marker: per-pass canaries are min-of-2 from r11
+        # (r10 was single-shot). min() picks the low tail of a noisy
+        # distribution, so the perpass DENOMINATOR shifted down and
+        # perpass LEVELS are not comparable across the regime break
+        # (r10 ~158 vs r11 ~234 on equivalent code) — compare perpass
+        # only within the same canary_regime.
+        "canary_regime": "min2",
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
         # extended-panel one-shot cold (r10+, VERDICT r09 #6): same
@@ -470,7 +477,8 @@ def _compact_line(payload: dict) -> str:
             "metric", "value", "unit", "queries", "warm_repeats",
             "warm_spread_sec", "warm_rel_spread", "cold_total",
             "calibration", "value_normalized", "cold_total_normalized",
-            "value_normalized_perpass", "warm_pass_calibrations",
+            "value_normalized_perpass", "canary_regime",
+            "warm_pass_calibrations",
             "warm_pass_n_common", "cold_calibration",
             "extended_cold_calibration", "cold_total_normalized_window",
             "extended_cold_total_normalized_window",

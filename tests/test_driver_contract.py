@@ -64,6 +64,7 @@ def test_bench_final_line_fits_tail_capture():
         "warm_pass_calibrations": [0.0652, 0.0713, 0.0699],
         "warm_degraded_passes": [2],
         "value_normalized_perpass": 212.31,
+        "canary_regime": "min2",
         "warm_pass_n_common": 18,
         "extended_pass_n_common": 33,
         "cold_calibration": 0.0915,
@@ -107,6 +108,7 @@ def test_bench_final_line_fits_tail_capture():
     # must reach the compact line (the judge reads shrinkage/contention
     # from there; window-normalized cold figures ride along)
     assert parsed["warm_pass_n_common"] == 18
+    assert parsed["canary_regime"] == "min2"
     assert parsed["cold_calibration"] == 0.0915
     assert parsed["extended_cold_calibration"] == 0.0693
     assert parsed["cold_total_normalized_window"] == 355.66

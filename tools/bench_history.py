@@ -55,6 +55,10 @@ def main() -> None:
             regime.append(f"n_common:{p['warm_pass_n_common']}")
         if p.get("cold_calibration") is not None:
             regime.append("coldcal")
+        if p.get("canary_regime"):
+            # perpass levels are only comparable within one canary
+            # regime (r10 single-shot vs r11+ min-of-2 — SCALE_NOTES)
+            regime.append(f"canary:{p['canary_regime']}")
         rows.append((rnd, p, ", ".join(regime)))
 
     print(
