@@ -312,70 +312,70 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-11 rotation (driver caps its check at the first 50 queries() keys;
+# Round-12 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# All 217 queries have driver rows across r01-r10 with zero hash-FAILs,
+# All 217 queries have driver rows across r01-r11 with zero hash-FAILs,
 # so the rotation is pure recency maintenance:
-# 1) the 17 queries whose latest driver green is r06 (drains the band —
-#    after this round no query's latest row is older than r07);
-# 2) the 33 oldest r07 greens, queries()-order, filling the 50-slot
-#    window (17 r07 greens remain for r12's band).
-# Latest-round histogram going in: {r06: 17, r07: 50, r08: 50, r09: 50,
-# r10: 50}. All queries were locally oracle-verified on current data
+# 1) the 17 queries whose latest driver green is r07 (drains the band —
+#    after this round no query's latest row is older than r08);
+# 2) the 33 oldest r08 greens, queries()-order, filling the 50-slot
+#    window (17 r08 greens remain for r13's band).
+# Latest-round histogram going in: {r07: 17, r08: 50, r09: 50, r10: 50,
+# r11: 50}. All queries were locally oracle-verified on current data
 # last session (tools/verify_local.py: 206 pass / 11 rows-only, 0 fails)
 # and re-run this session before commit, so staleness risk is bounded.
 _DRIVER_FIRST: list[str] = [
-    "agg_order_priority_checks",  # latest green r06
-    "agg_returned_item_losses",  # latest green r06
-    "agg_customer_order_distribution",  # latest green r06
-    "agg_supplier_counts_by_part",  # latest green r06
-    "agg_quantile_rollup_hist",  # latest green r06
-    "agg_rolling_quantile_hist",  # latest green r06
-    "agg_contribution_analysis",  # latest green r06
-    "agg_product_type_profit",  # latest green r06
-    "agg_min_cost_supplier",  # latest green r06
-    "agg_promotion_suppliers",  # latest green r06
-    "quality_k_anonymity",  # latest green r06
-    "behavior_rfm_hist",  # latest green r06
-    "ts_cusum_alarms",  # latest green r06
-    "quality_robust_outliers_hist",  # latest green r06
-    "text_bpe_learn",  # latest green r06
-    "scale_row_diff",  # latest green r06
-    "clean_winsorize_hist",  # latest green r06
-    "agg_hourly_demand",  # latest green r07
-    "agg_revenue_daily",  # latest green r07
-    "agg_driver_daily_summary",  # latest green r07
-    "agg_pricing_summary",  # latest green r07
-    "agg_supply_demand_hourly",  # latest green r07
-    "agg_approx_distinct_hourly",  # latest green r07
-    "agg_histogram_value",  # latest green r07
-    "agg_status_distribution",  # latest green r07
-    "agg_top_k_global",  # latest green r07
-    "agg_top_k_per_group",  # latest green r07
-    "agg_cube_revenue",  # latest green r07
-    "agg_rollup_revenue",  # latest green r07
-    "agg_pivot_status",  # latest green r07
-    "clean_ensure_columns",  # latest green r07
-    "clean_range_filter",  # latest green r07
-    "dedup_keep_latest",  # latest green r07
-    "dedup_distinct_projection",  # latest green r07
-    "dedup_duplicate_stats",  # latest green r07
-    "star_dim_time",  # latest green r07
-    "star_dim_entity",  # latest green r07
-    "star_dim_locations",  # latest green r07
-    "star_trips_fact",  # latest green r07
-    "star_payments_fact",  # latest green r07
-    "join_ri_check",  # latest green r07
-    "join_semi_orders_with_lines",  # latest green r07
-    "join_anti_customers_no_orders",  # latest green r07
-    "set_union_nation_keys",  # latest green r07
-    "sim_lsh_bucketed_ann",  # latest green r07
-    "agg_large_volume_customers",  # latest green r07
-    "agg_dormant_customers",  # latest green r07
-    "agg_nation_trade_volume",  # latest green r07
-    "agg_market_share",  # latest green r07
-    "agg_top_revenue_suppliers",  # latest green r07
+    "agg_brand_promo_revenue",  # latest green r07
+    "agg_sole_return_suppliers",  # latest green r07
+    "agg_important_part_values",  # latest green r07
+    "sim_pq_encode",  # latest green r07
+    "sim_pq_ann",  # latest green r07
+    "agg_unpivot_measures",  # latest green r07
+    "agg_grouping_sets",  # latest green r07
+    "sample_hash_docs",  # latest green r07
+    "sample_hash_split_train",  # latest green r07
+    "sample_mix_sources",  # latest green r07
+    "scale_salted_count",  # latest green r07
+    "agg_small_quantity_orders",  # latest green r07
+    "scalar_string_functions",  # latest green r07
+    "scalar_date_functions",  # latest green r07
+    "scalar_math_functions",  # latest green r07
+    "win_distribution_functions",  # latest green r07
+    "agg_exact_quantiles",  # latest green r07
+    "clean_events_silver",  # latest green r08
+    "set_intersect_nation_keys",  # latest green r08
+    "set_except_nation_keys",  # latest green r08
+    "win_lag_demand",  # latest green r08
+    "win_rolling_rows",  # latest green r08
+    "win_rolling_range_days",  # latest green r08
+    "win_running_total",  # latest green r08
+    "win_rank_customers",  # latest green r08
+    "win_churn_label",  # latest green r08
+    "quality_null_report",  # latest green r08
+    "quality_full_report",  # latest green r08
+    "quality_negative_report",  # latest green r08
+    "quality_freshness",  # latest green r08
+    "quality_volume_check",  # latest green r08
+    "metrics_regression",  # latest green r08
+    "drift_psi_fixed_bins",  # latest green r08
+    "drift_psi_quantile_bins",  # latest green r08
+    "text_doc_stats",  # latest green r08
+    "text_token_frequencies",  # latest green r08
+    "text_language_id",  # latest green r08
+    "text_quality_score",  # latest green r08
+    "text_fingerprint",  # latest green r08
+    "text_token_count_bpe",  # latest green r08
+    "text_chunk_documents",  # latest green r08
+    "text_redact_pii",  # latest green r08
+    "text_contamination",  # latest green r08
+    "text_repetition_stats",  # latest green r08
+    "text_pack_chunks",  # latest green r08
+    "sample_mixing_weights",  # latest green r08
+    "sim_quantize_embeddings",  # latest green r08
+    "stream_corpus_dedup",  # latest green r08
+    "quality_gate_quarantine",  # latest green r08
+    "dedup_corpus_diff",  # latest green r08
 ]
 
 

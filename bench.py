@@ -220,22 +220,6 @@ def _run_warm_median(
     return medians, runs, round(spread, 3), flaky, pass_info
 
 
-def _calibration(spark) -> float:
-    """Host-speed canary: a fixed, plan-stable full scan-count of
-    lineitem (no filter, no shuffle beyond the count agg). Its runtime
-    tracks host speed, not engine changes — per-round totals divided by
-    this normalize out host drift like r04's uniform 1.45× slowdown
-    (VERDICT r04 'Next round' #4). Timed warm (3 runs, min) so JIT and
-    page-cache first-touch don't pollute the canary itself."""
-    df = entrymod._t(spark, SF_DIR, "lineitem")
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        df.count()
-        best = min(best, time.time() - t0)
-    return round(best, 4)
-
-
 def _canary_once(spark):
     """Single-shot host-speed sample (same lineitem scan-count as
     _calibration, one run). Invoked once per warm pass so each pass
@@ -253,14 +237,17 @@ def _canary_once(spark):
 
 
 def _canary_min2(spark):
-    """Min-of-2 host-speed sample for the cold-pass windows (VERDICT r10
-    #4: the one-shot cold totals had no canary, so a contended cold
-    capture would misreport with nothing to attribute it to). Runs
-    immediately AFTER a cold pass — never before, which would pre-warm
-    the page cache the cold pass exists to measure. Min-of-2 because the
-    first count in a fresh JVM carries codegen/JIT on the count-agg path
-    (ADVICE r10: the warm-up loop only exercises the noop-write scan
-    path); the second run measures host speed, and min() picks it."""
+    """Shared min-of-2 host-speed sample — used for BOTH the cold-window
+    calibrations and the per-pass warm canaries; it is the sample that
+    defines the r11 'min2' canary regime (ADVICE r11: an earlier version
+    of this docstring described only the cold-window role). Cold usage
+    (VERDICT r10 #4): runs immediately AFTER a cold pass — never before,
+    which would pre-warm the page cache the cold pass exists to measure.
+    Min-of-2 because the first count in a fresh JVM carries codegen/JIT
+    on the count-agg path (ADVICE r10: the warm-up loop only exercises
+    the noop-write scan path), and because the ~100 ms canary window is
+    burst-sensitive — min() suppresses single-shot host-burst noise
+    while sustained contention still registers in both samples."""
     samples = [s for s in (_canary_once(spark), _canary_once(spark)) if s]
     return min(samples) if samples else None
 
@@ -333,15 +320,6 @@ def main() -> None:
     extended, ext_runs, ext_spread, ext_flaky, ext_passes = _run_warm_median(
         spark, qs, ext_names, errors_ext, canary=canary
     )
-    # the canary must not be able to kill the artifact: a broken
-    # lineitem scan here would discard every timing already gathered
-    # and leave the driver with parsed:null (the r03 failure mode the
-    # per-query guards exist to prevent)
-    try:
-        calibration = _calibration(spark)
-    except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
-        print(f"bench: calibration failed: {exc}", file=sys.stderr)
-        calibration = None
     total = round(sum(timings.values()), 3)
     # per-pass-normalized warm total: median over passes of
     # pass_total / that pass's own canary — immune to drift BETWEEN
@@ -411,14 +389,13 @@ def main() -> None:
             if ext_cold_calibration
             else None
         ),
-        # host-speed canary + totals normalized by it: cross-round
-        # comparisons should use *_normalized (dimensionless multiples
-        # of the canary scan) to factor out host drift.
-        "calibration": calibration,
-        "value_normalized": round(total / calibration, 2) if calibration else None,
-        "cold_total_normalized": (
-            round(sum(cold.values()) / calibration, 2) if calibration else None
-        ),
+        # (the legacy end-of-run `calibration` / `value_normalized` /
+        # `cold_total_normalized` fields were retired in r12 — VERDICT
+        # r11 #4. A single end-of-capture canary divides a multi-window
+        # sum by a one-window sample (the r09 misreport); the regime-aware
+        # replacements are value_normalized_perpass for warm and the
+        # *_normalized_window figures for cold. bench_history.py tags
+        # pre-r12 rounds so the break is visible on both sides.)
         # partial-total guard: value/cold_total cover n_timed of
         # n_queries — consumers must not compare totals across rounds
         # when n_errors > 0 (a dropped query shrinks the sum).
@@ -476,7 +453,6 @@ def _compact_line(payload: dict) -> str:
         for k in (
             "metric", "value", "unit", "queries", "warm_repeats",
             "warm_spread_sec", "warm_rel_spread", "cold_total",
-            "calibration", "value_normalized", "cold_total_normalized",
             "value_normalized_perpass", "canary_regime",
             "warm_pass_calibrations",
             "warm_pass_n_common", "cold_calibration",

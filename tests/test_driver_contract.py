@@ -45,9 +45,6 @@ def test_bench_final_line_fits_tail_capture():
         "queries_warm_runs": {n: [123.4, 123.5, 123.6] for n in bench.HEADLINE},
         "cold_total": 28.01,
         "queries_cold": {n: 123.456 for n in bench.HEADLINE},
-        "calibration": 0.0538,
-        "value_normalized": 276.43,
-        "cold_total_normalized": 559.83,
         "n_queries": len(bench.HEADLINE),
         "n_timed": len(bench.HEADLINE),
         "n_errors": 2,
@@ -116,6 +113,22 @@ def test_bench_final_line_fits_tail_capture():
     # per-pass totals are detail-only (3 lists × 2 panels would crowd
     # the tail budget); the calibrations + degraded flags suffice
     assert "warm_pass_totals" not in parsed
+    # extended_pass_n_common is likewise detail-only (ADVICE r11: pin
+    # the intended omission — only the WARM numerator size gates the
+    # perpass headline; the extended panel is context-only)
+    assert "extended_pass_n_common" not in parsed
+    # r12: the legacy single-end-of-capture-canary fields were retired
+    # (VERDICT r11 #4) — bench no longer computes them, and even if a
+    # stale payload carries them the compact line must not re-admit them
+    legacy = dict(payload)
+    legacy.update(
+        {"calibration": 0.0538, "value_normalized": 276.43,
+         "cold_total_normalized": 559.83}
+    )
+    parsed_legacy = json.loads(bench._compact_line(legacy))
+    for k in ("calibration", "value_normalized", "cold_total_normalized"):
+        assert k not in parsed, k
+        assert k not in parsed_legacy, k
 
     # ADVICE r09: the >1600 fallback must ALSO shed the flaky maps —
     # worst case is every headline+extended query flaky with long names,

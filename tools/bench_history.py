@@ -12,9 +12,11 @@ columns are explicit:
   (``warm_degraded_passes`` present);
 - extended panel: single-shot r05–r08, median-of-3 from r09;
 - normalization: ``value_normalized`` (single end-of-capture canary,
-  r04+) is vulnerable to intra-capture drift; prefer
-  ``value_normalized_perpass`` (r10+, ~1.3% repeatable vs 13–18% for
-  the raw/single-canary figures — SCALE_NOTES r10).
+  r04–r11; retired in r12 per VERDICT r11 #4) is vulnerable to
+  intra-capture drift; prefer ``value_normalized_perpass`` (r10+,
+  ~1.3% repeatable vs 13–18% for the raw/single-canary figures —
+  SCALE_NOTES r10), comparing only within one ``canary_regime``
+  (single-shot through r10, min-of-2 from r11).
 
 Usage: python tools/bench_history.py  (no Spark; reads repo-root JSON)
 """
@@ -59,6 +61,12 @@ def main() -> None:
             # perpass levels are only comparable within one canary
             # regime (r10 single-shot vs r11+ min-of-2 — SCALE_NOTES)
             regime.append(f"canary:{p['canary_regime']}")
+        elif p.get("value_normalized_perpass") is not None:
+            # pre-r11 payloads carry perpass but no regime marker; tag
+            # them explicitly so the regime break is visible on BOTH
+            # sides of the r10→r11 line (ADVICE r11 — absence should
+            # not have to be decoded as "single-shot")
+            regime.append("canary:1shot")
         rows.append((rnd, p, ", ".join(regime)))
 
     print(
