@@ -1,0 +1,106 @@
+"""Pins tools/rotate_driver_order.py — the rotation is the only
+external correctness signal (VERDICT r11), so a silent parsing
+regression here (a green row misread as never-checked, or vice versa)
+would quietly corrupt the driver window's freshness guarantee.
+Spark-free: synthetic artifacts on disk, pure-function assertions."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from rotate_driver_order import rotation_order, scan_artifacts  # noqa: E402
+
+
+def _write(tmp_path: Path, rnd: int, rows: dict) -> str:
+    p = tmp_path / f"CORRECTNESS_r{rnd:02d}.json"
+    p.write_text(json.dumps(rows))
+    return str(p)
+
+
+def test_scan_green_semantics(tmp_path):
+    paths = [
+        _write(
+            tmp_path,
+            1,
+            {
+                "q_hash": {"hash_match": True, "spark_rows": 10},
+                "q_fail": {"hash_match": False, "spark_rows": 10},
+                "q_rowsonly": {"err": "no_oracle", "spark_rows": 5},
+                "q_rowsonly_crashed": {"err": "no_oracle"},
+                "q_other_err": {"err": "AnalysisException: boom"},
+            },
+        ),
+        # a later round re-greens q_fail and refreshes q_hash
+        _write(
+            tmp_path,
+            3,
+            {
+                "q_hash": {"hash_match": True, "spark_rows": 10},
+                "q_fail": {"hash_match": True, "spark_rows": 10},
+            },
+        ),
+    ]
+    green, latest = scan_artifacts(paths)
+    # hash-pass and executed rows-only are green; a FAILED hash row, a
+    # rows-only row that never executed, and a hard error are NOT
+    assert green == {"q_hash", "q_fail", "q_rowsonly"}
+    # latest tracks the newest green round per name
+    assert latest == {"q_hash": 3, "q_fail": 3, "q_rowsonly": 1}
+
+
+def test_rotation_priority_and_staleness():
+    qs = ["a", "b", "c", "d", "e", "f"]
+    oracles = {"a", "b", "c", "d"}  # e, f are rows-only by design
+    green = {"b", "c", "e"}
+    latest = {"b": 4, "c": 2, "e": 3}
+    order = rotation_order(qs, oracles, green, latest, window=5)
+    names = [n for n, _ in order]
+    # never-checked oracle-backed first (a, d), then never-checked
+    # rows-only (f), then greens OLDEST latest-row first (c r2, e r3 —
+    # b r4 falls off the 5-slot window as the freshest green)
+    assert names == ["a", "d", "f", "c", "e"]
+    # unchecked entries carry no round; greens carry their latest round
+    assert order[0][1] is None and order[2][1] is None
+    assert order[3] == ("c", 2) and order[4] == ("e", 3)
+
+
+def test_rotation_ties_follow_queries_order():
+    qs = ["z_late", "a_early", "m_mid"]
+    order = rotation_order(
+        qs, set(qs), set(qs), {"z_late": 1, "a_early": 1, "m_mid": 1}, window=3
+    )
+    # equal staleness → stable queries() order, not alphabetical
+    assert [n for n, _ in order] == ["z_late", "a_early", "m_mid"]
+
+
+def test_rotation_window_never_exceeded():
+    qs = [f"q{i}" for i in range(80)]
+    green = set(qs)
+    latest = {q: 1 for q in qs}
+    order = rotation_order(qs, set(qs), green, latest, window=50)
+    assert len(order) == 50
+    # all-unchecked also caps at the window
+    order2 = rotation_order(qs, set(qs), set(), {}, window=50)
+    assert len(order2) == 50 and all(r is None for _, r in order2)
+
+
+def test_live_rotation_matches_tool_output():
+    # the committed _DRIVER_FIRST must be exactly what the tool would
+    # emit from the committed artifacts — a hand-edited drift between
+    # them would silently misdirect the freshness budget
+    import glob
+    import os
+
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    green, latest = scan_artifacts(paths)
+    order = rotation_order(
+        list(entrymod.queries()), set(entrymod.oracle_sql()), green, latest
+    )
+    assert [n for n, _ in order] == list(entrymod._DRIVER_FIRST)

@@ -6,7 +6,8 @@ the repo root, computes which queries have EVER earned a green row
 (full pass or intentional rows-only), and prints the suggested
 ``_DRIVER_FIRST`` ordering for ``__spark_entry__.py``: never-checked
 oracle-backed queries first, never-checked rows-only next, then
-everything already green (stable order otherwise).
+everything already green, oldest-latest-row first (stable order
+otherwise).
 
 Usage: python tools/rotate_driver_order.py
 (prints a Python list literal to paste into __spark_entry__.py)
@@ -21,52 +22,90 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import __spark_entry__ as entrymod
+WINDOW = 50  # the driver checks only the first 50 queries() keys
+
+
+def scan_artifacts(paths: list[str]) -> tuple[set[str], dict[str, int]]:
+    """Parse CORRECTNESS artifacts → (green names, name → latest round).
+
+    A row counts as checked if it hash-passed, or if it is a deliberate
+    rows-only entry (``err: "no_oracle"``) that actually executed
+    (``spark_rows`` present) — a rows-only row that CRASHED must stay
+    un-green, or the rotation would never re-surface it. ``latest``
+    tracks the newest round containing a green row per name, so
+    staleness is measurable (paths are processed in the given order;
+    callers pass them sorted ascending by round).
+    """
+    green: set[str] = set()
+    latest: dict[str, int] = {}
+    for path in paths:
+        rnd = int(path.split("_r")[-1].split(".")[0])
+        with open(path) as f:
+            art = json.load(f)
+        for name, row in art.items():
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                green.add(name)
+                latest[name] = rnd
+    return green, latest
+
+
+def rotation_order(
+    qs: list[str],
+    oracles: set[str],
+    green: set[str],
+    latest: dict[str, int],
+    window: int = WINDOW,
+) -> list[tuple[str, int | None]]:
+    """The window-sized rotation: (name, latest green round | None).
+
+    Priority: never-checked oracle-backed queries (a hash check is
+    stronger evidence than rows-only, so they jump the queue), then
+    never-checked rows-only, then already-green queries oldest-latest-
+    row first (ties broken by ``qs`` order, which sorted() preserves
+    via stability) — staleness hides breakage, so the oldest greens
+    re-confirm first.
+    """
+    unchecked_oracle = [q for q in qs if q not in green and q in oracles]
+    unchecked_rows = [q for q in qs if q not in green and q not in oracles]
+    checked = sorted((q for q in qs if q in green), key=lambda q: latest[q])
+    head: list[tuple[str, int | None]] = [
+        (q, None) for q in unchecked_oracle + unchecked_rows
+    ]
+    fill = max(0, window - len(head))
+    return (head + [(q, latest[q]) for q in checked[:fill]])[:window]
 
 
 def main() -> None:
-    green: set[str] = set()
-    latest: dict[str, int] = {}
+    import __spark_entry__ as entrymod
+
     # anchor at the repo root (like the import path above): a CWD-relative
     # glob run from tools/ would find zero artifacts and silently emit a
     # rotation that marks every query never-checked
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     artifacts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     assert artifacts, f"no CORRECTNESS_r*.json under {root}"
+    green, latest = scan_artifacts(artifacts)
     for path in artifacts:
-        rnd = int(path.split("_r")[-1].split(".")[0])
         with open(path) as f:
-            art = json.load(f)
-        for name, row in art.items():
-            # a row counts as checked if it passed, or if it is a
-            # deliberate rows-only entry (no oracle) that executed
-            if row.get("hash_match") or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            ):
-                green.add(name)
-                latest[name] = rnd
-        print(f"# {path}: {len(art)} rows", file=sys.stderr)
+            print(f"# {path}: {len(json.load(f))} rows", file=sys.stderr)
 
     qs = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
-    unchecked_oracle = [q for q in qs if q not in green and q in oracles]
-    unchecked_rows = [q for q in qs if q not in green and q not in oracles]
-    # staleness hides breakage: after never-checked queries, re-confirm
-    # the greens whose latest driver row is OLDEST (ties: queries() order)
-    checked = sorted((q for q in qs if q in green), key=lambda q: latest[q])
+    order = rotation_order(qs, oracles, green, latest)
     from collections import Counter
 
+    n_unchecked = sum(1 for _, r in order if r is None)
     print(
-        f"# unchecked w/ oracle: {len(unchecked_oracle)}, "
-        f"unchecked rows-only: {len(unchecked_rows)}, green: {len(checked)}; "
+        f"# unchecked in window: {n_unchecked}, green: {len(green)}; "
         f"latest-round histogram: {dict(sorted(Counter(latest.values()).items()))}",
         file=sys.stderr,
     )
     print("_DRIVER_FIRST: list[str] = [")
-    for name in unchecked_oracle + unchecked_rows:
-        print(f'    "{name}",')
-    for name in checked[: max(0, 50 - len(unchecked_oracle) - len(unchecked_rows))]:
-        print(f'    "{name}",  # latest green r{latest[name]:02d}')
+    for name, rnd in order:
+        suffix = "" if rnd is None else f"  # latest green r{rnd:02d}"
+        print(f'    "{name}",{suffix}')
     print("]")
 
 
