@@ -312,70 +312,78 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-12 rotation (driver caps its check at the first 50 queries() keys;
+# Round-13 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# All 217 queries have driver rows across r01-r11 with zero hash-FAILs,
+# All 217 queries have driver rows across r01-r12 with zero hash-FAILs,
 # so the rotation is pure recency maintenance:
-# 1) the 17 queries whose latest driver green is r07 (drains the band —
-#    after this round no query's latest row is older than r08);
-# 2) the 33 oldest r08 greens, queries()-order, filling the 50-slot
-#    window (17 r08 greens remain for r13's band).
-# Latest-round histogram going in: {r07: 17, r08: 50, r09: 50, r10: 50,
-# r11: 50}. All queries were locally oracle-verified on current data
-# last session (tools/verify_local.py: 206 pass / 11 rows-only, 0 fails)
-# and re-run this session before commit, so staleness risk is bounded.
+# 1) the 17 queries whose latest driver green is r08 (drains the band —
+#    after this round no query's latest row is older than r09);
+# 2) the 33 oldest r09 greens, queries()-order, filling the 50-slot
+#    window (17 r09 greens remain for r14's band).
+# Latest-round histogram going in: {r08: 17, r09: 50, r10: 50, r11: 50,
+# r12: 50}. All queries were locally oracle-verified on current data
+# this session (tools/verify_local.py) before commit, so staleness risk
+# is bounded.
+#
+# _DRIVER_FIRST_THROUGH_ROUND pins WHICH artifacts this rotation was
+# computed from (CORRECTNESS_r01..r{N}): tests/test_rotation_tool.py
+# bounds its recomputation to those rounds, so the driver landing
+# CORRECTNESS_r{N+1}.json mid-round cannot redden the suite — the next
+# session's rotation bumps this constant in the same commit as the
+# regenerated list (the tool prints both).
+_DRIVER_FIRST_THROUGH_ROUND: int = 12
 _DRIVER_FIRST: list[str] = [
-    "agg_brand_promo_revenue",  # latest green r07
-    "agg_sole_return_suppliers",  # latest green r07
-    "agg_important_part_values",  # latest green r07
-    "sim_pq_encode",  # latest green r07
-    "sim_pq_ann",  # latest green r07
-    "agg_unpivot_measures",  # latest green r07
-    "agg_grouping_sets",  # latest green r07
-    "sample_hash_docs",  # latest green r07
-    "sample_hash_split_train",  # latest green r07
-    "sample_mix_sources",  # latest green r07
-    "scale_salted_count",  # latest green r07
-    "agg_small_quantity_orders",  # latest green r07
-    "scalar_string_functions",  # latest green r07
-    "scalar_date_functions",  # latest green r07
-    "scalar_math_functions",  # latest green r07
-    "win_distribution_functions",  # latest green r07
-    "agg_exact_quantiles",  # latest green r07
-    "clean_events_silver",  # latest green r08
-    "set_intersect_nation_keys",  # latest green r08
-    "set_except_nation_keys",  # latest green r08
-    "win_lag_demand",  # latest green r08
-    "win_rolling_rows",  # latest green r08
-    "win_rolling_range_days",  # latest green r08
-    "win_running_total",  # latest green r08
-    "win_rank_customers",  # latest green r08
-    "win_churn_label",  # latest green r08
-    "quality_null_report",  # latest green r08
-    "quality_full_report",  # latest green r08
-    "quality_negative_report",  # latest green r08
-    "quality_freshness",  # latest green r08
-    "quality_volume_check",  # latest green r08
-    "metrics_regression",  # latest green r08
-    "drift_psi_fixed_bins",  # latest green r08
-    "drift_psi_quantile_bins",  # latest green r08
-    "text_doc_stats",  # latest green r08
-    "text_token_frequencies",  # latest green r08
-    "text_language_id",  # latest green r08
-    "text_quality_score",  # latest green r08
-    "text_fingerprint",  # latest green r08
-    "text_token_count_bpe",  # latest green r08
-    "text_chunk_documents",  # latest green r08
-    "text_redact_pii",  # latest green r08
-    "text_contamination",  # latest green r08
-    "text_repetition_stats",  # latest green r08
-    "text_pack_chunks",  # latest green r08
-    "sample_mixing_weights",  # latest green r08
-    "sim_quantize_embeddings",  # latest green r08
-    "stream_corpus_dedup",  # latest green r08
-    "quality_gate_quarantine",  # latest green r08
-    "dedup_corpus_diff",  # latest green r08
+    "sim_mllib_lsh",  # latest green r08
+    "sim_ivf_ann",  # latest green r08
+    "sim_ivf_ann_fixed",  # latest green r08
+    "sim_ivfpq_ann_fixed",  # latest green r08
+    "sample_bernoulli",  # latest green r08
+    "array_functions_embeddings",  # latest green r08
+    "ml_demand_features",  # latest green r08
+    "ml_churn_features",  # latest green r08
+    "ml_score_pandas_udf",  # latest green r08
+    "ml_score_expression",  # latest green r08
+    "ml_score_surge",  # latest green r08
+    "serve_demand_batch",  # latest green r08
+    "ml_train_demand_models",  # latest green r08
+    "ml_train_classifier",  # latest green r08
+    "mm_media_metadata",  # latest green r08
+    "mm_extract_features",  # latest green r08
+    "drift_missing_rate_shift",  # latest green r08
+    "drift_ks_binned",  # latest green r09
+    "text_quality_percentile",  # latest green r09
+    "sample_negative_pairs",  # latest green r09
+    "sample_fixed_k_per_source",  # latest green r09
+    "scalar_morton3_key",  # latest green r09
+    "scalar_morton_key",  # latest green r09
+    "text_token_rarity",  # latest green r09
+    "text_tfidf_top_terms",  # latest green r09
+    "dedup_docs_exact",  # latest green r09
+    "dedup_docs_jaccard_pairs",  # latest green r09
+    "dedup_docs_minhash_sig",  # latest green r09
+    "dedup_docs_minhash_lsh",  # latest green r09
+    "dedup_canonical_quality",  # latest green r09
+    "sim_label_centroids",  # latest green r09
+    "sim_prototype_confusion",  # latest green r09
+    "sim_cross_contamination",  # latest green r09
+    "sim_hard_negatives",  # latest green r09
+    "stream_tumbling_hourly",  # latest green r09
+    "stream_sliding_counts",  # latest green r09
+    "stream_sessionize",  # latest green r09
+    "stream_dedup",  # latest green r09
+    "stream_stateful_counts",  # latest green r09
+    "stream_static_enrich",  # latest green r09
+    "stream_stream_conversions",  # latest green r09
+    "sim_ivfpq_ann",  # latest green r09
+    "join_asof_orders_events",  # latest green r09
+    "json_from_json_struct",  # latest green r09
+    "join_range_bucketed",  # latest green r09
+    "json_extract_props",  # latest green r09
+    "json_props_agg",  # latest green r09
+    "metrics_calibration",  # latest green r09
+    "mm_sample_frames",  # latest green r09
+    "mm_resize_meta",  # latest green r09
 ]
 
 

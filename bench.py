@@ -221,8 +221,8 @@ def _run_warm_median(
 
 
 def _canary_once(spark):
-    """Single-shot host-speed sample (same lineitem scan-count as
-    _calibration, one run). Invoked once per warm pass so each pass
+    """Single-shot host-speed sample: one full lineitem scan-count,
+    timed once (ADVICE r12). Invoked once per warm pass so each pass
     carries its own host-speed reading — a one-sample end-of-capture
     canary cannot normalize intra-capture drift (VERDICT r09: the
     canary ran in a fast window while pass 3 hit the slow one). Returns

@@ -44,12 +44,14 @@ def test_scan_green_semantics(tmp_path):
             },
         ),
     ]
-    green, latest = scan_artifacts(paths)
+    green, latest, row_counts = scan_artifacts(paths)
     # hash-pass and executed rows-only are green; a FAILED hash row, a
     # rows-only row that never executed, and a hard error are NOT
     assert green == {"q_hash", "q_fail", "q_rowsonly"}
     # latest tracks the newest green round per name
     assert latest == {"q_hash": 3, "q_fail": 3, "q_rowsonly": 1}
+    # per-path row counts ride along (ADVICE r12: no second parse pass)
+    assert row_counts == {paths[0]: 5, paths[1]: 2}
 
 
 def test_rotation_priority_and_staleness():
@@ -90,17 +92,65 @@ def test_rotation_window_never_exceeded():
 
 def test_live_rotation_matches_tool_output():
     # the committed _DRIVER_FIRST must be exactly what the tool would
-    # emit from the committed artifacts — a hand-edited drift between
-    # them would silently misdirect the freshness budget
+    # emit from the artifact rounds it CLAIMS it was computed from
+    # (_DRIVER_FIRST_THROUGH_ROUND) — a hand-edited drift between them
+    # would silently misdirect the freshness budget. The glob is bounded
+    # to those rounds (VERDICT r12): the driver dropping a NEW
+    # CORRECTNESS artifact mid-round must not redden the suite — the
+    # tool's own stderr WARNING is the unbounded staleness reminder, and
+    # each session's rotation bumps the constant + list in one commit.
     import glob
     import os
 
     import __spark_entry__ as entrymod
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    green, latest = scan_artifacts(paths)
+    paths = [
+        p
+        for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+        if int(p.split("_r")[-1].split(".")[0])
+        <= entrymod._DRIVER_FIRST_THROUGH_ROUND
+    ]
+    # the pinned rounds must actually exist — a constant ahead of the
+    # committed artifacts would vacuously pass on an empty scan
+    assert paths, "no artifacts within _DRIVER_FIRST_THROUGH_ROUND"
+    green, latest, _ = scan_artifacts(paths)
     order = rotation_order(
         list(entrymod.queries()), set(entrymod.oracle_sql()), green, latest
     )
     assert [n for n, _ in order] == list(entrymod._DRIVER_FIRST)
+
+
+def test_new_artifact_does_not_change_bounded_rotation(tmp_path):
+    # round-transition safety (VERDICT r12 item 2): a fresh driver
+    # artifact landing AFTER the rotation was committed must not change
+    # what the bounded recomputation sees — the suite stays green with
+    # an extra, newer CORRECTNESS file present.
+    through_round = 2
+    _write(tmp_path, 1, {"qa": {"hash_match": True, "spark_rows": 1}})
+    _write(tmp_path, 2, {"qb": {"hash_match": True, "spark_rows": 1}})
+    committed_order = rotation_order(
+        ["qa", "qb"],
+        {"qa", "qb"},
+        *scan_artifacts(
+            sorted(str(p) for p in tmp_path.glob("CORRECTNESS_r*.json"))
+        )[:2],
+        window=2,
+    )
+    # the driver lands r03 mid-round: qa refreshed, qb now stale-first
+    _write(tmp_path, 3, {"qa": {"hash_match": True, "spark_rows": 1}})
+    bounded = [
+        str(p)
+        for p in sorted(tmp_path.glob("CORRECTNESS_r*.json"))
+        if int(str(p).split("_r")[-1].split(".")[0]) <= through_round
+    ]
+    green, latest, _ = scan_artifacts(bounded)
+    recomputed = rotation_order(["qa", "qb"], {"qa", "qb"}, green, latest, window=2)
+    assert recomputed == committed_order  # bounded view: unchanged
+    # sanity: the UNbounded view would differ — proving the bound matters
+    g_all, l_all, _ = scan_artifacts(
+        sorted(str(p) for p in tmp_path.glob("CORRECTNESS_r*.json"))
+    )
+    assert rotation_order(["qa", "qb"], {"qa", "qb"}, g_all, l_all, window=2) != (
+        committed_order
+    )

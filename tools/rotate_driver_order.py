@@ -10,7 +10,10 @@ everything already green, oldest-latest-row first (stable order
 otherwise).
 
 Usage: python tools/rotate_driver_order.py
-(prints a Python list literal to paste into __spark_entry__.py)
+(prints the ``_DRIVER_FIRST_THROUGH_ROUND`` constant plus the
+``_DRIVER_FIRST`` list literal — paste BOTH into __spark_entry__.py in
+the same commit; the pytest tripwire recomputes the rotation bounded to
+the pinned rounds, so the pair must move together)
 """
 
 from __future__ import annotations
@@ -25,8 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW = 50  # the driver checks only the first 50 queries() keys
 
 
-def scan_artifacts(paths: list[str]) -> tuple[set[str], dict[str, int]]:
-    """Parse CORRECTNESS artifacts → (green names, name → latest round).
+def scan_artifacts(
+    paths: list[str],
+) -> tuple[set[str], dict[str, int], dict[str, int]]:
+    """Parse CORRECTNESS artifacts → (greens, name→latest round, path→rows).
 
     A row counts as checked if it hash-passed, or if it is a deliberate
     rows-only entry (``err: "no_oracle"``) that actually executed
@@ -34,21 +39,25 @@ def scan_artifacts(paths: list[str]) -> tuple[set[str], dict[str, int]]:
     un-green, or the rotation would never re-surface it. ``latest``
     tracks the newest round containing a green row per name, so
     staleness is measurable (paths are processed in the given order;
-    callers pass them sorted ascending by round).
+    callers pass them sorted ascending by round). The per-path row
+    counts ride along so callers can report them without re-parsing
+    each artifact (ADVICE r12).
     """
     green: set[str] = set()
     latest: dict[str, int] = {}
+    row_counts: dict[str, int] = {}
     for path in paths:
         rnd = int(path.split("_r")[-1].split(".")[0])
         with open(path) as f:
             art = json.load(f)
+        row_counts[path] = len(art)
         for name, row in art.items():
             if row.get("hash_match") or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             ):
                 green.add(name)
                 latest[name] = rnd
-    return green, latest
+    return green, latest, row_counts
 
 
 def rotation_order(
@@ -86,10 +95,9 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     artifacts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     assert artifacts, f"no CORRECTNESS_r*.json under {root}"
-    green, latest = scan_artifacts(artifacts)
+    green, latest, row_counts = scan_artifacts(artifacts)
     for path in artifacts:
-        with open(path) as f:
-            print(f"# {path}: {len(json.load(f))} rows", file=sys.stderr)
+        print(f"# {path}: {row_counts[path]} rows", file=sys.stderr)
 
     qs = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
@@ -102,6 +110,24 @@ def main() -> None:
         f"latest-round histogram: {dict(sorted(Counter(latest.values()).items()))}",
         file=sys.stderr,
     )
+
+    # Non-gating staleness report: the committed rotation pins which
+    # artifact rounds it was computed from; if newer artifacts exist the
+    # committed _DRIVER_FIRST is due for regeneration. The pytest gate
+    # deliberately bounds itself to the pinned rounds (so a driver
+    # artifact landing mid-round can't redden the suite) — THIS warning
+    # is the unbounded check that keeps the forcing function visible.
+    newest = max(int(p.split("_r")[-1].split(".")[0]) for p in artifacts)
+    committed = getattr(entrymod, "_DRIVER_FIRST_THROUGH_ROUND", None)
+    if committed is not None and newest > committed:
+        print(
+            f"# WARNING: committed rotation covers r01-r{committed:02d} but "
+            f"CORRECTNESS_r{newest:02d}.json exists — paste the output below "
+            "(constant + list) into __spark_entry__.py this session",
+            file=sys.stderr,
+        )
+
+    print(f"_DRIVER_FIRST_THROUGH_ROUND: int = {newest}")
     print("_DRIVER_FIRST: list[str] = [")
     for name, rnd in order:
         suffix = "" if rnd is None else f"  # latest green r{rnd:02d}"
