@@ -97,6 +97,28 @@ def main() -> None:
             f" {errs} | {regime} |"
         )
     print()
+    # Cross-round min2 perpass band (VERDICT r12/r13 track this by hand):
+    # min/max of value_normalized_perpass over min2-regime DRIVER rounds
+    # only — session captures live in SCALE_NOTES prose and are not
+    # mixed in here, so the band is artifact-reproducible. A new round
+    # landing outside the printed band is the "investigate before
+    # blaming the host" trigger.
+    min2 = [
+        (rnd, p["value_normalized_perpass"])
+        for rnd, p, *_ in (r for r in rows if r[1] is not None)
+        if p.get("canary_regime") == "min2"
+        and p.get("value_normalized_perpass") is not None
+    ]
+    if min2:
+        vals = [v for _, v in min2]
+        lo, hi = min(vals), max(vals)
+        mid = (lo + hi) / 2
+        print(
+            f"min2 perpass band (driver artifacts only, {len(min2)} rounds "
+            f"{', '.join(f'r{r:02d}' for r, _ in min2)}): "
+            f"{lo:.1f}-{hi:.1f} (±{(hi - lo) / 2 / mid:.1%} about the midpoint)"
+        )
+        print()
     print(
         "Caveats applied from SCALE_NOTES: r04 +45% and r08-cold +21% are "
         "host drift (canary-attributed); r09 warm is pass-3-contaminated "
