@@ -22,6 +22,10 @@ def test_rotation_names_and_oracle_subset():
     # intentionally rows-only — i.e. every windowed name is a real query
     window = list(entrymod._driver_order(o).keys())[:50]
     assert all(name in q for name in window)
+    # the driver consumes the first 50 queries() keys verbatim — pin
+    # that the rotation list IS that prefix (an ordering bug in
+    # _driver_order would otherwise only surface as silent staleness)
+    assert list(q)[: len(entrymod._DRIVER_FIRST)] == list(entrymod._DRIVER_FIRST)
 
 
 def test_bench_final_line_fits_tail_capture():
