@@ -312,17 +312,17 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-13 rotation (driver caps its check at the first 50 queries() keys;
+# Round-14 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# All 217 queries have driver rows across r01-r12 with zero hash-FAILs,
+# All 217 queries have driver rows across r01-r13 with zero hash-FAILs,
 # so the rotation is pure recency maintenance:
-# 1) the 17 queries whose latest driver green is r08 (drains the band —
-#    after this round no query's latest row is older than r09);
-# 2) the 33 oldest r09 greens, queries()-order, filling the 50-slot
-#    window (17 r09 greens remain for r14's band).
-# Latest-round histogram going in: {r08: 17, r09: 50, r10: 50, r11: 50,
-# r12: 50}. All queries were locally oracle-verified on current data
+# 1) the 17 queries whose latest driver green is r09 (drains the band —
+#    after this round no query's latest row is older than r10);
+# 2) the 33 oldest r10 greens, queries()-order, filling the 50-slot
+#    window (17 r10 greens remain for r15's band).
+# Latest-round histogram going in: {r09: 17, r10: 50, r11: 50, r12: 50,
+# r13: 50}. All queries were locally oracle-verified on current data
 # this session (tools/verify_local.py) before commit, so staleness risk
 # is bounded.
 #
@@ -332,58 +332,58 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r{N+1}.json mid-round cannot redden the suite — the next
 # session's rotation bumps this constant in the same commit as the
 # regenerated list (the tool prints both).
-_DRIVER_FIRST_THROUGH_ROUND: int = 12
+_DRIVER_FIRST_THROUGH_ROUND: int = 13
 _DRIVER_FIRST: list[str] = [
-    "sim_mllib_lsh",  # latest green r08
-    "sim_ivf_ann",  # latest green r08
-    "sim_ivf_ann_fixed",  # latest green r08
-    "sim_ivfpq_ann_fixed",  # latest green r08
-    "sample_bernoulli",  # latest green r08
-    "array_functions_embeddings",  # latest green r08
-    "ml_demand_features",  # latest green r08
-    "ml_churn_features",  # latest green r08
-    "ml_score_pandas_udf",  # latest green r08
-    "ml_score_expression",  # latest green r08
-    "ml_score_surge",  # latest green r08
-    "serve_demand_batch",  # latest green r08
-    "ml_train_demand_models",  # latest green r08
-    "ml_train_classifier",  # latest green r08
-    "mm_media_metadata",  # latest green r08
-    "mm_extract_features",  # latest green r08
-    "drift_missing_rate_shift",  # latest green r08
-    "drift_ks_binned",  # latest green r09
-    "text_quality_percentile",  # latest green r09
-    "sample_negative_pairs",  # latest green r09
-    "sample_fixed_k_per_source",  # latest green r09
-    "scalar_morton3_key",  # latest green r09
-    "scalar_morton_key",  # latest green r09
-    "text_token_rarity",  # latest green r09
-    "text_tfidf_top_terms",  # latest green r09
-    "dedup_docs_exact",  # latest green r09
-    "dedup_docs_jaccard_pairs",  # latest green r09
-    "dedup_docs_minhash_sig",  # latest green r09
-    "dedup_docs_minhash_lsh",  # latest green r09
-    "dedup_canonical_quality",  # latest green r09
-    "sim_label_centroids",  # latest green r09
-    "sim_prototype_confusion",  # latest green r09
-    "sim_cross_contamination",  # latest green r09
-    "sim_hard_negatives",  # latest green r09
-    "stream_tumbling_hourly",  # latest green r09
-    "stream_sliding_counts",  # latest green r09
-    "stream_sessionize",  # latest green r09
-    "stream_dedup",  # latest green r09
-    "stream_stateful_counts",  # latest green r09
-    "stream_static_enrich",  # latest green r09
-    "stream_stream_conversions",  # latest green r09
-    "sim_ivfpq_ann",  # latest green r09
-    "join_asof_orders_events",  # latest green r09
-    "json_from_json_struct",  # latest green r09
-    "join_range_bucketed",  # latest green r09
-    "json_extract_props",  # latest green r09
-    "json_props_agg",  # latest green r09
-    "metrics_calibration",  # latest green r09
-    "mm_sample_frames",  # latest green r09
-    "mm_resize_meta",  # latest green r09
+    "quality_expectations",  # latest green r09
+    "behavior_funnel",  # latest green r09
+    "behavior_cohort_retention",  # latest green r09
+    "behavior_rfm_scores",  # latest green r09
+    "link_fuzzy_pairs",  # latest green r09
+    "agg_distinct_rollup_exact",  # latest green r09
+    "agg_distinct_rollup_sketch",  # latest green r09
+    "agg_rolling_distinct_sketch",  # latest green r09
+    "agg_rolling_distinct_exact",  # latest green r09
+    "ts_resample_ffill",  # latest green r09
+    "ts_gap_stats",  # latest green r09
+    "ts_seasonal_anomaly",  # latest green r09
+    "ts_resample_interpolate",  # latest green r09
+    "join_point_in_time",  # latest green r09
+    "quality_robust_outliers",  # latest green r09
+    "text_bpe_encode",  # latest green r09
+    "win_ewma_demand",  # latest green r09
+    "pipeline_corpus_health",  # latest green r10
+    "pipeline_corpus_prep",  # latest green r10
+    "text_quality_cutoff",  # latest green r10
+    "text_unigram_logprob",  # latest green r10
+    "text_bigram_pmi",  # latest green r10
+    "text_vocab_coverage",  # latest green r10
+    "sample_importance_weighted",  # latest green r10
+    "win_scd2_history",  # latest green r10
+    "dedup_docs_segments",  # latest green r10
+    "scale_skew_report",  # latest green r10
+    "agg_incremental_daily_revenue",  # latest green r10
+    "scale_partition_plan",  # latest green r10
+    "text_winnow_fingerprints",  # latest green r10
+    "dedup_docs_winnow",  # latest green r10
+    "dedup_docs_winnow_clusters",  # latest green r10
+    "sample_cluster_safe_split",  # latest green r10
+    "dedup_docs_winnow_spans",  # latest green r10
+    "dedup_docs_clusters",  # latest green r10
+    "dedup_docs_clusters_jaccard",  # latest green r10
+    "dedup_docs_simhash",  # latest green r10
+    "dedup_docs_simhash_hamming",  # latest green r10
+    "sim_embedding_drift",  # latest green r10
+    "sim_cosine_topk",  # latest green r10
+    "sim_knn_label_agreement",  # latest green r10
+    "sim_pairs_above_threshold",  # latest green r10
+    "dedup_embedding_clusters",  # latest green r10
+    "agg_forecast_revenue_change",  # latest green r10
+    "agg_priority_shipping",  # latest green r10
+    "agg_promo_revenue_pct",  # latest green r10
+    "agg_shipping_priority",  # latest green r10
+    "agg_local_supplier_volume",  # latest green r10
+    "scale_table_checksum",  # latest green r10
+    "scale_checksum_diff",  # latest green r10
 ]
 
 

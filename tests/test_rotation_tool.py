@@ -12,7 +12,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from rotate_driver_order import rotation_order, scan_artifacts  # noqa: E402
+from rotate_driver_order import (  # noqa: E402
+    rotation_order,
+    round_of,
+    scan_artifacts,
+)
 
 
 def _write(tmp_path: Path, rnd: int, rows: dict) -> str:
@@ -52,6 +56,19 @@ def test_scan_green_semantics(tmp_path):
     assert latest == {"q_hash": 3, "q_fail": 3, "q_rowsonly": 1}
     # per-path row counts ride along (ADVICE r12: no second parse pass)
     assert row_counts == {paths[0]: 5, paths[1]: 2}
+
+
+def test_scan_sorts_by_parsed_round_not_lexically(tmp_path):
+    # ADVICE r13: lexical sort puts CORRECTNESS_r100 before r11, so a
+    # caller-ordered scan would let round 11 overwrite round 100 in the
+    # latest map. scan_artifacts must sort by PARSED round itself.
+    p100 = _write(tmp_path, 100, {"q": {"hash_match": True, "spark_rows": 1}})
+    p11 = _write(tmp_path, 11, {"q": {"hash_match": True, "spark_rows": 1}})
+    lexical = sorted([p100, p11])
+    assert lexical == [p100, p11]  # the hazard is real: r100 < r11 lexically
+    _, latest, _ = scan_artifacts(lexical)
+    assert latest == {"q": 100}
+    assert round_of(p100) == 100 and round_of(p11) == 11
 
 
 def test_rotation_priority_and_staleness():
@@ -107,13 +124,25 @@ def test_live_rotation_matches_tool_output():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     paths = [
         p
-        for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-        if int(p.split("_r")[-1].split(".")[0])
-        <= entrymod._DRIVER_FIRST_THROUGH_ROUND
+        for p in sorted(
+            glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=round_of
+        )
+        if round_of(p) <= entrymod._DRIVER_FIRST_THROUGH_ROUND
     ]
     # the pinned rounds must actually exist — a constant ahead of the
     # committed artifacts would vacuously pass on an empty scan
     assert paths, "no artifacts within _DRIVER_FIRST_THROUGH_ROUND"
+    # …and the PINNED round's artifact itself must be among them: if the
+    # constant were typo'd above the newest artifact, the bound becomes a
+    # no-op and the tool's 'newest > committed' stderr WARNING — the
+    # regeneration forcing function — would be permanently suppressed
+    # (ADVICE r13)
+    assert max(round_of(p) for p in paths) == (
+        entrymod._DRIVER_FIRST_THROUGH_ROUND
+    ), (
+        "_DRIVER_FIRST_THROUGH_ROUND points at a round with no committed "
+        "CORRECTNESS artifact — the constant is ahead of the artifacts"
+    )
     green, latest, _ = scan_artifacts(paths)
     order = rotation_order(
         list(entrymod.queries()), set(entrymod.oracle_sql()), green, latest

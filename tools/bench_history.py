@@ -31,7 +31,12 @@ import os
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = []
-    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+    # sort by PARSED round, not lexically — r100 sorts before r11
+    # lexically, which would scramble the printed history (ADVICE r13)
+    for path in sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(p.split("_r")[-1].split(".")[0]),
+    ):
         rnd = int(path.split("_r")[-1].split(".")[0])
         with open(path) as f:
             art = json.load(f)

@@ -28,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW = 50  # the driver checks only the first 50 queries() keys
 
 
+def round_of(path: str) -> int:
+    """Parse the round number out of a ``*_rNN.json`` artifact path."""
+    return int(path.split("_r")[-1].split(".")[0])
+
+
 def scan_artifacts(
     paths: list[str],
 ) -> tuple[set[str], dict[str, int], dict[str, int]]:
@@ -38,16 +43,18 @@ def scan_artifacts(
     (``spark_rows`` present) — a rows-only row that CRASHED must stay
     un-green, or the rotation would never re-surface it. ``latest``
     tracks the newest round containing a green row per name, so
-    staleness is measurable (paths are processed in the given order;
-    callers pass them sorted ascending by round). The per-path row
-    counts ride along so callers can report them without re-parsing
-    each artifact (ADVICE r12).
+    staleness is measurable. Paths are sorted by PARSED round here
+    rather than trusting caller order: lexical ``sorted()`` puts r100
+    before r11, which would let earlier rounds overwrite later ones in
+    the latest map (ADVICE r13). The per-path row counts ride along so
+    callers can report them without re-parsing each artifact
+    (ADVICE r12).
     """
     green: set[str] = set()
     latest: dict[str, int] = {}
     row_counts: dict[str, int] = {}
-    for path in paths:
-        rnd = int(path.split("_r")[-1].split(".")[0])
+    for path in sorted(paths, key=round_of):
+        rnd = round_of(path)
         with open(path) as f:
             art = json.load(f)
         row_counts[path] = len(art)
@@ -93,7 +100,9 @@ def main() -> None:
     # glob run from tools/ would find zero artifacts and silently emit a
     # rotation that marks every query never-checked
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    artifacts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    artifacts = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=round_of
+    )
     assert artifacts, f"no CORRECTNESS_r*.json under {root}"
     green, latest, row_counts = scan_artifacts(artifacts)
     for path in artifacts:
@@ -117,7 +126,7 @@ def main() -> None:
     # deliberately bounds itself to the pinned rounds (so a driver
     # artifact landing mid-round can't redden the suite) — THIS warning
     # is the unbounded check that keeps the forcing function visible.
-    newest = max(int(p.split("_r")[-1].split(".")[0]) for p in artifacts)
+    newest = max(round_of(p) for p in artifacts)
     committed = getattr(entrymod, "_DRIVER_FIRST_THROUGH_ROUND", None)
     if committed is not None and newest > committed:
         print(
