@@ -1,0 +1,59 @@
+"""Out-of-band host-speed anchor (VERDICT r13 'Next round' #2).
+
+Three consecutive rounds of raw-bench drift (r11-r13) were attributed
+to host speed via the IN-capture per-pass canaries. That attribution is
+self-referential: the canary and the panel share the capture window, so
+a systematic in-capture effect (JVM state, page-cache shape) would move
+both and still read as "host". This tool makes the attribution
+falsifiable: it runs ONLY the canary — a fresh Spark session, the same
+lineitem scan-count `bench._canary_once` times, the same min-of-2
+regime — with no panel attached. Run it immediately before and after
+each bench capture; if the standalone readings bracket the in-capture
+per-pass canaries, the host-factor story holds independently of the
+capture. If the in-capture canaries are systematically slower than the
+adjacent standalone anchors, the drift is capture-coupled, not host.
+
+Usage: python tools/canary_anchor.py [n_samples]  (default 8)
+Prints one JSON line: {"anchor_min2_samples": [...], "min": .., ...}
+— paste alongside the capture's perpass figure in SCALE_NOTES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+from distributed_mobility_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark("canary_anchor")
+    # Ramp to bench's steady state before sampling: bench's canaries run
+    # after full table warm-up + a cold pass + warm panel passes, so a
+    # single throwaway count is NOT equivalent — the first anchor run
+    # showed a monotone 0.169→0.105 decay across 8 samples (still
+    # ramping). Six throwaway scans flatten the JIT/page-cache ramp; the
+    # ramp samples are reported separately so the decay stays visible.
+    ramp = [bench._canary_once(spark) for _ in range(6)]
+    samples = [s for s in (bench._canary_min2(spark) for _ in range(n)) if s]
+    spark.stop()
+    out = {
+        "ramp_samples": ramp,
+        "anchor_min2_samples": samples,
+        "n": len(samples),
+        "min": min(samples) if samples else None,
+        "median": round(statistics.median(samples), 4) if samples else None,
+        "mean": round(statistics.fmean(samples), 4) if samples else None,
+        "sf_dir": bench.SF_DIR,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
