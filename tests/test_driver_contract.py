@@ -213,3 +213,24 @@ def test_entry_query_is_registered(spark):
     # and the correctness gate exercise the same code path
     df = entrymod.queries()["agg_hourly_demand"](spark, "/root/testdata/sf0.001")
     assert df.columns == ["hour_ts", "event_type", "event_count", "avg_value"]
+
+
+def test_canary_anchor_protocol_is_pinned():
+    # SCALE_NOTES r14: anchor readings are only comparable across rounds
+    # at the same (ramp, samples) depth — the canary path keeps speeding
+    # up with session depth, so a silent protocol change would shift the
+    # anchor level and break the host-drift counter-experiment. Bump
+    # these constants only with a SCALE_NOTES entry declaring the break.
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    import canary_anchor
+
+    assert canary_anchor.RAMP_SCANS == 6
+    assert canary_anchor.DEFAULT_SAMPLES == 8

@@ -30,9 +30,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 from distributed_mobility_data_pipeline_spark.session import get_spark
 
+# THE PROTOCOL. Cross-round anchor readings are only comparable at the
+# same (ramp, samples) depth — the lineitem-count path keeps speeding up
+# with session depth (SCALE_NOTES r14: the 30-sample run was still
+# converging after 60+ scans), so changing either constant silently
+# shifts the anchor level and breaks round-over-round comparison.
+# tests/test_rotation_tool.py pins both; bump them only with a
+# SCALE_NOTES entry stating the old readings are no longer comparable.
+RAMP_SCANS = 6
+DEFAULT_SAMPLES = 8
+
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_SAMPLES
     spark = get_spark("canary_anchor")
     # Ramp to bench's steady state before sampling: bench's canaries run
     # after full table warm-up + a cold pass + warm panel passes, so a
@@ -40,7 +50,7 @@ def main() -> None:
     # showed a monotone 0.169→0.105 decay across 8 samples (still
     # ramping). Six throwaway scans flatten the JIT/page-cache ramp; the
     # ramp samples are reported separately so the decay stays visible.
-    ramp = [bench._canary_once(spark) for _ in range(6)]
+    ramp = [bench._canary_once(spark) for _ in range(RAMP_SCANS)]
     samples = [s for s in (bench._canary_min2(spark) for _ in range(n)) if s]
     spark.stop()
     out = {
