@@ -105,9 +105,12 @@ def main() -> None:
     # Cross-round min2 perpass band (VERDICT r12/r13 track this by hand):
     # min/max of value_normalized_perpass over min2-regime DRIVER rounds
     # only — session captures live in SCALE_NOTES prose and are not
-    # mixed in here, so the band is artifact-reproducible. A new round
-    # landing outside the printed band is the "investigate before
-    # blaming the host" trigger.
+    # mixed in here, so the band is artifact-reproducible. r14 revision:
+    # three same-session captures on identical plans spanned 187-262
+    # perpass while raw warm held ±4.5% (SCALE_NOTES r14 finding 4), so
+    # the band is the INSTRUMENT's error bar, not an engine envelope —
+    # a round outside it triggers "check raw warm + the anchor pairing
+    # first", not "engine regression".
     min2 = [
         (rnd, p["value_normalized_perpass"])
         for rnd, p, *_ in (r for r in rows if r[1] is not None)
@@ -129,10 +132,11 @@ def main() -> None:
         "host drift (canary-attributed); r09 warm is pass-3-contaminated "
         "(within its own ±5.3s bar); cross-regime warm deltas "
         "(r07→r08, r08→r09 extended) are not like-for-like; norm/pass "
-        "corrects sustained drift but carries canary burst noise on a "
-        "bursty host (SCALE_NOTES r11) — diagnose via "
-        "warm_pass_calibrations: scattered canaries over flat pass totals "
-        "→ read raw warm ± spread instead."
+        "corrects sustained drift but its ~100 ms canary denominator is "
+        "burst-dominated (r14: same-session perpass spanned 187-262 on "
+        "identical plans while raw warm held ±4.5%) — the r14+ headline "
+        "is raw warm ± spread bracketed by tools/canary_anchor.py "
+        "readings; perpass is a sustained-drift diagnostic only."
     )
 
 
