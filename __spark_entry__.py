@@ -312,17 +312,17 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-14 rotation (driver caps its check at the first 50 queries() keys;
+# Round-15 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# All 217 queries have driver rows across r01-r13 with zero hash-FAILs,
+# All 217 queries have driver rows across r01-r14 with zero hash-FAILs,
 # so the rotation is pure recency maintenance:
-# 1) the 17 queries whose latest driver green is r09 (drains the band —
-#    after this round no query's latest row is older than r10);
-# 2) the 33 oldest r10 greens, queries()-order, filling the 50-slot
-#    window (17 r10 greens remain for r15's band).
-# Latest-round histogram going in: {r09: 17, r10: 50, r11: 50, r12: 50,
-# r13: 50}. All queries were locally oracle-verified on current data
+# 1) the 17 queries whose latest driver green is r10 (drains the band —
+#    after this round no query's latest row is older than r11);
+# 2) the 33 oldest r11 greens, queries()-order, filling the 50-slot
+#    window (17 r11 greens remain for r16's band).
+# Latest-round histogram going in: {r10: 17, r11: 50, r12: 50, r13: 50,
+# r14: 50}. All queries were locally oracle-verified on current data
 # this session (tools/verify_local.py) before commit, so staleness risk
 # is bounded.
 #
@@ -332,58 +332,58 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r{N+1}.json mid-round cannot redden the suite — the next
 # session's rotation bumps this constant in the same commit as the
 # regenerated list (the tool prints both).
-_DRIVER_FIRST_THROUGH_ROUND: int = 13
+_DRIVER_FIRST_THROUGH_ROUND: int = 14
 _DRIVER_FIRST: list[str] = [
-    "quality_expectations",  # latest green r09
-    "behavior_funnel",  # latest green r09
-    "behavior_cohort_retention",  # latest green r09
-    "behavior_rfm_scores",  # latest green r09
-    "link_fuzzy_pairs",  # latest green r09
-    "agg_distinct_rollup_exact",  # latest green r09
-    "agg_distinct_rollup_sketch",  # latest green r09
-    "agg_rolling_distinct_sketch",  # latest green r09
-    "agg_rolling_distinct_exact",  # latest green r09
-    "ts_resample_ffill",  # latest green r09
-    "ts_gap_stats",  # latest green r09
-    "ts_seasonal_anomaly",  # latest green r09
-    "ts_resample_interpolate",  # latest green r09
-    "join_point_in_time",  # latest green r09
-    "quality_robust_outliers",  # latest green r09
-    "text_bpe_encode",  # latest green r09
-    "win_ewma_demand",  # latest green r09
-    "pipeline_corpus_health",  # latest green r10
-    "pipeline_corpus_prep",  # latest green r10
-    "text_quality_cutoff",  # latest green r10
-    "text_unigram_logprob",  # latest green r10
-    "text_bigram_pmi",  # latest green r10
-    "text_vocab_coverage",  # latest green r10
-    "sample_importance_weighted",  # latest green r10
-    "win_scd2_history",  # latest green r10
-    "dedup_docs_segments",  # latest green r10
-    "scale_skew_report",  # latest green r10
-    "agg_incremental_daily_revenue",  # latest green r10
-    "scale_partition_plan",  # latest green r10
-    "text_winnow_fingerprints",  # latest green r10
-    "dedup_docs_winnow",  # latest green r10
-    "dedup_docs_winnow_clusters",  # latest green r10
-    "sample_cluster_safe_split",  # latest green r10
-    "dedup_docs_winnow_spans",  # latest green r10
-    "dedup_docs_clusters",  # latest green r10
-    "dedup_docs_clusters_jaccard",  # latest green r10
-    "dedup_docs_simhash",  # latest green r10
-    "dedup_docs_simhash_hamming",  # latest green r10
-    "sim_embedding_drift",  # latest green r10
-    "sim_cosine_topk",  # latest green r10
-    "sim_knn_label_agreement",  # latest green r10
-    "sim_pairs_above_threshold",  # latest green r10
-    "dedup_embedding_clusters",  # latest green r10
-    "agg_forecast_revenue_change",  # latest green r10
-    "agg_priority_shipping",  # latest green r10
-    "agg_promo_revenue_pct",  # latest green r10
-    "agg_shipping_priority",  # latest green r10
-    "agg_local_supplier_volume",  # latest green r10
-    "scale_table_checksum",  # latest green r10
-    "scale_checksum_diff",  # latest green r10
+    "pipeline_user_insights",  # latest green r10
+    "clean_pseudonymize",  # latest green r10
+    "clean_winsorize_value",  # latest green r10
+    "sql_segment_ltv",  # latest green r10
+    "behavior_funnel_timing",  # latest green r10
+    "behavior_transition_matrix",  # latest green r10
+    "behavior_period_growth",  # latest green r10
+    "behavior_type_entropy",  # latest green r10
+    "behavior_attribution_linear",  # latest green r10
+    "behavior_stickiness",  # latest green r10
+    "behavior_window_funnel",  # latest green r10
+    "behavior_attribution",  # latest green r10
+    "behavior_attribution_credit",  # latest green r10
+    "agg_revenue_gini",  # latest green r10
+    "ml_seq_patterns",  # latest green r10
+    "ml_freq_itemsets",  # latest green r10
+    "graph_pagerank",  # latest green r10
+    "agg_hourly_demand",  # latest green r11
+    "agg_revenue_daily",  # latest green r11
+    "agg_driver_daily_summary",  # latest green r11
+    "agg_pricing_summary",  # latest green r11
+    "agg_supply_demand_hourly",  # latest green r11
+    "agg_approx_distinct_hourly",  # latest green r11
+    "agg_histogram_value",  # latest green r11
+    "agg_status_distribution",  # latest green r11
+    "agg_top_k_global",  # latest green r11
+    "agg_top_k_per_group",  # latest green r11
+    "agg_cube_revenue",  # latest green r11
+    "agg_rollup_revenue",  # latest green r11
+    "agg_pivot_status",  # latest green r11
+    "clean_ensure_columns",  # latest green r11
+    "clean_range_filter",  # latest green r11
+    "dedup_keep_latest",  # latest green r11
+    "dedup_distinct_projection",  # latest green r11
+    "dedup_duplicate_stats",  # latest green r11
+    "star_dim_time",  # latest green r11
+    "star_dim_entity",  # latest green r11
+    "star_dim_locations",  # latest green r11
+    "star_trips_fact",  # latest green r11
+    "star_payments_fact",  # latest green r11
+    "join_ri_check",  # latest green r11
+    "join_semi_orders_with_lines",  # latest green r11
+    "join_anti_customers_no_orders",  # latest green r11
+    "set_union_nation_keys",  # latest green r11
+    "sim_lsh_bucketed_ann",  # latest green r11
+    "agg_order_priority_checks",  # latest green r11
+    "agg_returned_item_losses",  # latest green r11
+    "agg_customer_order_distribution",  # latest green r11
+    "agg_supplier_counts_by_part",  # latest green r11
+    "agg_large_volume_customers",  # latest green r11
 ]
 
 

@@ -26,18 +26,22 @@ from __future__ import annotations
 import glob
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rotate_driver_order import round_of
 
 
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = []
     # sort by PARSED round, not lexically — r100 sorts before r11
-    # lexically, which would scramble the printed history (ADVICE r13)
-    for path in sorted(
-        glob.glob(os.path.join(root, "BENCH_r*.json")),
-        key=lambda p: int(p.split("_r")[-1].split(".")[0]),
-    ):
-        rnd = int(path.split("_r")[-1].split(".")[0])
+    # lexically, which would scramble the printed history (ADVICE r13);
+    # round_of is the one shared parser so the logic can't drift
+    # between tools (ADVICE r14)
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")), key=round_of):
+        rnd = round_of(path)
         with open(path) as f:
             art = json.load(f)
         p = art.get("parsed")

@@ -35,8 +35,9 @@ from distributed_mobility_data_pipeline_spark.session import get_spark
 # with session depth (SCALE_NOTES r14: the 30-sample run was still
 # converging after 60+ scans), so changing either constant silently
 # shifts the anchor level and breaks round-over-round comparison.
-# tests/test_rotation_tool.py pins both; bump them only with a
-# SCALE_NOTES entry stating the old readings are no longer comparable.
+# tests/test_driver_contract.py::test_canary_anchor_protocol_is_pinned
+# pins both; bump them only with a SCALE_NOTES entry stating the old
+# readings are no longer comparable.
 RAMP_SCANS = 6
 DEFAULT_SAMPLES = 8
 
@@ -50,11 +51,16 @@ def main() -> None:
     # showed a monotone 0.169→0.105 decay across 8 samples (still
     # ramping). Six throwaway scans flatten the JIT/page-cache ramp; the
     # ramp samples are reported separately so the decay stays visible.
-    ramp = [bench._canary_once(spark) for _ in range(RAMP_SCANS)]
+    ramp_raw = [bench._canary_once(spark) for _ in range(RAMP_SCANS)]
+    # bench._canary_once returns None on failure; keep the emitted ramp
+    # series uniformly numeric and surface failures as a count instead
+    # (ADVICE r14) so downstream JSON readers never see mixed types.
+    ramp = [s for s in ramp_raw if s is not None]
     samples = [s for s in (bench._canary_min2(spark) for _ in range(n)) if s]
     spark.stop()
     out = {
         "ramp_samples": ramp,
+        "ramp_failures": len(ramp_raw) - len(ramp),
         "anchor_min2_samples": samples,
         "n": len(samples),
         "min": min(samples) if samples else None,
