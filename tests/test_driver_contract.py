@@ -234,3 +234,45 @@ def test_canary_anchor_protocol_is_pinned():
 
     assert canary_anchor.RAMP_SCANS == 6
     assert canary_anchor.DEFAULT_SAMPLES == 8
+
+
+def test_canary_anchor_ramp_series_is_uniformly_numeric():
+    # ADVICE r14: bench._canary_once returns None on failure; the anchor
+    # JSON must keep ramp_samples purely numeric (downstream tooling
+    # reads the series without a None guard) and report failures as a
+    # count instead.
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    import canary_anchor
+
+    ramp, failures = canary_anchor.split_ramp([0.21, None, 0.18, None, 0.17])
+    assert ramp == [0.21, 0.18, 0.17]
+    assert failures == 2
+    assert canary_anchor.split_ramp([])[1] == 0
+
+
+def test_bench_history_reuses_shared_round_parser():
+    # ADVICE r14: the artifact round number must be parsed by ONE shared
+    # helper (rotate_driver_order.round_of) so the sort key and the
+    # printed round can't drift apart.
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    import bench_history
+    import rotate_driver_order
+
+    assert bench_history.round_of is rotate_driver_order.round_of
+    assert bench_history.round_of("/x/BENCH_r100.json") == 100

@@ -42,6 +42,17 @@ RAMP_SCANS = 6
 DEFAULT_SAMPLES = 8
 
 
+def split_ramp(ramp_raw: list) -> tuple[list, int]:
+    """Split a raw ramp series into (numeric samples, failure count).
+
+    bench._canary_once returns None on failure; the emitted JSON keeps
+    ramp_samples uniformly numeric and surfaces failures as a count
+    instead (ADVICE r14) so downstream readers never see mixed types.
+    """
+    ramp = [s for s in ramp_raw if s is not None]
+    return ramp, len(ramp_raw) - len(ramp)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_SAMPLES
     spark = get_spark("canary_anchor")
@@ -51,16 +62,14 @@ def main() -> None:
     # showed a monotone 0.169→0.105 decay across 8 samples (still
     # ramping). Six throwaway scans flatten the JIT/page-cache ramp; the
     # ramp samples are reported separately so the decay stays visible.
-    ramp_raw = [bench._canary_once(spark) for _ in range(RAMP_SCANS)]
-    # bench._canary_once returns None on failure; keep the emitted ramp
-    # series uniformly numeric and surface failures as a count instead
-    # (ADVICE r14) so downstream JSON readers never see mixed types.
-    ramp = [s for s in ramp_raw if s is not None]
+    ramp, ramp_failures = split_ramp(
+        [bench._canary_once(spark) for _ in range(RAMP_SCANS)]
+    )
     samples = [s for s in (bench._canary_min2(spark) for _ in range(n)) if s]
     spark.stop()
     out = {
         "ramp_samples": ramp,
-        "ramp_failures": len(ramp_raw) - len(ramp),
+        "ramp_failures": ramp_failures,
         "anchor_min2_samples": samples,
         "n": len(samples),
         "min": min(samples) if samples else None,
