@@ -312,17 +312,17 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-15 rotation (driver caps its check at the first 50 queries() keys;
+# Round-16 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# All 217 queries have driver rows across r01-r14 with zero hash-FAILs,
+# All 217 queries have driver rows across r01-r15 with zero hash-FAILs,
 # so the rotation is pure recency maintenance:
-# 1) the 17 queries whose latest driver green is r10 (drains the band —
-#    after this round no query's latest row is older than r11);
-# 2) the 33 oldest r11 greens, queries()-order, filling the 50-slot
-#    window (17 r11 greens remain for r16's band).
-# Latest-round histogram going in: {r10: 17, r11: 50, r12: 50, r13: 50,
-# r14: 50}. All queries were locally oracle-verified on current data
+# 1) the 17 queries whose latest driver green is r11 (drains the band —
+#    after this round no query's latest row is older than r12);
+# 2) the 33 oldest r12 greens, queries()-order, filling the 50-slot
+#    window (17 r12 greens remain for r17's band).
+# Latest-round histogram going in: {r11: 17, r12: 50, r13: 50, r14: 50,
+# r15: 50}. All queries were locally oracle-verified on current data
 # this session (tools/verify_local.py) before commit, so staleness risk
 # is bounded.
 #
@@ -332,58 +332,58 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r{N+1}.json mid-round cannot redden the suite — the next
 # session's rotation bumps this constant in the same commit as the
 # regenerated list (the tool prints both).
-_DRIVER_FIRST_THROUGH_ROUND: int = 14
+_DRIVER_FIRST_THROUGH_ROUND: int = 15
 _DRIVER_FIRST: list[str] = [
-    "pipeline_user_insights",  # latest green r10
-    "clean_pseudonymize",  # latest green r10
-    "clean_winsorize_value",  # latest green r10
-    "sql_segment_ltv",  # latest green r10
-    "behavior_funnel_timing",  # latest green r10
-    "behavior_transition_matrix",  # latest green r10
-    "behavior_period_growth",  # latest green r10
-    "behavior_type_entropy",  # latest green r10
-    "behavior_attribution_linear",  # latest green r10
-    "behavior_stickiness",  # latest green r10
-    "behavior_window_funnel",  # latest green r10
-    "behavior_attribution",  # latest green r10
-    "behavior_attribution_credit",  # latest green r10
-    "agg_revenue_gini",  # latest green r10
-    "ml_seq_patterns",  # latest green r10
-    "ml_freq_itemsets",  # latest green r10
-    "graph_pagerank",  # latest green r10
-    "agg_hourly_demand",  # latest green r11
-    "agg_revenue_daily",  # latest green r11
-    "agg_driver_daily_summary",  # latest green r11
-    "agg_pricing_summary",  # latest green r11
-    "agg_supply_demand_hourly",  # latest green r11
-    "agg_approx_distinct_hourly",  # latest green r11
-    "agg_histogram_value",  # latest green r11
-    "agg_status_distribution",  # latest green r11
-    "agg_top_k_global",  # latest green r11
-    "agg_top_k_per_group",  # latest green r11
-    "agg_cube_revenue",  # latest green r11
-    "agg_rollup_revenue",  # latest green r11
-    "agg_pivot_status",  # latest green r11
-    "clean_ensure_columns",  # latest green r11
-    "clean_range_filter",  # latest green r11
-    "dedup_keep_latest",  # latest green r11
-    "dedup_distinct_projection",  # latest green r11
-    "dedup_duplicate_stats",  # latest green r11
-    "star_dim_time",  # latest green r11
-    "star_dim_entity",  # latest green r11
-    "star_dim_locations",  # latest green r11
-    "star_trips_fact",  # latest green r11
-    "star_payments_fact",  # latest green r11
-    "join_ri_check",  # latest green r11
-    "join_semi_orders_with_lines",  # latest green r11
-    "join_anti_customers_no_orders",  # latest green r11
-    "set_union_nation_keys",  # latest green r11
-    "sim_lsh_bucketed_ann",  # latest green r11
-    "agg_order_priority_checks",  # latest green r11
-    "agg_returned_item_losses",  # latest green r11
-    "agg_customer_order_distribution",  # latest green r11
-    "agg_supplier_counts_by_part",  # latest green r11
-    "agg_large_volume_customers",  # latest green r11
+    "agg_dormant_customers",  # latest green r11
+    "agg_nation_trade_volume",  # latest green r11
+    "agg_market_share",  # latest green r11
+    "agg_top_revenue_suppliers",  # latest green r11
+    "agg_quantile_rollup_hist",  # latest green r11
+    "agg_rolling_quantile_hist",  # latest green r11
+    "agg_contribution_analysis",  # latest green r11
+    "agg_product_type_profit",  # latest green r11
+    "agg_min_cost_supplier",  # latest green r11
+    "agg_promotion_suppliers",  # latest green r11
+    "quality_k_anonymity",  # latest green r11
+    "behavior_rfm_hist",  # latest green r11
+    "ts_cusum_alarms",  # latest green r11
+    "quality_robust_outliers_hist",  # latest green r11
+    "text_bpe_learn",  # latest green r11
+    "scale_row_diff",  # latest green r11
+    "clean_winsorize_hist",  # latest green r11
+    "clean_events_silver",  # latest green r12
+    "set_intersect_nation_keys",  # latest green r12
+    "set_except_nation_keys",  # latest green r12
+    "win_lag_demand",  # latest green r12
+    "win_rolling_rows",  # latest green r12
+    "win_rolling_range_days",  # latest green r12
+    "win_running_total",  # latest green r12
+    "win_rank_customers",  # latest green r12
+    "win_churn_label",  # latest green r12
+    "quality_null_report",  # latest green r12
+    "quality_full_report",  # latest green r12
+    "quality_negative_report",  # latest green r12
+    "quality_freshness",  # latest green r12
+    "quality_volume_check",  # latest green r12
+    "metrics_regression",  # latest green r12
+    "drift_psi_fixed_bins",  # latest green r12
+    "drift_psi_quantile_bins",  # latest green r12
+    "text_doc_stats",  # latest green r12
+    "text_token_frequencies",  # latest green r12
+    "text_language_id",  # latest green r12
+    "text_quality_score",  # latest green r12
+    "text_fingerprint",  # latest green r12
+    "text_token_count_bpe",  # latest green r12
+    "text_chunk_documents",  # latest green r12
+    "text_redact_pii",  # latest green r12
+    "text_contamination",  # latest green r12
+    "text_repetition_stats",  # latest green r12
+    "text_pack_chunks",  # latest green r12
+    "sample_mixing_weights",  # latest green r12
+    "sim_quantize_embeddings",  # latest green r12
+    "stream_corpus_dedup",  # latest green r12
+    "quality_gate_quarantine",  # latest green r12
+    "dedup_corpus_diff",  # latest green r12
 ]
 
 
