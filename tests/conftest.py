@@ -5,7 +5,13 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# Single shared insert for the bench/rotation tooling under tools/ —
+# tool tests import canary_anchor, bench_history, rotate_driver_order
+# etc. directly; duplicating this per test grew sys.path on every run
+# (ADVICE r15).
+sys.path.insert(0, os.path.join(_REPO_ROOT, "tools"))
 
 from distributed_mobility_data_pipeline_spark.session import get_spark
 

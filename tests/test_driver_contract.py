@@ -221,15 +221,7 @@ def test_canary_anchor_protocol_is_pinned():
     # up with session depth, so a silent protocol change would shift the
     # anchor level and break the host-drift counter-experiment. Bump
     # these constants only with a SCALE_NOTES entry declaring the break.
-    import os
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
-        ),
-    )
+    # (tools/ is on sys.path via conftest's single shared insert.)
     import canary_anchor
 
     assert canary_anchor.RAMP_SCANS == 6
@@ -241,15 +233,6 @@ def test_canary_anchor_ramp_series_is_uniformly_numeric():
     # JSON must keep ramp_samples purely numeric (downstream tooling
     # reads the series without a None guard) and report failures as a
     # count instead.
-    import os
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
-        ),
-    )
     import canary_anchor
 
     ramp, failures = canary_anchor.split_ramp([0.21, None, 0.18, None, 0.17])
@@ -258,19 +241,26 @@ def test_canary_anchor_ramp_series_is_uniformly_numeric():
     assert canary_anchor.split_ramp([])[1] == 0
 
 
+def test_canary_anchor_samples_use_explicit_none_split():
+    # ADVICE r15: the min2 samples line filtered with truthiness
+    # (`if s`), which dropped a legitimate 0.0 reading the same way it
+    # dropped None. Both the ramp and the min2 samples now go through
+    # split_ramp — explicit `is not None`, zeros retained, failures
+    # surfaced as a symmetric count in the emitted JSON.
+    import inspect
+
+    import canary_anchor
+
+    assert canary_anchor.split_ramp([0.0, None, 0.1]) == ([0.0, 0.1], 1)
+    src = inspect.getsource(canary_anchor.main)
+    assert src.count("split_ramp(") >= 2
+    assert '"sample_failures"' in src
+
+
 def test_bench_history_reuses_shared_round_parser():
     # ADVICE r14: the artifact round number must be parsed by ONE shared
     # helper (rotate_driver_order.round_of) so the sort key and the
     # printed round can't drift apart.
-    import os
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
-        ),
-    )
     import bench_history
     import rotate_driver_order
 

@@ -7,11 +7,9 @@ Spark-free: synthetic artifacts on disk, pure-function assertions."""
 from __future__ import annotations
 
 import json
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-
+# tools/ is on sys.path via conftest's single shared insert (ADVICE r15)
 from rotate_driver_order import (  # noqa: E402
     rotation_order,
     round_of,

@@ -65,12 +65,18 @@ def main() -> None:
     ramp, ramp_failures = split_ramp(
         [bench._canary_once(spark) for _ in range(RAMP_SCANS)]
     )
-    samples = [s for s in (bench._canary_min2(spark) for _ in range(n)) if s]
+    # Same explicit-None split as the ramp: `if s` would also drop a
+    # legitimate 0.0 reading, and failures deserve a symmetric count
+    # (ADVICE r15).
+    samples, sample_failures = split_ramp(
+        [bench._canary_min2(spark) for _ in range(n)]
+    )
     spark.stop()
     out = {
         "ramp_samples": ramp,
         "ramp_failures": ramp_failures,
         "anchor_min2_samples": samples,
+        "sample_failures": sample_failures,
         "n": len(samples),
         "min": min(samples) if samples else None,
         "median": round(statistics.median(samples), 4) if samples else None,
