@@ -312,17 +312,17 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Round-16 rotation (driver caps its check at the first 50 queries() keys;
+# Round-17 rotation (driver caps its check at the first 50 queries() keys;
 # only a prefix of each priority band is reached per round — full coverage
 # accrues across rotations; tools/rotate_driver_order.py orders it).
-# All 217 queries have driver rows across r01-r15 with zero hash-FAILs,
+# All 217 queries have driver rows across r01-r16 with zero hash-FAILs,
 # so the rotation is pure recency maintenance:
-# 1) the 17 queries whose latest driver green is r11 (drains the band —
-#    after this round no query's latest row is older than r12);
-# 2) the 33 oldest r12 greens, queries()-order, filling the 50-slot
-#    window (17 r12 greens remain for r17's band).
-# Latest-round histogram going in: {r11: 17, r12: 50, r13: 50, r14: 50,
-# r15: 50}. All queries were locally oracle-verified on current data
+# 1) the 17 queries whose latest driver green is r12 (drains the band —
+#    after this round no query's latest row is older than r13);
+# 2) the 33 oldest r13 greens, queries()-order, filling the 50-slot
+#    window (17 r13 greens remain for r18's band).
+# Latest-round histogram going in: {r12: 17, r13: 50, r14: 50, r15: 50,
+# r16: 50}. All queries were locally oracle-verified on current data
 # this session (tools/verify_local.py) before commit, so staleness risk
 # is bounded.
 #
@@ -332,59 +332,60 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r{N+1}.json mid-round cannot redden the suite — the next
 # session's rotation bumps this constant in the same commit as the
 # regenerated list (the tool prints both).
-_DRIVER_FIRST_THROUGH_ROUND: int = 15
+_DRIVER_FIRST_THROUGH_ROUND: int = 16
 _DRIVER_FIRST: list[str] = [
-    "agg_dormant_customers",  # latest green r11
-    "agg_nation_trade_volume",  # latest green r11
-    "agg_market_share",  # latest green r11
-    "agg_top_revenue_suppliers",  # latest green r11
-    "agg_quantile_rollup_hist",  # latest green r11
-    "agg_rolling_quantile_hist",  # latest green r11
-    "agg_contribution_analysis",  # latest green r11
-    "agg_product_type_profit",  # latest green r11
-    "agg_min_cost_supplier",  # latest green r11
-    "agg_promotion_suppliers",  # latest green r11
-    "quality_k_anonymity",  # latest green r11
-    "behavior_rfm_hist",  # latest green r11
-    "ts_cusum_alarms",  # latest green r11
-    "quality_robust_outliers_hist",  # latest green r11
-    "text_bpe_learn",  # latest green r11
-    "scale_row_diff",  # latest green r11
-    "clean_winsorize_hist",  # latest green r11
-    "clean_events_silver",  # latest green r12
-    "set_intersect_nation_keys",  # latest green r12
-    "set_except_nation_keys",  # latest green r12
-    "win_lag_demand",  # latest green r12
-    "win_rolling_rows",  # latest green r12
-    "win_rolling_range_days",  # latest green r12
-    "win_running_total",  # latest green r12
-    "win_rank_customers",  # latest green r12
-    "win_churn_label",  # latest green r12
-    "quality_null_report",  # latest green r12
-    "quality_full_report",  # latest green r12
-    "quality_negative_report",  # latest green r12
-    "quality_freshness",  # latest green r12
-    "quality_volume_check",  # latest green r12
-    "metrics_regression",  # latest green r12
-    "drift_psi_fixed_bins",  # latest green r12
-    "drift_psi_quantile_bins",  # latest green r12
-    "text_doc_stats",  # latest green r12
-    "text_token_frequencies",  # latest green r12
-    "text_language_id",  # latest green r12
-    "text_quality_score",  # latest green r12
-    "text_fingerprint",  # latest green r12
-    "text_token_count_bpe",  # latest green r12
-    "text_chunk_documents",  # latest green r12
-    "text_redact_pii",  # latest green r12
-    "text_contamination",  # latest green r12
-    "text_repetition_stats",  # latest green r12
-    "text_pack_chunks",  # latest green r12
-    "sample_mixing_weights",  # latest green r12
-    "sim_quantize_embeddings",  # latest green r12
-    "stream_corpus_dedup",  # latest green r12
-    "quality_gate_quarantine",  # latest green r12
-    "dedup_corpus_diff",  # latest green r12
+    "agg_brand_promo_revenue",  # latest green r12
+    "agg_sole_return_suppliers",  # latest green r12
+    "agg_important_part_values",  # latest green r12
+    "sim_pq_encode",  # latest green r12
+    "sim_pq_ann",  # latest green r12
+    "agg_unpivot_measures",  # latest green r12
+    "agg_grouping_sets",  # latest green r12
+    "sample_hash_docs",  # latest green r12
+    "sample_hash_split_train",  # latest green r12
+    "sample_mix_sources",  # latest green r12
+    "scale_salted_count",  # latest green r12
+    "agg_small_quantity_orders",  # latest green r12
+    "scalar_string_functions",  # latest green r12
+    "scalar_date_functions",  # latest green r12
+    "scalar_math_functions",  # latest green r12
+    "win_distribution_functions",  # latest green r12
+    "agg_exact_quantiles",  # latest green r12
+    "drift_ks_binned",  # latest green r13
+    "text_quality_percentile",  # latest green r13
+    "sample_negative_pairs",  # latest green r13
+    "sample_fixed_k_per_source",  # latest green r13
+    "scalar_morton3_key",  # latest green r13
+    "scalar_morton_key",  # latest green r13
+    "text_token_rarity",  # latest green r13
+    "text_tfidf_top_terms",  # latest green r13
+    "dedup_docs_exact",  # latest green r13
+    "dedup_docs_jaccard_pairs",  # latest green r13
+    "dedup_docs_minhash_sig",  # latest green r13
+    "dedup_docs_minhash_lsh",  # latest green r13
+    "dedup_canonical_quality",  # latest green r13
+    "sim_label_centroids",  # latest green r13
+    "sim_prototype_confusion",  # latest green r13
+    "sim_cross_contamination",  # latest green r13
+    "sim_hard_negatives",  # latest green r13
+    "sim_mllib_lsh",  # latest green r13
+    "stream_tumbling_hourly",  # latest green r13
+    "stream_sliding_counts",  # latest green r13
+    "stream_sessionize",  # latest green r13
+    "stream_dedup",  # latest green r13
+    "stream_stateful_counts",  # latest green r13
+    "stream_static_enrich",  # latest green r13
+    "stream_stream_conversions",  # latest green r13
+    "sim_ivf_ann",  # latest green r13
+    "sim_ivf_ann_fixed",  # latest green r13
+    "sim_ivfpq_ann",  # latest green r13
+    "sim_ivfpq_ann_fixed",  # latest green r13
+    "join_asof_orders_events",  # latest green r13
+    "sample_bernoulli",  # latest green r13
+    "array_functions_embeddings",  # latest green r13
+    "json_from_json_struct",  # latest green r13
 ]
+
 
 
 def _driver_order(q: dict, require_all: bool = False) -> dict:

@@ -248,7 +248,11 @@ def _canary_min2(spark):
     the noop-write scan path), and because the ~100 ms canary window is
     burst-sensitive — min() suppresses single-shot host-burst noise
     while sustained contention still registers in both samples."""
-    samples = [s for s in (_canary_once(spark), _canary_once(spark)) if s]
+    # `is not None`, not truthiness (ADVICE r16): a legitimate 0.0 sample
+    # must not be dropped — same rule canary_anchor applies one level up.
+    samples = [
+        s for s in (_canary_once(spark), _canary_once(spark)) if s is not None
+    ]
     return min(samples) if samples else None
 
 

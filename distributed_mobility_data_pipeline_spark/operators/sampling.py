@@ -127,9 +127,12 @@ def source_mixing_weights(
     target_share = F.coalesce("target_share", F.lit(0.0))
     # Full outer so a target source with ZERO observed documents still
     # emits a (visible, zero-count) row instead of dangling silently;
-    # a zero-token source gets a null weight, never an Infinity.
+    # a zero-token source gets a null weight, never an Infinity. No
+    # broadcast hint: Spark cannot broadcast either side of a full-outer
+    # join, so a hint is unusable (it only trips HintErrorLogger WARNs);
+    # both sides are already bounded by the distinct source-key count.
     return (
-        with_total.join(F.broadcast(tgt), "source", "full_outer")
+        with_total.join(tgt, "source", "full_outer")
         .select(
             "source",
             F.coalesce("n_docs", F.lit(0)).alias("n_docs"),

@@ -10,7 +10,7 @@ import json
 from pathlib import Path
 
 # tools/ is on sys.path via conftest's single shared insert (ADVICE r15)
-from rotate_driver_order import (  # noqa: E402
+from rotate_driver_order import (
     rotation_order,
     round_of,
     scan_artifacts,
