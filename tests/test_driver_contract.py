@@ -257,6 +257,21 @@ def test_canary_anchor_samples_use_explicit_none_split():
     assert '"sample_failures"' in src
 
 
+def test_bench_canary_min2_retains_zero_samples(monkeypatch):
+    # ADVICE r16: the same truthiness-vs-None bug fixed in canary_anchor
+    # (r15) existed one level down in bench._canary_min2 — `if s` would
+    # drop a legitimate 0.0 wall-clock sample. Pin the `is not None`
+    # behavior: two 0.0 samples must yield min2 == 0.0, not None.
+    import bench
+
+    monkeypatch.setattr(bench, "_canary_once", lambda spark: 0.0)
+    assert bench._canary_min2(spark=None) == 0.0
+    # and a None (failed) sample is still excluded, not min()'d
+    seq = iter([None, 0.2])
+    monkeypatch.setattr(bench, "_canary_once", lambda spark: next(seq))
+    assert bench._canary_min2(spark=None) == 0.2
+
+
 def test_bench_history_reuses_shared_round_parser():
     # ADVICE r14: the artifact round number must be parsed by ONE shared
     # helper (rotate_driver_order.round_of) so the sort key and the
