@@ -332,60 +332,59 @@ def _stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r{N+1}.json mid-round cannot redden the suite — the next
 # session's rotation bumps this constant in the same commit as the
 # regenerated list (the tool prints both).
-_DRIVER_FIRST_THROUGH_ROUND: int = 16
+_DRIVER_FIRST_THROUGH_ROUND: int = 17
 _DRIVER_FIRST: list[str] = [
-    "agg_brand_promo_revenue",  # latest green r12
-    "agg_sole_return_suppliers",  # latest green r12
-    "agg_important_part_values",  # latest green r12
-    "sim_pq_encode",  # latest green r12
-    "sim_pq_ann",  # latest green r12
-    "agg_unpivot_measures",  # latest green r12
-    "agg_grouping_sets",  # latest green r12
-    "sample_hash_docs",  # latest green r12
-    "sample_hash_split_train",  # latest green r12
-    "sample_mix_sources",  # latest green r12
-    "scale_salted_count",  # latest green r12
-    "agg_small_quantity_orders",  # latest green r12
-    "scalar_string_functions",  # latest green r12
-    "scalar_date_functions",  # latest green r12
-    "scalar_math_functions",  # latest green r12
-    "win_distribution_functions",  # latest green r12
-    "agg_exact_quantiles",  # latest green r12
-    "drift_ks_binned",  # latest green r13
-    "text_quality_percentile",  # latest green r13
-    "sample_negative_pairs",  # latest green r13
-    "sample_fixed_k_per_source",  # latest green r13
-    "scalar_morton3_key",  # latest green r13
-    "scalar_morton_key",  # latest green r13
-    "text_token_rarity",  # latest green r13
-    "text_tfidf_top_terms",  # latest green r13
-    "dedup_docs_exact",  # latest green r13
-    "dedup_docs_jaccard_pairs",  # latest green r13
-    "dedup_docs_minhash_sig",  # latest green r13
-    "dedup_docs_minhash_lsh",  # latest green r13
-    "dedup_canonical_quality",  # latest green r13
-    "sim_label_centroids",  # latest green r13
-    "sim_prototype_confusion",  # latest green r13
-    "sim_cross_contamination",  # latest green r13
-    "sim_hard_negatives",  # latest green r13
-    "sim_mllib_lsh",  # latest green r13
-    "stream_tumbling_hourly",  # latest green r13
-    "stream_sliding_counts",  # latest green r13
-    "stream_sessionize",  # latest green r13
-    "stream_dedup",  # latest green r13
-    "stream_stateful_counts",  # latest green r13
-    "stream_static_enrich",  # latest green r13
-    "stream_stream_conversions",  # latest green r13
-    "sim_ivf_ann",  # latest green r13
-    "sim_ivf_ann_fixed",  # latest green r13
-    "sim_ivfpq_ann",  # latest green r13
-    "sim_ivfpq_ann_fixed",  # latest green r13
-    "join_asof_orders_events",  # latest green r13
-    "sample_bernoulli",  # latest green r13
-    "array_functions_embeddings",  # latest green r13
-    "json_from_json_struct",  # latest green r13
+    "join_range_bucketed",  # latest green r13
+    "json_extract_props",  # latest green r13
+    "json_props_agg",  # latest green r13
+    "ml_demand_features",  # latest green r13
+    "ml_churn_features",  # latest green r13
+    "ml_score_pandas_udf",  # latest green r13
+    "ml_score_expression",  # latest green r13
+    "metrics_calibration",  # latest green r13
+    "ml_score_surge",  # latest green r13
+    "serve_demand_batch",  # latest green r13
+    "ml_train_demand_models",  # latest green r13
+    "ml_train_classifier",  # latest green r13
+    "mm_media_metadata",  # latest green r13
+    "mm_extract_features",  # latest green r13
+    "mm_sample_frames",  # latest green r13
+    "mm_resize_meta",  # latest green r13
+    "drift_missing_rate_shift",  # latest green r13
+    "pipeline_corpus_health",  # latest green r14
+    "pipeline_corpus_prep",  # latest green r14
+    "text_quality_cutoff",  # latest green r14
+    "text_unigram_logprob",  # latest green r14
+    "text_bigram_pmi",  # latest green r14
+    "text_vocab_coverage",  # latest green r14
+    "sample_importance_weighted",  # latest green r14
+    "win_scd2_history",  # latest green r14
+    "dedup_docs_segments",  # latest green r14
+    "scale_skew_report",  # latest green r14
+    "agg_incremental_daily_revenue",  # latest green r14
+    "scale_partition_plan",  # latest green r14
+    "text_winnow_fingerprints",  # latest green r14
+    "dedup_docs_winnow",  # latest green r14
+    "dedup_docs_winnow_clusters",  # latest green r14
+    "sample_cluster_safe_split",  # latest green r14
+    "dedup_docs_winnow_spans",  # latest green r14
+    "dedup_docs_clusters",  # latest green r14
+    "dedup_docs_clusters_jaccard",  # latest green r14
+    "dedup_docs_simhash",  # latest green r14
+    "dedup_docs_simhash_hamming",  # latest green r14
+    "sim_embedding_drift",  # latest green r14
+    "sim_cosine_topk",  # latest green r14
+    "sim_knn_label_agreement",  # latest green r14
+    "sim_pairs_above_threshold",  # latest green r14
+    "dedup_embedding_clusters",  # latest green r14
+    "agg_forecast_revenue_change",  # latest green r14
+    "agg_priority_shipping",  # latest green r14
+    "agg_promo_revenue_pct",  # latest green r14
+    "agg_shipping_priority",  # latest green r14
+    "agg_local_supplier_volume",  # latest green r14
+    "quality_expectations",  # latest green r14
+    "behavior_funnel",  # latest green r14
 ]
-
 
 
 def _driver_order(q: dict, require_all: bool = False) -> dict:

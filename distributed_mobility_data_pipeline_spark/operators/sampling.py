@@ -101,7 +101,9 @@ def source_mixing_weights(
     each source's actual token share to its target share and emit the
     resampling multiplier (target/actual). The knob a training-data
     pipeline turns to hit a prescribed domain mixture; one small
-    aggregate + a broadcast literal join.
+    aggregate + a literal full-outer join (no broadcast hint — Spark
+    cannot broadcast either side of a full-outer join; see the inline
+    comment below).
 
     The corpus total comes from a global window over the per-source
     aggregate (#sources rows — a bounded-cardinality single partition),
