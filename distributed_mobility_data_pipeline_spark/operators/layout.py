@@ -18,6 +18,30 @@ from pyspark.sql import functions as F
 TARGET_FILE_BYTES = 256 * 1024 * 1024  # matches maxPartitionBytes in session.py
 
 
+def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition AFTER the read when (and only when) the
+    plan's natural parallelism is below the session default — the
+    optimization-guide §2.5 fix for unsplittable inputs ("one huge
+    unsplittable file … repartition immediately after the read").
+
+    A single-row-group parquet file caps scan parallelism at one task no
+    matter how many cores the session has, so every map-heavy operator
+    downstream (crypto hashing, per-element array work) runs serially.
+    The check reads the physical plan's partition count (one planning
+    pass, no job): at scale — where inputs have many row groups — it is
+    ≥ the core count and this is a NO-OP, so no shuffle is ever added to
+    a well-laid-out table. ``target`` defaults to the session's
+    defaultParallelism, so the same code adapts to any core count
+    (never a constant tuned for one machine). Results are unaffected:
+    every consumer in this engine is partitioning-insensitive by
+    construction (order-free aggregates, sorted collect_lists)."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def partition_layout_plan(
     df: DataFrame,
     part_cols: list[str],

