@@ -23,27 +23,40 @@ DEC = "decimal(28,12)"
 _SCALE = 1_000_000_000_000  # fixed-point 1e-12 quantization
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Order-free dot product in fixed-point: per-element double
-    products (exact) floored to 1e-12 longs, folded as primitive int64
-    (associative, no BigDecimal churn), surfaced as double. Quantization
-    error < 64e-12 — far below float32 input noise — and identical in
-    the DuckDB oracle by construction."""
-    prods = F.zip_with(
-        a,
-        b,
-        lambda x, y: F.floor(x.cast("double") * y.cast("double") * _SCALE).cast(
-            "long"
-        ),
-    )
-    total = F.aggregate(
-        prods, F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
-    return total.cast("double") / F.lit(float(_SCALE))
+def _sql_d(v: float) -> str:
+    """SQL double literal with exact round-trip: repr() emits the
+    shortest digits that parse back to the same IEEE-754 double, and the
+    ``D`` suffix pins the SQL type to DOUBLE (bare decimals parse as
+    DECIMAL)."""
+    return f"{float(v)!r}D"
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _dot_frag(a: str, b: str) -> str:
+    """Order-free fixed-point dot product of two array-column SQL
+    fragments: per-element double products (exact) floored to 1e-12
+    longs, folded as primitive int64 (associative — accumulation-order
+    independent, so it bit-matches the DuckDB oracle), surfaced as
+    double. Quantization error < 64e-12, far below float32 input noise.
+
+    Emitted as SQL TEXT and parsed JVM-side in ONE py4j call (r19
+    optimization, guide §7.3 — driver-side single-threaded work): the
+    previous Column-by-Column construction paid ~1.5 ms of py4j
+    round-trip per expression node, which made query CONSTRUCTION the
+    dominant cost of the entire ANN family at bench scale (e.g.
+    sim_pq_ann spent 9 s building literal codebook trees and lambdas
+    for 1.7 s of execution). The parsed tree is identical node-for-node
+    to the old ``F.aggregate(F.zip_with(…))`` build, so every score is
+    bit-identical."""
+    return (
+        f"(CAST(aggregate(zip_with({a},{b},(x,y)->"
+        "floor((CAST(x AS DOUBLE)*CAST(y AS DOUBLE))*1.0E12)),"
+        "CAST(0 AS BIGINT),(acc,v)->acc+v) AS DOUBLE)/1.0E12)"
+    )
+
+
+def _norm_frag(a: str) -> str:
+    """SQL-text form of :func:`_norm` (fixed-point self-dot → sqrt)."""
+    return f"SQRT({_dot_frag(a, a)})"
 
 
 def cosine_topk(
@@ -54,29 +67,28 @@ def cosine_topk(
     """Brute-force cosine top-k: probe vectors (small, broadcast) vs the
     full corpus. Ties broken by candidate id for determinism."""
     # Norms are per-vector: compute once per side, not once per pair —
-    # cuts the per-pair array work to a single dot product.
-    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"),
+    # cuts the per-pair array work to a single dot product. selectExpr
+    # fragments (r19): same trees, one parse instead of per-node py4j.
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).selectExpr(
+        "vec_id AS qid",
+        "embedding AS qe",
+        f"{_norm_frag('embedding')} AS qn",
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("vid"),
-        F.col("embedding").alias("ce"),
-        F.col("label").alias("c_label"),
-        _norm(F.col("embedding")).alias("cn"),
+    c = embeddings.selectExpr(
+        "vec_id AS vid",
+        "embedding AS ce",
+        "label AS c_label",
+        f"{_norm_frag('embedding')} AS cn",
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("qid") != F.col("vid"))
-        .select(
+        .selectExpr(
             "qid",
             "vid",
             "c_label",
-            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-                "cos_sim"
-            ),
+            f"({_dot_frag('qe', 'ce')}/(qn*cn)) AS cos_sim",
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
@@ -113,30 +125,28 @@ def pairs_above_threshold(
     """Embedding-cosine near-dup pairs among vec_id < max_id: block-
     bounded all-pairs (id-ordered to halve work), cosine ≥ threshold.
     The exact-verification stage of an embedding dedup."""
-    a = embeddings.filter(F.col("vec_id") < max_id).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-        _norm(F.col("embedding")).alias("na"),
+    a = embeddings.filter(F.col("vec_id") < max_id).selectExpr(
+        "vec_id AS id_a",
+        "embedding AS ea",
+        f"{_norm_frag('embedding')} AS na",
     )
-    b = embeddings.filter(F.col("vec_id") < max_id).select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        _norm(F.col("embedding")).alias("nb"),
+    b = embeddings.filter(F.col("vec_id") < max_id).selectExpr(
+        "vec_id AS id_b",
+        "embedding AS eb",
+        f"{_norm_frag('embedding')} AS nb",
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
-                "cos_sim"
-            ),
+            f"({_dot_frag('ea', 'eb')}/(na*nb)) AS cos_sim",
         )
         .filter(F.col("cos_sim") >= threshold)
     )
 
 
-def _hyperplane_sign(e: Column, plane_seed: str, dim: int) -> Column:
+def _hyperplane_sign_frag(e: str, plane_seed: str, dim: int) -> str:
     """Deterministic pseudo-random hyperplane side: weight for element i
     is ±1 from the parity of the first sha256 hex char of
     ``{plane_seed}_{i}`` — seedable, reproducible across engines and
@@ -144,7 +154,8 @@ def _hyperplane_sign(e: Column, plane_seed: str, dim: int) -> Column:
     driver-side with hashlib (same sha256 → same hex → same parity as
     the previous in-plan sha2 form, bit-identical output) and enter the
     plan as a literal array: the hot path does dim multiply-adds per
-    plane instead of dim crypto hashes per row."""
+    plane instead of dim crypto hashes per row. SQL-text fragment
+    (r19): same tree as the old Column form, one parse."""
     import hashlib
 
     signs = [
@@ -153,13 +164,13 @@ def _hyperplane_sign(e: Column, plane_seed: str, dim: int) -> Column:
         else -1.0
         for i in range(dim)
     ]
-    signs_col = F.array(*[F.lit(s) for s in signs])
-    proj = F.aggregate(
-        F.zip_with(e, signs_col, lambda x, s: (x.cast("double") * s).cast(DEC)),
-        F.lit(0).cast(DEC),
-        lambda acc, v: (acc + v).cast(DEC),
-    ).cast("double")
-    return (proj >= 0).cast("int")
+    arr = "array(" + ",".join(_sql_d(s) for s in signs) + ")"
+    return (
+        f"CAST(CAST(aggregate(zip_with({e},{arr},(x,y)->"
+        f"CAST((CAST(x AS DOUBLE)*y) AS {DEC})),"
+        f"CAST(0 AS {DEC}),(acc,v)->CAST((acc+v) AS {DEC})) AS DOUBLE)"
+        ">=0 AS INT)"
+    )
 
 
 def lsh_bucketed_ann(
@@ -173,35 +184,28 @@ def lsh_bucketed_ann(
     bits), equi-join queries to their bucket, exact cosine within the
     bucket only. Recall < 1 by design (approximate) but each query
     scores ~|C|/2^n_planes candidates instead of |C|."""
-    sig = embeddings.select(
-        "vec_id",
-        "embedding",
-        "label",
-        F.concat_ws(
-            "",
-            *[
-                _hyperplane_sign(F.col("embedding"), f"plane_{p}", dim).cast("string")
-                for p in range(n_planes)
-            ],
-        ).alias("bucket"),
+    bucket = "concat_ws(''," + ",".join(
+        f"CAST({_hyperplane_sign_frag('embedding', f'plane_{p}', dim)} AS STRING)"
+        for p in range(n_planes)
+    ) + ")"
+    sig = embeddings.selectExpr(
+        "vec_id", "embedding", "label", f"{bucket} AS bucket"
     )
-    q = sig.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"),
+    q = sig.filter(F.col("vec_id").isin(query_ids)).selectExpr(
+        "vec_id AS qid",
+        "embedding AS qe",
+        f"{_norm_frag('embedding')} AS qn",
         "bucket",
     )
-    cand = sig.withColumn("cn", _norm(F.col("embedding")))
+    cand = sig.selectExpr("*", f"{_norm_frag('embedding')} AS cn")
     scored = (
         F.broadcast(q)
         .join(cand, "bucket")
         .filter(F.col("qid") != F.col("vec_id"))
-        .select(
+        .selectExpr(
             "qid",
-            F.col("vec_id").alias("vid"),
-            (_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("cn"))).alias(
-                "cos_sim"
-            ),
+            "vec_id AS vid",
+            f"({_dot_frag('qe', 'embedding')}/(qn*cn)) AS cos_sim",
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
@@ -286,29 +290,27 @@ def assign_ivf_cells(
     the per-centroid scores go into an array of structs and
     ``array_max`` picks the winner (struct comparison is field-order
     lexicographic, so score first, cell as tiebreak)."""
-    e = F.col("embedding").cast("array<double>")
     # one transform over a literal centroid array (instead of n_clusters
     # separate aggregate expressions) keeps the codegen body small — the
     # per-row work is identical but planning/compile cost stays flat as
-    # n_clusters grows
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(cell)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
-                F.lit(sum(x * x for x in c) / 2.0).alias("half_cc"),
-            )
-            for cell, c in centroids
-        ]
+    # n_clusters grows. The whole assignment is ONE SQL-text parse
+    # (r19): the old Column-by-Column build cost ~1.5 ms of py4j per
+    # node across 16 centroids × 64 components of literals.
+    cent_sql = "array(" + ",".join(
+        "named_struct('cell',{cell},'centroid',array({cent}),'half_cc',{hcc})".format(
+            cell=int(cell),
+            cent=",".join(_sql_d(x) for x in c),
+            hcc=_sql_d(sum(x * x for x in c) / 2.0),
+        )
+        for cell, c in centroids
+    ) + ")"
+    e = "CAST(embedding AS ARRAY<DOUBLE>)"
+    scored = (
+        f"transform({cent_sql},s->named_struct("
+        f"'score',({_dot_frag(e, 's.centroid')}-s.half_cc),"
+        f"'cell',s.cell))"
     )
-    scored = F.transform(
-        cent_lit,
-        lambda s: F.struct(
-            (_dot(e, s["centroid"]) - s["half_cc"]).alias("score"),
-            s["cell"].alias("cell"),
-        ),
-    )
-    return embeddings.withColumn("cell", F.array_max(scored)["cell"])
+    return embeddings.withColumn("cell", F.expr(f"array_max({scored})")["cell"])
 
 
 def ivf_ann(
@@ -352,29 +354,27 @@ def ivf_ann(
         [(int(cell), [float(x) for x in c]) for cell, c in centroids],
         "cell int, centroid array<double>",
     )
-    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"),
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).selectExpr(
+        "vec_id AS qid",
+        "embedding AS qe",
+        f"{_norm_frag('embedding')} AS qn",
     )
     # rank cells per query by EUCLIDEAN distance — the same metric
     # KMeans assigns with, so the query's own cell always ranks first:
     # argmin ||q−c||² = argmax(q·c − ||c||²/2), NOT argmax(q·c)
-    cent_scored = cent_df.select(
-        "cell", "centroid", _dot(F.col("centroid"), F.col("centroid")).alias("cc")
+    cent_scored = cent_df.selectExpr(
+        "cell", "centroid", f"{_dot_frag('centroid', 'centroid')} AS cc"
     )
     qc = (
         F.broadcast(q)
         .crossJoin(F.broadcast(cent_scored))
-        .select(
+        .selectExpr(
             "qid",
             "qe",
             "qn",
             "cell",
-            (
-                _dot(F.col("qe").cast("array<double>"), F.col("centroid"))
-                - F.col("cc") / 2
-            ).alias("score"),
+            f"({_dot_frag('CAST(qe AS ARRAY<DOUBLE>)', 'centroid')}-cc/2)"
+            " AS score",
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cell"))
@@ -383,16 +383,14 @@ def ivf_ann(
         .filter(F.col("_r") <= n_probe)
         .select("qid", "qe", "qn", "cell")
     )
-    cand = assigned.withColumn("cn", _norm(F.col("embedding")))
+    cand = assigned.selectExpr("*", f"{_norm_frag('embedding')} AS cn")
     scored = (
         probes.join(cand, "cell")
         .filter(F.col("qid") != F.col("vec_id"))
-        .select(
+        .selectExpr(
             "qid",
-            F.col("vec_id").alias("vid"),
-            (_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("cn"))).alias(
-                "cos_sim"
-            ),
+            "vec_id AS vid",
+            f"({_dot_frag('qe', 'embedding')}/(qn*cn)) AS cos_sim",
         )
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
@@ -551,10 +549,6 @@ def fit_pq_codebooks(
     return books
 
 
-def _pq_sub(e: Column, j: int, d_sub: int) -> Column:
-    return F.slice(e, j * d_sub + 1, d_sub)
-
-
 def encode_pq(
     embeddings: DataFrame, codebooks: list[list[tuple[int, list[float]]]]
 ) -> DataFrame:
@@ -563,36 +557,29 @@ def encode_pq(
     argmin-by-array_max expression as assign_ivf_cells, once per
     subspace; output is (vec_id, codes array<int>) plus a passthrough of
     the original columns."""
-    e = F.col("embedding").cast("array<double>")
-    m = len(codebooks)
+    e = "CAST(embedding AS ARRAY<DOUBLE>)"
     d_sub = len(codebooks[0][0][1])
     codes = []
     for j, book in enumerate(codebooks):
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(-sum(x * x for x in c) / 2.0)
-                    ).alias("half_cc_neg"),
-                    F.lit(int(code)).alias("code"),
-                    F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
-                )
-                for code, c in book
-            ]
-        )
-        sub = _pq_sub(e, j, d_sub)
-
-        # NB: the lambda must be single-parameter — transform() treats a
-        # two-arg lambda as (element, index), which would rebind a
-        # default-captured subvector to the array index
-        def _score(s, _sub=sub):
-            return F.struct(
-                (_dot(_sub, s["centroid"]) + s["half_cc_neg"]).alias("score"),
-                s["code"].alias("code"),
+        # whole per-subspace argmax as ONE SQL-text parse (r19): the
+        # old Column-by-Column build paid ~1.5 ms of py4j per literal
+        # node; the parsed tree is identical, so codes are bit-identical
+        cent_sql = "array(" + ",".join(
+            "named_struct('half_cc_neg',{hneg},'code',{code},"
+            "'centroid',array({cent}))".format(
+                hneg=_sql_d(-sum(x * x for x in c) / 2.0),
+                code=int(code),
+                cent=",".join(_sql_d(x) for x in c),
             )
-
-        scored = F.transform(cent_lit, lambda s: _score(s))
-        codes.append(F.array_max(scored)["code"])
+            for code, c in book
+        ) + ")"
+        sub = f"slice({e},{j * d_sub + 1},{d_sub})"
+        scored = (
+            f"transform({cent_sql},s->named_struct("
+            f"'score',({_dot_frag(sub, 's.centroid')}+s.half_cc_neg),"
+            f"'code',s.code))"
+        )
+        codes.append(F.expr(f"array_max({scored})")["code"])
     return embeddings.withColumn("codes", F.array(*codes))
 
 
@@ -604,22 +591,20 @@ def _pq_approx_dot(
     approx dot(q, x) = Σ_j dot(q_sub_j, centroid_j[code_j]). Each
     subspace is an O(k·d_sub) literal lookup constant."""
     d_sub = len(codebooks[0][0][1])
-    approx = None
+    terms = []
     for j, book in enumerate(codebooks):
         # literal centroid table for subspace j, indexed by code (+1 for
-        # element_at's 1-based indexing)
-        cent_arr = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for _code, c in sorted(book)
-            ]
+        # element_at's 1-based indexing); whole ADC sum is one SQL-text
+        # parse (r19) — tree and result identical to the Column form
+        cent_sql = "array(" + ",".join(
+            "array(" + ",".join(_sql_d(x) for x in c) + ")"
+            for _code, c in sorted(book)
+        ) + ")"
+        sub = f"slice(qe,{j * d_sub + 1},{d_sub})"
+        terms.append(
+            _dot_frag(sub, f"element_at({cent_sql},element_at(codes,{j + 1})+1)")
         )
-        term = _dot(
-            _pq_sub(F.col("qe"), j, d_sub),
-            F.element_at(cent_arr, F.element_at("codes", j + 1) + 1),
-        )
-        approx = term if approx is None else approx + term
-    return approx
+    return F.expr("+".join(terms))
 
 
 def pq_ann(
@@ -641,9 +626,9 @@ def pq_ann(
         F.col("label").alias("c_label"),
         "codes",
     )
-    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").cast("array<double>").alias("qe"),
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).selectExpr(
+        "vec_id AS qid",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS qe",
     )
     approx = _pq_approx_dot(codebooks)
     scored = (
@@ -677,17 +662,17 @@ def hard_negatives(
     the window sees only true negatives. Deterministic (ties by vid),
     fully oracle-checkable.
     """
-    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"),
-        F.col("label").alias("q_label"),
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).selectExpr(
+        "vec_id AS qid",
+        "embedding AS qe",
+        f"{_norm_frag('embedding')} AS qn",
+        "label AS q_label",
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("vid"),
-        F.col("embedding").alias("ce"),
-        F.col("label").alias("neg_label"),
-        _norm(F.col("embedding")).alias("cn"),
+    c = embeddings.selectExpr(
+        "vec_id AS vid",
+        "embedding AS ce",
+        "label AS neg_label",
+        f"{_norm_frag('embedding')} AS cn",
     )
     scored = (
         F.broadcast(q)
@@ -696,14 +681,12 @@ def hard_negatives(
             (F.col("qid") != F.col("vid"))
             & (F.col("q_label") != F.col("neg_label"))
         )
-        .select(
+        .selectExpr(
             "qid",
             "q_label",
             "vid",
             "neg_label",
-            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-                "cos_sim"
-            ),
+            f"({_dot_frag('qe', 'ce')}/(qn*cn)) AS cos_sim",
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
@@ -751,25 +734,22 @@ def prototype_confusion(
     scanned once. Deterministic (prototype ties broken by label).
     """
     cent = centroids if centroids is not None else label_centroids(embeddings)
-    c = cent.select(
-        F.col("label").alias("predicted_label"),
+    c = cent.selectExpr(
+        "label AS predicted_label",
         "centroid",
-        _norm(F.col("centroid")).alias("cn"),
+        f"{_norm_frag('centroid')} AS cn",
     )
-    e = embeddings.select(
+    e = embeddings.selectExpr(
         "vec_id",
-        F.col("label").alias("true_label"),
+        "label AS true_label",
         "embedding",
-        _norm(F.col("embedding")).alias("en"),
+        f"{_norm_frag('embedding')} AS en",
     )
-    scored = e.crossJoin(F.broadcast(c)).select(
+    scored = e.crossJoin(F.broadcast(c)).selectExpr(
         "vec_id",
         "true_label",
         "predicted_label",
-        (
-            _dot(F.col("embedding"), F.col("centroid"))
-            / (F.col("en") * F.col("cn"))
-        ).alias("cos_sim"),
+        f"({_dot_frag('embedding', 'centroid')}/(en*cn)) AS cos_sim",
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("predicted_label")
@@ -795,24 +775,22 @@ def cross_set_contamination(
     corpus is scanned once. Returns one row per contaminated train
     vector with its closest benchmark hit (deterministic argmax).
     """
-    b = benchmark.select(
-        F.col("vec_id").alias("bench_id"),
-        F.col("embedding").alias("be"),
-        _norm(F.col("embedding")).alias("bn"),
+    b = benchmark.selectExpr(
+        "vec_id AS bench_id",
+        "embedding AS be",
+        f"{_norm_frag('embedding')} AS bn",
     )
-    t = train.select(
-        F.col("vec_id").alias("train_id"),
-        F.col("embedding").alias("te"),
-        _norm(F.col("embedding")).alias("tn"),
+    t = train.selectExpr(
+        "vec_id AS train_id",
+        "embedding AS te",
+        f"{_norm_frag('embedding')} AS tn",
     )
     scored = (
         t.crossJoin(F.broadcast(b))
-        .select(
+        .selectExpr(
             "train_id",
             "bench_id",
-            (_dot(F.col("te"), F.col("be")) / (F.col("tn") * F.col("bn"))).alias(
-                "cos_sim"
-            ),
+            f"({_dot_frag('te', 'be')}/(tn*bn)) AS cos_sim",
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -857,23 +835,23 @@ def ivfpq_ann(
         "cell",
         "codes",
     )
-    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").cast("array<double>").alias("qe"),
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).selectExpr(
+        "vec_id AS qid",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS qe",
     )
     spark = embeddings.sparkSession
     cent_df = spark.createDataFrame(
         [(int(cell), [float(x) for x in c]) for cell, c in centroids],
         "cell int, centroid array<double>",
-    ).select(
+    ).selectExpr(
         "cell",
         "centroid",
-        _dot(F.col("centroid"), F.col("centroid")).alias("cc"),
+        f"{_dot_frag('centroid', 'centroid')} AS cc",
     )
     # rank cells per query by Euclidean distance (the k-means metric):
     # argmin ||q-c||^2 = argmax(q.c - ||c||^2/2)
     wq = Window.partitionBy("qid").orderBy(
-        (_dot(F.col("qe"), F.col("centroid")) - F.col("cc") / 2).desc(),
+        F.expr(f"({_dot_frag('qe', 'centroid')}-cc/2)").desc(),
         F.col("cell"),
     )
     probes = (
@@ -943,13 +921,11 @@ def embedding_drift_hist(
     j = o.join(n, "_id", "full_outer")
     matched = j.filter(
         F.col("_in_o").isNotNull() & F.col("_in_n").isNotNull()
-    ).select(
+    ).selectExpr(
         # try_divide: a zero-norm vector must yield NULL (counted below),
         # not an ANSI DIVIDE_BY_ZERO error killing the whole report
-        F.try_divide(
-            _dot(F.col("_vo"), F.col("_vn")),
-            _norm(F.col("_vo")) * _norm(F.col("_vn")),
-        ).alias("_cos_raw")
+        f"try_divide({_dot_frag('_vo', '_vn')},"
+        f"{_norm_frag('_vo')}*{_norm_frag('_vn')}) AS _cos_raw"
     ).withColumn(
         # NULL vectors give a NULL cosine; zero-norm vectors NULL via
         # try_divide (NaN inputs would otherwise ride least() into the
