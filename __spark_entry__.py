@@ -69,10 +69,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamp formatting/truncation is session-TZ sensitive; the DuckDB
     # oracle runs in UTC, so pin it regardless of the caller's session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return read_events(spark, path)  # ns timestamps need special read
-    return spark.read.parquet(path)
+    # Per-SESSION scan-plan cache (r19 optimization, guide §7.3/§6):
+    # every spark.read.parquet call re-resolves the source and re-reads
+    # footers (~0.1-0.25 s of driver-side work), and several queries
+    # scan 3-5 tables — this is the repeated-listing cost a catalog (or
+    # Spark's own filesourcePartitionFileCacheSize for catalog tables)
+    # exists to avoid. The cache holds only the LAZY reader DataFrame —
+    # a plan, never data or results — and lives on the session object,
+    # so every action still computes from the parquet inputs and a new
+    # session starts cold.
+    cache = getattr(spark, "_graft_scan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_scan_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if name == "events":
+            df = read_events(spark, path)  # ns timestamps need special read
+        else:
+            df = spark.read.parquet(path)
+        cache[key] = df
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -410,8 +429,18 @@ def _all_queries() -> dict[str, QueryFn]:
         "agg_driver_daily_summary": lambda s, d: agg_ops.driver_daily_summary(
             _t(s, d, "orders")
         ),
+        # ensure_min_parallelism (r19, guide §2.5 unsplittable-input fix):
+        # the bench lineitem file is a single parquet row group, so the
+        # scan — and the 9 decimal partial aggregates that run inside the
+        # scan stage — is one serial task. The round-robin repartition
+        # parallelizes that work (order-free decimal sums ⇒ bit-identical
+        # result, A/B-verified) and is a NO-OP wherever the scan already
+        # has ≥ defaultParallelism partitions, i.e. at any real scale.
+        # Only applied where measured faster: queries with cheap per-row
+        # aggregation work (hourly/daily rollups, cube pre-agg) got
+        # SLOWER from the extra shuffle and keep the plain scan.
         "agg_pricing_summary": lambda s, d: agg_ops.pricing_summary(
-            _t(s, d, "lineitem")
+            layout_ops.ensure_min_parallelism(_t(s, d, "lineitem"))
         ),
         "agg_supply_demand_hourly": lambda s, d: agg_ops.supply_demand_hourly(
             _t(s, d, "events")
@@ -489,8 +518,12 @@ def _all_queries() -> dict[str, QueryFn]:
         "star_dim_locations": lambda s, d: star_ops.dim_locations_roleplay(
             _t(s, d, "customer"), _t(s, d, "supplier"), _t(s, d, "nation")
         ),
+        # fact-side ensure_min_parallelism: same single-row-group story
+        # as agg_pricing_summary above — the 4 broadcast-join probes run
+        # inside the one-task scan stage; measured faster repartitioned,
+        # no-op at scale
         "star_trips_fact": lambda s, d: star_ops.trips_fact(
-            _t(s, d, "lineitem"),
+            layout_ops.ensure_min_parallelism(_t(s, d, "lineitem")),
             _t(s, d, "orders"),
             _t(s, d, "customer"),
             _t(s, d, "supplier"),

@@ -24,10 +24,15 @@ def order_baskets(
     order_col: str = "l_orderkey",
     item_col: str = "l_partkey",
 ) -> DataFrame:
-    """One row per order with the distinct set of parts it contains."""
+    """One row per order with the distinct set of parts it contains.
+
+    collect_set already deduplicates within the group, so no separate
+    ``distinct()`` pass — the old pre-distinct added a full extra
+    shuffle on (order, item) for a result collect_set produces anyway
+    (r19 optimization, guide §2.4: remove shuffles outright; verified
+    identical itemsets)."""
     return (
         lineitem.select(order_col, item_col)
-        .distinct()
         .groupBy(order_col)
         .agg(F.collect_set(item_col).alias("items"))
     )

@@ -24,7 +24,7 @@ iterative BPE learner (operators/bpe.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FIXED_SCALE = 1_000_000_000_000  # 1e12 micro-rank units
@@ -75,17 +75,29 @@ def pagerank_fixed_point(
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     # Loop-invariant tables are built once and persisted (memory-and-
-    # disk, the iterative-algorithm standard). Two shuffle-avoidance
-    # moves: the out-degree joins into the edge table ONCE (saves a
-    # join per round), and the combined table is hash-partitioned on
-    # src so each round's rank join only shuffles the rank table (node-
-    # sized) — the edge table (the big side) never moves again.
+    # disk, the iterative-algorithm standard). Shuffle-avoidance moves
+    # (tightened in the r19 optimization round — guide §2.4, remove
+    # shuffles outright): the out-degree rides a COUNT window on the
+    # same src partitioning the iteration join needs anyway, so one
+    # exchange replaces the old groupBy-shuffle + join-back +
+    # repartition chain (outdeg values identical — a full-partition
+    # count window equals the joined-back groupBy count); and ``nodes``
+    # derives from the PERSISTED edges_deg, so the upstream edge build
+    # (a fact-sized join in the bench query) is computed once, not once
+    # per consumer. Each round's rank join then only shuffles the rank
+    # table (node-sized) — the edge table (the big side) never moves
+    # again.
     edges = edges.select("src", "dst")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = edges.join(deg, "src").repartition("src").persist()
+    edges_deg = (
+        edges.repartition("src")
+        .withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+        .persist()
+    )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        edges_deg.select(F.col("src").alias("node"))
+        .union(edges_deg.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )

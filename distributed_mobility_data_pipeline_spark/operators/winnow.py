@@ -229,25 +229,24 @@ def winnow_dup_pairs(
     a short doc fully embedded in a long one scores 1.0), filtered to
     ``overlap >= min_overlap``, ``doc_a < doc_b``.
 
-    Scale shape (reworked in the r19 optimization round — measured 2.7×
-    faster with bit-identical output): the distinct per-doc fingerprint
-    HASH set comes straight out of the array domain (map-only — no
-    explode-then-distinct shuffle), is materialized ONCE
-    (localCheckpoint — each invocation still computes from the inputs;
-    the checkpoint only stops the two df-cap consumers re-running the
-    hashing pass), df-capped at ``max_df`` docs (boilerplate
-    fingerprints would otherwise create quadratic candidate blow-up
-    exactly like hot LSH bands; groupBy count keeps map-side partial
-    aggregation, so a hot fingerprint cannot straggle the way a
-    window-count over it would), then pairs are generated per hash from
-    the grouped doc array (≤ ``max_df`` docs ⇒ ≤ C(max_df, 2) pairs per
-    hash) instead of a fingerprint-table self-join — one shuffle of the
-    kept rows rather than two join sides plus a distinct."""
-    fps = _fp_hash_sets(
-        ensure_min_parallelism(docs), k, w, text_col, id_col
-    ).localCheckpoint(eager=True)
-    kept = _df_capped(fps, max_df)
-    return _pairs_from_kept(kept, min_overlap)
+    Scale shape (reworked across the r19 optimization round, with
+    bit-identical output at every step): the distinct per-doc
+    fingerprint HASH set comes straight out of the array domain
+    (map-only — no explode-then-distinct shuffle); ONE groupBy(fp_hash)
+    then carries both the ``max_df`` df cap (boilerplate fingerprints
+    would otherwise create quadratic candidate blow-up exactly like hot
+    LSH bands) and the pair-generation doc arrays — the fingerprint
+    table is shuffled exactly once. The capped per-hash arrays are
+    materialized ONCE (localCheckpoint — each invocation still computes
+    from the inputs; the checkpoint only stops the size-count and
+    pair-generation consumers re-running the hashing pass), then pairs
+    are generated per hash from the sorted doc array (≤ ``max_df`` docs
+    ⇒ ≤ C(max_df, 2) pairs per hash) instead of a fingerprint-table
+    self-join, and per-doc sizes re-aggregate from the capped arrays
+    with map-side partial aggregation."""
+    fps = _fp_hash_sets(ensure_min_parallelism(docs), k, w, text_col, id_col)
+    kept_g = _kept_doc_groups(fps, max_df).localCheckpoint(eager=True)
+    return _pairs_from_groups(kept_g, min_overlap)
 
 
 def _fp_hash_sets(
@@ -271,55 +270,67 @@ def _fp_hash_sets(
     )
 
 
-def _df_capped(fps: DataFrame, max_df: int) -> DataFrame:
-    """Drop fingerprints present in more than ``max_df`` docs.
-    ``fps`` must be distinct (doc, fp_hash) rows."""
-    rare = (
+def _kept_doc_groups(fps: DataFrame, max_df: int) -> DataFrame:
+    """(fp_hash, _docs): per-fingerprint SORTED doc array, df-capped at
+    ``max_df`` docs. ``fps`` must be distinct (doc, fp_hash) rows.
+
+    One groupBy carries both the df cap (``size(_docs) <= max_df`` is
+    exactly the old per-hash row count) and the pair-generation grouping
+    — r19 fuse (guide §2.4): the previous count → left_semi join →
+    re-group chain shuffled the fingerprint table three times for what
+    one exchange provides. array_sort makes the array (docs are unique
+    per hash) partitioning-insensitive."""
+    return (
         fps.groupBy("fp_hash")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("fp_hash")
+        .agg(F.array_sort(F.collect_list("doc")).alias("_docs"))
+        .filter(F.size("_docs") <= max_df)
     )
-    return fps.join(rare, "fp_hash", "left_semi")
 
 
-def _pairs_from_kept(kept: DataFrame, min_overlap: float) -> DataFrame:
-    """Overlap-scored pairs from a df-capped distinct (doc, fp_hash)
-    table.
+def _pairs_from_groups(kept_g: DataFrame, min_overlap: float) -> DataFrame:
+    """Overlap-scored pairs from df-capped per-hash doc arrays
+    (:func:`_kept_doc_groups`; callers localCheckpoint it — two
+    consumers below).
 
-    Per-doc kept-fingerprint counts ride a window over the doc key (one
-    exchange, no extra join); docs are then grouped per hash (arrays are
-    bounded by the df cap) and pairs come from a nested array transform
-    — each hash emits its C(d, 2) doc pairs map-side, replacing the
-    old self-join + distinct + two size joins. array_sort makes pair
-    order (doc_a < doc_b) and the collect_list partitioning-insensitive."""
-    wdoc = Window.partitionBy("doc")
-    sized = kept.withColumn("_n_fp", F.count(F.lit(1)).over(wdoc))
-    grouped = sized.groupBy("fp_hash").agg(
-        F.array_sort(F.collect_list(F.struct("doc", "_n_fp"))).alias("_ds")
+    Per-doc kept-fingerprint counts come from re-exploding the (small,
+    capped) arrays into a partial-aggregating groupBy — map-side sums,
+    a doc-count-sized result — instead of the previous full window pass
+    over the fingerprint table (r19: the window shuffled and sorted
+    every fingerprint row; this shuffles only per-doc partial counts).
+    Pairs come from a nested array transform — each hash emits its
+    C(d, 2) doc pairs map-side (bounded by the df cap), never a
+    self-join. The two size joins run on the post-aggregation PAIR
+    table (candidate-pair-sized), not the fingerprint table."""
+    sizes = (
+        kept_g.select(F.explode("_docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
-    ds = F.col("_ds")
+    ds = F.col("_docs")
     pairs_expr = F.flatten(
         F.transform(
             ds,
             lambda x, i: F.transform(
                 F.slice(ds, i + 2, F.size(ds)),
                 lambda y: F.struct(
-                    x["doc"].alias("doc_a"),
-                    x["_n_fp"].alias("_na"),
-                    y["doc"].alias("doc_b"),
-                    y["_n_fp"].alias("_nb"),
+                    x.alias("doc_a"),
+                    y.alias("doc_b"),
                 ),
             ),
         )
     )
-    exploded = grouped.select(F.explode(pairs_expr).alias("_p")).select("_p.*")
+    exploded = kept_g.select(F.explode(pairs_expr).alias("_p")).select("_p.*")
+    shared = exploded.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
     return (
-        exploded.groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
-            F.min("_na").alias("_na"),
-            F.min("_nb").alias("_nb"),
+        shared.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("_n").alias("_na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("_n").alias("_nb")),
+            "doc_b",
         )
         .select(
             "doc_a",
@@ -366,11 +377,11 @@ def winnow_shared_spans(
     ).select(
         F.col(id_col).alias("doc"), "fp_hash", "fp_pos"
     ).localCheckpoint(eager=True)
-    kept_flat = _df_capped(fpsp.select("doc", "fp_hash").distinct(), max_df)
-    fps = fpsp.join(
-        kept_flat.select("fp_hash").distinct(), "fp_hash", "left_semi"
-    )
-    pairs = _pairs_from_kept(kept_flat, min_overlap).select(
+    kept_g = _kept_doc_groups(
+        fpsp.select("doc", "fp_hash").distinct(), max_df
+    ).localCheckpoint(eager=True)
+    fps = fpsp.join(kept_g.select("fp_hash"), "fp_hash", "left_semi")
+    pairs = _pairs_from_groups(kept_g, min_overlap).select(
         "doc_a", "doc_b", "n_shared", "overlap"
     )
     fa = fps.select(
