@@ -106,24 +106,50 @@ def pagerank_fixed_point(
         raise ValueError("pagerank on an empty edge table")
     teleport = ((damping_den - damping_num) * scale) // (damping_den * n)
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n).cast("bigint"))
+    # Per-iteration rank update is ONE exchange (r19, guide §2.4): the
+    # old nodes LEFT JOIN insums added a second exchange plus two sort
+    # passes per iteration just to give in-degree-0 nodes their
+    # coalesce(insum, 0). Seeding the aggregation with a zero-contrib
+    # row per node folds that into the same groupBy — integer sum with
+    # an extra 0 term is exactly coalesce(sum, 0), and every node
+    # appears in the seed, so the rank-table row set is identical.
+    zero_seed = nodes.select(
+        "node", F.lit(0).cast("bigint").alias("contrib")
+    )
     for i in range(iterations):
-        contribs = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
-            .select(
+        if i == 0:
+            # iteration 1's rank table is the CONSTANT scale div n for
+            # every node — inline it instead of joining it on (r19):
+            # one fewer join (and edge-table sort) per run, same values.
+            contribs = edges_deg.select(
                 F.col("dst").alias("node"),
-                F.expr("rank_fp div outdeg").alias("contrib"),
+                F.expr(f"CAST({scale // n} AS BIGINT) div outdeg").alias(
+                    "contrib"
+                ),
             )
-        )
-        insums = contribs.groupBy("node").agg(
+        else:
+            # SHUFFLE_HASH build side = the node-sized rank table: a
+            # sort-merge join would re-sort the (fact-sized) edge table
+            # every iteration; hashing the small side is the classic
+            # pagerank join shape at any scale (guide §3.1).
+            contribs = (
+                edges_deg.join(
+                    ranks.hint("shuffle_hash"),
+                    edges_deg["src"] == ranks["node"],
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_fp div outdeg").alias("contrib"),
+                )
+            )
+        insums = contribs.unionByName(zero_seed).groupBy("node").agg(
             F.sum("contrib").alias("insum")
         )
-        ranks = nodes.join(insums, "node", "left").select(
+        ranks = insums.select(
             "node",
             (
                 F.lit(teleport)
-                + F.expr(
-                    f"({damping_num} * coalesce(insum, 0L)) div {damping_den}"
-                )
+                + F.expr(f"({damping_num} * insum) div {damping_den}")
             )
             .cast("bigint")
             .alias("rank_fp"),

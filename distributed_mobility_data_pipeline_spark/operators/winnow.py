@@ -237,15 +237,20 @@ def winnow_dup_pairs(
     would otherwise create quadratic candidate blow-up exactly like hot
     LSH bands) and the pair-generation doc arrays — the fingerprint
     table is shuffled exactly once. The capped per-hash arrays are
-    materialized ONCE (localCheckpoint — each invocation still computes
-    from the inputs; the checkpoint only stops the size-count and
-    pair-generation consumers re-running the hashing pass), then pairs
-    are generated per hash from the sorted doc array (≤ ``max_df`` docs
-    ⇒ ≤ C(max_df, 2) pairs per hash) instead of a fingerprint-table
-    self-join, and per-doc sizes re-aggregate from the capped arrays
-    with map-side partial aggregation."""
+    computed ONCE per invocation (lazy ``persist`` — the size-count and
+    both pair-side joins read the same cached blocks instead of each
+    re-running the hashing pass; an eager localCheckpoint was measured
+    strictly slower, since it serializes the materialization into its
+    own job instead of letting the first consumer populate the cache
+    in-flight), then pairs are generated per hash from the sorted doc
+    array (≤ ``max_df`` docs ⇒ ≤ C(max_df, 2) pairs per hash) instead
+    of a fingerprint-table self-join, and per-doc sizes re-aggregate
+    from the capped arrays with map-side partial aggregation. Cached
+    blocks are reclaimed by the ContextCleaner once the returned
+    DataFrame is unreferenced (same discipline as the LSH shingle
+    persist in dedup_llm)."""
     fps = _fp_hash_sets(ensure_min_parallelism(docs), k, w, text_col, id_col)
-    kept_g = _kept_doc_groups(fps, max_df).localCheckpoint(eager=True)
+    kept_g = _kept_doc_groups(fps, max_df).persist()
     return _pairs_from_groups(kept_g, min_overlap)
 
 
@@ -368,18 +373,22 @@ def winnow_shared_spans(
     Scale shape: the pair table (already overlap-filtered) equi-joins
     the fingerprint table twice on (doc, hash) — candidate-bounded,
     never corpus × corpus. The POSITIONED fingerprint table is computed
-    once in the array domain (map-only) and localCheckpoint-ed; the
+    once in the array domain (map-only) and lazily persisted; the
     hash-set view, df-cap, pair scoring and both span joins all read
-    that one materialization instead of re-running the corpus k-gram
-    hashing pass per consumer (it is the dominant cost)."""
+    that one cached computation instead of re-running the corpus k-gram
+    hashing pass per consumer (it is the dominant cost). Lazy persist
+    rather than eager localCheckpoint (r19): the eager form serializes
+    materialization into its own job; letting the first consumer
+    populate the cache in-flight was measured faster with identical
+    output."""
     fpsp = winnow_fingerprints(
         ensure_min_parallelism(docs), k, w, text_col, id_col
     ).select(
         F.col(id_col).alias("doc"), "fp_hash", "fp_pos"
-    ).localCheckpoint(eager=True)
+    ).persist()
     kept_g = _kept_doc_groups(
         fpsp.select("doc", "fp_hash").distinct(), max_df
-    ).localCheckpoint(eager=True)
+    ).persist()
     fps = fpsp.join(kept_g.select("fp_hash"), "fp_hash", "left_semi")
     pairs = _pairs_from_groups(kept_g, min_overlap).select(
         "doc_a", "doc_b", "n_shared", "overlap"
