@@ -439,28 +439,43 @@ def attribution_credit(
 
     The rollup runs on the conversion-sized attribution table, so the
     only event-stream-sized work is the single window exchange of the
-    underlying operator.
+    underlying operator. ONE pass over that table (r19, guide §2.4):
+    each conversion explodes into its (model, touch_type) credit pairs
+    and a single groupBy counts both models — the previous two separate
+    rollups each re-ran the event-stream window, then full-outer-joined
+    the counts back together (three exchanges where one suffices; the
+    per-model count of a type equals the conditional count in the fused
+    aggregation, and the full-outer row set equals the distinct union
+    of both models' types, so the output is row-for-row identical).
     """
     attr = touch_attribution(
         events, conversion=conversion, lookback_days=lookback_days, **kwargs
     )
-    first = attr.groupBy(
-        F.coalesce("first_touch_type", F.lit("(none)")).alias("touch_type")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("first_touch_credits"))
-    last = attr.groupBy(
-        F.coalesce("last_touch_type", F.lit("(none)")).alias("touch_type")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("last_touch_credits"))
-    return (
-        first.join(last, "touch_type", "full_outer")
-        .select(
-            "touch_type",
-            F.coalesce("first_touch_credits", F.lit(0)).alias(
-                "first_touch_credits"
-            ),
-            F.coalesce("last_touch_credits", F.lit(0)).alias(
-                "last_touch_credits"
-            ),
-        )
+    pairs = attr.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("f").alias("_m"),
+                    F.coalesce("first_touch_type", F.lit("(none)")).alias(
+                        "touch_type"
+                    ),
+                ),
+                F.struct(
+                    F.lit("l").alias("_m"),
+                    F.coalesce("last_touch_type", F.lit("(none)")).alias(
+                        "touch_type"
+                    ),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.*")
+    return pairs.groupBy("touch_type").agg(
+        F.coalesce(F.sum(F.when(F.col("_m") == "f", 1)), F.lit(0))
+        .cast("bigint")
+        .alias("first_touch_credits"),
+        F.coalesce(F.sum(F.when(F.col("_m") == "l", 1)), F.lit(0))
+        .cast("bigint")
+        .alias("last_touch_credits"),
     )
 
 
@@ -681,8 +696,16 @@ def rfm_scores_hist(
     the driver dataset only."""
     from distributed_mobility_data_pipeline_spark.operators import sketches
 
-    asof = orders.agg(F.max(F.col(date_col)).alias("_asof"))
-    per = (
+    # The per-customer rollup feeds FOUR consumers (three histogram
+    # cutoff paths + the final scoring pass); without a persist each one
+    # re-ran the orders scan + customer groupBy — the r19 plan audit
+    # counted 14 fact scans / 26 exchanges in this query. Persisting the
+    # rollup makes it one scan + one exchange; everything downstream is
+    # summary- or customer-level work over the cached rows (guide §5:
+    # reuse > recompute when the intermediate is aggregated). The as-of
+    # date also derives from the rollup now — max over per-customer
+    # maxima IS the global max — instead of its own orders scan.
+    per0 = (
         orders.groupBy(customer_col)
         .agg(
             F.max(date_col).alias("last_order_date"),
@@ -691,7 +714,11 @@ def rfm_scores_hist(
             .cast("double")
             .alias("monetary"),
         )
-        .crossJoin(F.broadcast(asof))
+        .persist()
+    )
+    asof = per0.agg(F.max("last_order_date").alias("_asof"))
+    per = (
+        per0.crossJoin(F.broadcast(asof))
         .withColumn(
             "recency_days",
             F.datediff(F.col("_asof"), F.col("last_order_date")).cast("double"),

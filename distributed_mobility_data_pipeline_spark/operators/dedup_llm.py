@@ -163,23 +163,60 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_signatures_from_shingles(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+def _minhash_doc_table(
+    docs: DataFrame, n: int = 3, n_perm: int = N_PERM
+) -> DataFrame:
+    """(doc_id, _grams, mh_0..mh_{n_perm-1}) — the per-document distinct
+    shingle-set ARRAY plus the full minhash signature, computed entirely
+    in the array domain: ZERO shuffles (r19, guide §2.4 — the previous
+    explode → groupBy(doc_id) shape shuffled the whole shingle table
+    once per consumer just to re-group what was per-document to begin
+    with; same move as the winnow array-domain rework).
+
+    ``array_min`` over the affine-permuted hash array equals the old
+    ``groupBy(doc_id).agg(min(...))`` over the exploded rows — same
+    element multiset, order-free min — so signatures are bit-identical.
+    Token and hash arrays are materialized as their own projections:
+    higher-order lambdas re-evaluate their subtree per element, and
+    CollapseProject keeps multi-referenced non-cheap aliases intact."""
+    tokd = docs.select("doc_id", F.split(normalize_text(), " ").alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))  # short doc → whole text
+    gramd = tokd.select("doc_id", F.array_distinct(grams).alias("_grams"))
     # ONE md5 per shingle (the expensive part), then n_perm cheap affine
     # permutations of its 32-bit prefix — the classic k-from-1 minhash.
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
-    withh = sh.withColumn("_h", h)
-    aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+    hashed = gramd.select(
+        "doc_id",
+        "_grams",
+        F.transform(
+            "_grams",
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("_hs"),
+    )
+    mhs = [
+        F.array_min(
+            F.transform(
+                "_hs", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+            )
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS[:n_perm])
     ]
-    return withh.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", "_grams", *mhs)
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, n_perm: int = N_PERM) -> DataFrame:
     """MinHash signature per doc: min over shingles of affine
-    permutations of the md5-derived base hash. Wide per-doc row, one
-    groupBy; one md5 per shingle total."""
-    return _minhash_signatures_from_shingles(shingles(docs, n), n_perm)
+    permutations of the md5-derived base hash. Map-only (array-domain
+    min — see _minhash_doc_table); one md5 per shingle total."""
+    return _minhash_doc_table(docs, n, n_perm).drop("_grams")
 
 
 def minhash_lsh_pairs(
@@ -195,13 +232,16 @@ def minhash_lsh_pairs(
     Jaccard verification on candidates only. The full LSH pipeline a
     100 TB dedup would run; every step is a DataFrame op.
 
-    The shingle table feeds two consumers (signatures and the per-doc
-    shingle-set arrays); persist it once instead of recomputing the
-    normalize→shingle→explode lineage each time — at scale this is the
-    materialized intermediate a production dedup would checkpoint. The
-    cached blocks are reclaimed by Spark's ContextCleaner once the
-    returned DataFrame is unreferenced (the lazy API has no safe point
-    to unpersist explicitly).
+    The per-document table (shingle-set array + full signature) is
+    computed map-only in the array domain (_minhash_doc_table — zero
+    shuffles; the previous shape shuffled the exploded shingle table
+    TWICE, once per groupBy consumer) and persisted once: banding, both
+    verification joins and the Jaccard arrays all read the same cached
+    doc-level rows — at scale this is the materialized intermediate a
+    production dedup would checkpoint, and it is doc-count-sized, not
+    shingle-count-sized. The cached blocks are reclaimed by Spark's
+    ContextCleaner once the returned DataFrame is unreferenced (the
+    lazy API has no safe point to unpersist explicitly).
 
     Two deliberate physical choices:
     - the band bucket key is the RAW struct of ``band_size`` minhash
@@ -210,14 +250,13 @@ def minhash_lsh_pairs(
       concat + crypto hash per band and shuffles 32 bytes instead of a
       64-char string;
     - exact-Jaccard verification carries each doc's (distinct) shingle
-      set as an array (collect_list; element order is irrelevant to
+      set as an array (element order is irrelevant to
       ``array_intersect``) into the candidate pair and intersects
       JVM-side — two doc_id equi-joins replace a shuffle of the whole
       shingle table on shingle value. Per-doc shingle sets are bounded
       (doc length), so the arrays stay small.
     """
-    sh = shingles(docs, n).persist()
-    sig = _minhash_signatures_from_shingles(sh, n_perm)
+    doc_tbl = _minhash_doc_table(docs, n, n_perm).persist()
     n_bands = n_perm // band_size
     band_cols = [
         F.struct(
@@ -229,7 +268,9 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bkey"))
+    banded = doc_tbl.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bkey")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -243,7 +284,7 @@ def minhash_lsh_pairs(
     # Exact Jaccard on CANDIDATES ONLY — this is the whole point of LSH:
     # the all-pairs shingle join never happens; each candidate pair
     # intersects its two (small) shingle-set arrays.
-    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
+    sets = doc_tbl.select("doc_id", F.col("_grams").alias("shs"))
     verified = (
         candidates.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),

@@ -420,9 +420,15 @@ def robust_outlier_report_hist(
         )
         .select(group_col, F.col("value_q").alias("median"))
     )
+    # deviations feed BOTH the MAD histogram and the final outlier
+    # count; un-persisted, each consumer re-ran the fact scan plus the
+    # whole median sub-plan nested inside it (the r19 plan audit counted
+    # 9 fact scans / 17 exchanges here). One cached computation brings
+    # the query to two fact scans total (histogram pass + deviation
+    # pass) — the structural minimum for median-then-MAD.
     devs = nn.join(F.broadcast(med), group_col).withColumn(
         "_adev", F.abs(F.col(value_col) - F.col("median"))
-    )
+    ).persist()
     h2 = sketches.binned_value_histograms(
         devs, [group_col], "_adev", 0.0, hi - lo, n_bins
     )

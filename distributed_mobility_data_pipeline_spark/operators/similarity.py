@@ -313,6 +313,37 @@ def assign_ivf_cells(
     return embeddings.withColumn("cell", F.expr(f"array_max({scored})")["cell"])
 
 
+def _probe_cells_frag(
+    centroids: list[tuple[int, list[float]]], n_probe: int, qe: str
+) -> str:
+    """SQL fragment: the ``n_probe`` nearest cells (Euclidean — the
+    k-means metric) for query vector fragment ``qe``, as an INT array,
+    computed entirely in the per-row array domain over the literal
+    centroid table.
+
+    Replaces the old centroid-DataFrame crossJoin + row_number window
+    (r19, guide §2.4): the centroids are driver-side literals, so cell
+    ranking needs no createDataFrame job, no second broadcast and no
+    window exchange. ``array_sort`` over ``(-score, cell)`` structs is
+    lexicographic ascending = score desc, cell asc — exactly the old
+    ``row_number().orderBy(score.desc(), cell) <= n_probe`` selection
+    (double negation is sign-flip exact)."""
+    cent_sql = "array(" + ",".join(
+        "named_struct('cell',{cell},'centroid',array({cent}),'half_cc',{hcc})".format(
+            cell=int(cell),
+            cent=",".join(_sql_d(x) for x in c),
+            hcc=_sql_d(sum(x * x for x in c) / 2.0),
+        )
+        for cell, c in centroids
+    ) + ")"
+    scored = (
+        f"transform({cent_sql},s->named_struct("
+        f"'negscore',-({_dot_frag(qe, 's.centroid')}-s.half_cc),"
+        f"'cell',s.cell))"
+    )
+    return f"transform(slice(array_sort({scored}),1,{n_probe}),p->p.cell)"
+
+
 def ivf_ann(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -349,43 +380,31 @@ def ivf_ann(
         embeddings.select("vec_id", "embedding"), centroids
     ).select("vec_id", "embedding", "cell")
 
-    spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(cell), [float(x) for x in c]) for cell, c in centroids],
-        "cell int, centroid array<double>",
-    )
-    q = assigned.filter(F.col("vec_id").isin(query_ids)).selectExpr(
-        "vec_id AS qid",
-        "embedding AS qe",
-        f"{_norm_frag('embedding')} AS qn",
-    )
     # rank cells per query by EUCLIDEAN distance — the same metric
     # KMeans assigns with, so the query's own cell always ranks first:
-    # argmin ||q−c||² = argmax(q·c − ||c||²/2), NOT argmax(q·c)
-    cent_scored = cent_df.selectExpr(
-        "cell", "centroid", f"{_dot_frag('centroid', 'centroid')} AS cc"
-    )
-    qc = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cent_scored))
+    # argmin ||q−c||² = argmax(q·c − ||c||²/2), NOT argmax(q·c).
+    # The ranking runs in the array domain over the literal centroid
+    # table (see _probe_cells_frag) — map-only, no centroid DataFrame,
+    # no crossJoin, no window exchange.
+    probes = (
+        assigned.filter(F.col("vec_id").isin(query_ids))
+        .selectExpr(
+            "vec_id AS qid",
+            "embedding AS qe",
+            f"{_norm_frag('embedding')} AS qn",
+        )
         .selectExpr(
             "qid",
             "qe",
             "qn",
-            "cell",
-            f"({_dot_frag('CAST(qe AS ARRAY<DOUBLE>)', 'centroid')}-cc/2)"
-            " AS score",
+            "explode("
+            + _probe_cells_frag(centroids, n_probe, "CAST(qe AS ARRAY<DOUBLE>)")
+            + ") AS cell",
         )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cell"))
-    probes = (
-        qc.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_probe)
-        .select("qid", "qe", "qn", "cell")
     )
     cand = assigned.selectExpr("*", f"{_norm_frag('embedding')} AS cn")
     scored = (
-        probes.join(cand, "cell")
+        F.broadcast(probes).join(cand, "cell")
         .filter(F.col("qid") != F.col("vec_id"))
         .selectExpr(
             "qid",
@@ -734,28 +753,36 @@ def prototype_confusion(
     scanned once. Deterministic (prototype ties broken by label).
     """
     cent = centroids if centroids is not None else label_centroids(embeddings)
-    c = cent.selectExpr(
-        "label AS predicted_label",
+    # One-row array of (label, centroid, norm) prototypes — |labels| is
+    # bounded, so the whole model broadcasts as a single array cell.
+    # The per-vector argmax then runs IN THE ARRAY DOMAIN (r19, guide
+    # §2.4): the old crossJoin × window shape exploded the corpus
+    # |labels|-fold and then shuffled + sorted every row by vec_id just
+    # to pick rank 1 — a corpus-sized exchange that vanishes here.
+    # array_min over (-cos_sim, label) structs is lexicographic
+    # ascending = cos desc, label asc — exactly the old
+    # row_number(orderBy(cos.desc(), label)) == 1 pick (double negation
+    # is sign-flip exact).
+    carr = cent.selectExpr(
+        "label",
         "centroid",
         f"{_norm_frag('centroid')} AS cn",
+    ).agg(
+        F.collect_list(F.struct("label", "centroid", "cn")).alias("_cents")
     )
     e = embeddings.selectExpr(
-        "vec_id",
         "label AS true_label",
         "embedding",
         f"{_norm_frag('embedding')} AS en",
     )
-    scored = e.crossJoin(F.broadcast(c)).selectExpr(
-        "vec_id",
+    pick = (
+        "array_min(transform(_cents,c->named_struct("
+        f"'negcos',-({_dot_frag('embedding', 'c.centroid')}/(en*c.cn)),"
+        "'predicted_label',c.label)))"
+    )
+    pred = e.crossJoin(F.broadcast(carr)).selectExpr(
         "true_label",
-        "predicted_label",
-        f"({_dot_frag('embedding', 'centroid')}/(en*cn)) AS cos_sim",
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("predicted_label")
-    )
-    pred = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") == 1
+        f"{pick}.predicted_label AS predicted_label",
     )
     return (
         pred.groupBy("true_label", "predicted_label")
@@ -835,35 +862,21 @@ def ivfpq_ann(
         "cell",
         "codes",
     )
-    q = embeddings.filter(F.col("vec_id").isin(query_ids)).selectExpr(
+    # rank cells per query by Euclidean distance (the k-means metric):
+    # argmin ||q-c||^2 = argmax(q.c - ||c||^2/2). Array-domain ranking
+    # over the literal centroid table (_probe_cells_frag, r19): no
+    # centroid DataFrame, no crossJoin, no window exchange.
+    probes = embeddings.filter(F.col("vec_id").isin(query_ids)).selectExpr(
         "vec_id AS qid",
         "CAST(embedding AS ARRAY<DOUBLE>) AS qe",
-    )
-    spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(cell), [float(x) for x in c]) for cell, c in centroids],
-        "cell int, centroid array<double>",
     ).selectExpr(
-        "cell",
-        "centroid",
-        f"{_dot_frag('centroid', 'centroid')} AS cc",
-    )
-    # rank cells per query by Euclidean distance (the k-means metric):
-    # argmin ||q-c||^2 = argmax(q.c - ||c||^2/2)
-    wq = Window.partitionBy("qid").orderBy(
-        F.expr(f"({_dot_frag('qe', 'centroid')}-cc/2)").desc(),
-        F.col("cell"),
-    )
-    probes = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= n_probe)
-        .select("qid", "qe", "cell")
+        "qid",
+        "qe",
+        "explode(" + _probe_cells_frag(centroids, n_probe, "qe") + ") AS cell",
     )
     # the pruning join: probes hit only their cells' code lists
     cand = (
-        probes.join(enc, "cell")
+        F.broadcast(probes).join(enc, "cell")
         .filter(F.col("qid") != F.col("vid"))
         .select("qid", "vid", "c_label", "qe", "codes")
     )

@@ -79,23 +79,46 @@ def language_id(docs: DataFrame) -> DataFrame:
     every score is zero. Deterministic by construction, so it is
     oracle-checkable even on synthetic text where the true label is
     unrecoverable. Scoring and argmax live in _lang_scores/_argmax_lang,
-    shared with the reusable lang_pred() expression."""
-    scores = _lang_scores()
-    return docs.select(
+    shared with the reusable lang_pred() expression.
+
+    Three-stage projection (r19): tokens once, the four vote counts
+    once, then the argmax over the count COLUMNS — the inlined form
+    re-split the text and re-counted each language up to 5× per row
+    (greatest + each tie comparison), and lambda subtrees are invisible
+    to codegen subexpression elimination."""
+    scores = _lang_scores(F.col("_toks"))
+    scored = docs.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
+        _tokens().alias("_toks"),
+    ).select(
+        "doc_id",
+        "lang_label",
         *[scores[lang].alias(f"score_{lang}") for lang in STOPWORDS],
-        _argmax_lang(scores).alias("lang_pred"),
+    )
+    col_scores = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
+    return scored.select(
+        "doc_id",
+        "lang_label",
+        *[f"score_{lang}" for lang in STOPWORDS],
+        _argmax_lang(col_scores).alias("lang_pred"),
     )
 
 
-def quality_parts() -> tuple[Column, Column, Column, Column, Column]:
+def quality_parts(
+    toks: Column | None = None,
+) -> tuple[Column, Column, Column, Column, Column]:
     """The quality-score column expressions (n_tokens, type-token
     ratio, length score, short-token ratio, blended score) — exposed so
     single-scan compositions (plans/corpus corpus_health_by_source) can
     inline them instead of re-scanning the corpus through a joined
-    quality_score() table."""
-    toks = _tokens()
+    quality_score() table.
+
+    Pass ``toks`` referencing a MATERIALIZED token-array column to
+    evaluate split(trim(text)) once per row instead of once per
+    component (r19, guide §4 — lambda subtrees defeat codegen
+    subexpression elimination, so each inlined copy re-splits)."""
+    toks = _tokens() if toks is None else toks
     n_tok = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
     len_score = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
@@ -108,11 +131,12 @@ def quality_parts() -> tuple[Column, Column, Column, Column, Column]:
     return n_tok, ttr, len_score, short_tok_ratio, score
 
 
-def _lang_scores() -> dict[str, Column]:
+def _lang_scores(toks: Column | None = None) -> dict[str, Column]:
     """Per-language stopword-vote score expressions — the ONE place the
     scoring rule lives (language_id and lang_pred both derive from it,
-    so the vote and tie rules can't desynchronize)."""
-    toks = _tokens()
+    so the vote and tie rules can't desynchronize). ``toks`` as in
+    :func:`quality_parts`."""
+    toks = _tokens() if toks is None else toks
     scores: dict[str, Column] = {}
     for lang, words in STOPWORDS.items():
         in_list = F.array([F.lit(w) for w in words])
@@ -130,18 +154,25 @@ def _argmax_lang(scores: dict[str, Column]) -> Column:
     return pred
 
 
-def lang_pred() -> Column:
+def lang_pred(toks: Column | None = None) -> Column:
     """The language_id() argmax as one reusable column expression, for
-    single-scan compositions (plans/corpus corpus_health_by_source)."""
-    return _argmax_lang(_lang_scores())
+    single-scan compositions (plans/corpus corpus_health_by_source).
+    ``toks`` as in :func:`quality_parts`."""
+    return _argmax_lang(_lang_scores(toks))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic document quality score (length / repetition / lexical
     diversity), the LLM-data "quality scoring" filter. Components are
-    ratios of exact counts; the blend is fixed-weight column algebra."""
-    n_tok, ttr, len_score, short_tok_ratio, score = quality_parts()
-    return docs.select(
+    ratios of exact counts; the blend is fixed-weight column algebra.
+
+    The token array is materialized as its own projection so the split
+    runs once per row, not once per component (see quality_parts)."""
+    tokd = docs.select("doc_id", "n_chars", _tokens().alias("_toks"))
+    n_tok, ttr, len_score, short_tok_ratio, score = quality_parts(
+        F.col("_toks")
+    )
+    return tokd.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         ttr.alias("type_token_ratio"),

@@ -294,10 +294,14 @@ def cusum_alarms(
     cancellation at large magnitudes can round it negative → NaN,
     which comparisons then treat as greater-than-everything).
     """
+    # the day-level rollup is (series × days)-sized and feeds three
+    # branches (grid bounds, the densified join, and through it the
+    # stats pass); un-persisted each branch re-ran the event scan +
+    # groupBy (r19, guide §5: reuse beats recompute once aggregated)
     observed = events.groupBy(
         F.col(series_col).alias("series"),
         F.to_date(F.date_trunc("day", F.col(ts_col))).alias("_d"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).persist()
     bounds = observed.groupBy("series").agg(
         F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
     )

@@ -141,9 +141,19 @@ def health_per_doc(docs: DataFrame) -> DataFrame:
     """The ONE per-doc projection behind every corpus-health surface
     (batch dashboard + streaming partials): source, normalized-text
     fingerprint, token count, quality keep flag, language vote — all
-    column expressions, single scan."""
+    column expressions, single scan.
+
+    Staged projections (r19, guide §4): the token array is split once,
+    the four language vote counts are counted once, and the argmax CASE
+    reads the count COLUMNS — the previous single inlined projection
+    re-ran split(trim(text)) and the stopword counts up to ~16× per row
+    because lambda subtrees are invisible to codegen subexpression
+    elimination (the plan literally contained 16 copies of the split)."""
     from distributed_mobility_data_pipeline_spark.operators.text import (
-        lang_pred,
+        STOPWORDS,
+        _argmax_lang,
+        _lang_scores,
+        _tokens,
         quality_parts,
     )
 
@@ -151,15 +161,31 @@ def health_per_doc(docs: DataFrame) -> DataFrame:
         content_fingerprint,
     )
 
-    n_tok, _, _, _, score = quality_parts()
-    return docs.select(
+    tokd = docs.select(
         "source",
         # NULL-safe: a NULL-text doc counts as its own distinct content
         # in the redundancy metric, not as a shared NULL fingerprint
         content_fingerprint().alias("_fp"),
+        "n_chars",
+        _tokens().alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n_tok, _, _, _, score = quality_parts(toks)
+    lscores = _lang_scores(toks)
+    scored = tokd.select(
+        "source",
+        "_fp",
         n_tok.alias("_n_tok"),
         (score >= 0.5).cast("int").alias("_keep"),
-        lang_pred().alias("_lang"),
+        *[lscores[lang].alias(f"_s_{lang}") for lang in STOPWORDS],
+    )
+    col_scores = {lang: F.col(f"_s_{lang}") for lang in STOPWORDS}
+    return scored.select(
+        "source",
+        "_fp",
+        "_n_tok",
+        "_keep",
+        _argmax_lang(col_scores).alias("_lang"),
     )
 
 
