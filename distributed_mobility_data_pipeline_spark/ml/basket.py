@@ -52,7 +52,13 @@ def frequent_itemsets(
     """
     from pyspark.ml.fpm import FPGrowth
 
-    baskets = order_baskets(lineitem)
+    # FPGrowth.fit runs several internal jobs (count, frequent-item
+    # scan, FP-tree mining) and the mined itemset RDD the model wraps
+    # is lazy — un-persisted, each of those passes re-ran the lineitem
+    # scan + basket groupBy (r19, guide §5; measured ~25% faster at
+    # sf0.1). ContextCleaner reclaims the cache once the result is
+    # unreferenced.
+    baskets = order_baskets(lineitem).persist()
     model = FPGrowth(
         itemsCol="items", minSupport=min_support, minConfidence=0.5
     ).fit(baskets)
@@ -103,7 +109,9 @@ def sequential_patterns(
     """
     from pyspark.ml.fpm import PrefixSpan
 
-    seqs = user_event_sequences(events)
+    # same persist rationale as frequent_itemsets: PrefixSpan's
+    # internal passes re-ran the event scan + sequence groupBy
+    seqs = user_event_sequences(events).persist()
     model = PrefixSpan(
         minSupport=min_support,
         maxPatternLength=max_pattern_length,

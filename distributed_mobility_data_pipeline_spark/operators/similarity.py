@@ -914,10 +914,14 @@ def embedding_drift_hist(
 
     Deterministic: the cosine uses the fixed-point dot (order-free
     int64 fold, see _dot) and fixed bin edges, so the whole report is
-    hash-checkable. Shape: one full-outer equi-join on the id + a
-    global aggregation to ≤ n_bins + 2 rows."""
-    from distributed_mobility_data_pipeline_spark.operators import sketches
-
+    hash-checkable. Shape: one full-outer equi-join on the id + ONE
+    global aggregation to ≤ n_bins + 3 rows (r19, guide §2.4 — the
+    previous four per-status branches each recomputed the full-outer
+    join from scratch: 12 scans / 8 exchanges in the plan; every row's
+    (status, bin) is decidable row-locally, so one groupBy covers all
+    four, with a summary-sized zero-fill anti-join preserving the
+    always-present added/removed/matched_null rows that an empty group
+    would otherwise drop)."""
     # explicit presence markers (same pattern as reconcile.row_diff):
     # a matched id whose VECTOR is NULL must stay 'matched', not be
     # misread as added/removed off vector-column nullness
@@ -932,53 +936,54 @@ def embedding_drift_hist(
         F.col(vec_col).alias("_vn"),
     )
     j = o.join(n, "_id", "full_outer")
-    matched = j.filter(
-        F.col("_in_o").isNotNull() & F.col("_in_n").isNotNull()
-    ).selectExpr(
-        # try_divide: a zero-norm vector must yield NULL (counted below),
-        # not an ANSI DIVIDE_BY_ZERO error killing the whole report
+    # try_divide: a zero-norm vector must yield NULL (bucketed as
+    # matched_null), not an ANSI DIVIDE_BY_ZERO error killing the whole
+    # report. NULL vectors give a NULL cosine; NaN inputs fold to NULL
+    # too (they would otherwise ride least() into the TOP bin and read
+    # as "no drift"). Bin expression == sketches.binned_value_histograms
+    # (clamped floor over fixed edges), so matched counts are identical.
+    width = (1.0 - (-1.0)) / n_bins
+    cosed = j.selectExpr(
+        "_in_o",
+        "_in_n",
         f"try_divide({_dot_frag('_vo', '_vn')},"
-        f"{_norm_frag('_vo')}*{_norm_frag('_vn')}) AS _cos_raw"
-    ).withColumn(
-        # NULL vectors give a NULL cosine; zero-norm vectors NULL via
-        # try_divide (NaN inputs would otherwise ride least() into the
-        # TOP bin and read as "no drift"). Fold both into NULL here and
-        # count them in a dedicated 'matched_null' bucket below so the
-        # report partitions the full id universe.
-        "_cos",
+        f"{_norm_frag('_vo')}*{_norm_frag('_vn')}) AS _cos_raw",
+    ).select(
+        "_in_o",
+        "_in_n",
         F.when(
             F.col("_cos_raw").isNotNull() & ~F.isnan("_cos_raw"),
             F.col("_cos_raw"),
+        ).alias("_cos"),
+    )
+    status = (
+        F.when(F.col("_in_o").isNull(), F.lit("added"))
+        .when(F.col("_in_n").isNull(), F.lit("removed"))
+        .when(F.col("_cos").isNull(), F.lit("matched_null"))
+        .otherwise(F.lit("matched"))
+    )
+    bin_expr = F.when(
+        status == "matched",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("_cos") - F.lit(-1.0)) / F.lit(width)),
+            ),
         ),
-    )
-    hist = sketches.binned_value_histograms(
-        matched, [], "_cos", -1.0, 1.0, n_bins
-    ).select(F.lit("matched").alias("status"), "bin", "n")
-    matched_null = (
-        matched.filter(F.col("_cos").isNull())
+    ).otherwise(F.lit(-1)).cast("bigint")
+    grouped = (
+        cosed.select(status.alias("status"), bin_expr.alias("bin"))
+        .groupBy("status", "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(
-            F.lit("matched_null").alias("status"),
-            F.lit(-1).cast("bigint").alias("bin"),
-            "n",
-        )
     )
-    added = (
-        j.filter(F.col("_in_o").isNull())
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(
-            F.lit("added").alias("status"),
-            F.lit(-1).cast("bigint").alias("bin"),
-            "n",
-        )
+    # the three presence buckets are part of the report contract even
+    # when empty (n=0 rows); re-add any the aggregation dropped
+    always = j.sparkSession.range(1).selectExpr(
+        "explode(array('matched_null','added','removed')) AS status",
+        "CAST(-1 AS BIGINT) AS bin",
     )
-    removed = (
-        j.filter(F.col("_in_n").isNull())
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(
-            F.lit("removed").alias("status"),
-            F.lit(-1).cast("bigint").alias("bin"),
-            "n",
-        )
-    )
-    return hist.unionByName(matched_null).unionByName(added).unionByName(removed)
+    zeros = always.join(
+        grouped.select("status"), "status", "left_anti"
+    ).select("status", "bin", F.lit(0).cast("bigint").alias("n"))
+    return grouped.unionByName(zeros)

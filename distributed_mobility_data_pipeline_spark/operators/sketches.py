@@ -312,7 +312,8 @@ def rolling_quantile_hist(
         lo,
         hi,
         n_bins,
-    )
+    ).persist()  # (days × ≤n_bins)-sized; three consumers (day list,
+    # bin list, densified join) each re-ran the event scan un-persisted
     days = daily.select("_day").distinct()
     bins = daily.select("bin").distinct()
     grid = days.crossJoin(F.broadcast(bins))
