@@ -728,7 +728,8 @@ def important_part_values(
         lineitem.join(F.broadcast(supps), lineitem.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(value).alias("value_dec"))
-    )
+    ).persist()  # part-level; feeds the scalar total AND the HAVING
+    # comparison — persist so the fact scan + groupBy run once (r19, §5)
     total = vals.agg(F.sum("value_dec").alias("total_dec"))
     return (
         vals.crossJoin(F.broadcast(total))

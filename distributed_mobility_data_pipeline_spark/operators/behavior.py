@@ -579,7 +579,8 @@ def stickiness(
     activity = events.select(
         F.col(key_col).alias("_k"),
         F.date_trunc("day", F.col(ts_col)).alias("_d"),
-    ).distinct()
+    ).distinct().persist()  # three consumers (dau, day list, rolling
+    # join) each re-ran the event scan + distinct un-persisted (r19, §5)
     dau = activity.groupBy("_d").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
     )

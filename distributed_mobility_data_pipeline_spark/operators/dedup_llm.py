@@ -129,25 +129,44 @@ def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle equi-join (no cross join):
-    pairs sharing ≥1 shingle get |A∩B| from the join, |A|,|B| from
-    per-doc counts; jaccard = common/(|A|+|B|−common)."""
-    sh = shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs sharing ≥1 shingle get |A∩B| from the join, |A|,|B| ride the
+    joined rows; jaccard = common/(|A|+|B|−common).
+
+    r19 (guide §2.4): each side's per-doc shingle-set SIZE is
+    ``size(_grams)`` of the array-domain gram table — a map-side column,
+    not a separate groupBy — and it travels through the shingle join
+    into the pair aggregation (constant within each (doc_a, doc_b)
+    group, picked with max), so the old sizes table and both post-
+    aggregation size joins disappear. The previous plan recomputed the
+    shingle lineage 4× (sizes + a + b + the joins); now the exploded
+    gram stream is derived once from the shared doc table and reused by
+    both join sides via the same cached computation."""
+    doc_tbl = (
+        _minhash_doc_table(docs, n, n_perm=0)
+        .select(
+            "doc_id",
+            # cast: the old per-doc count() was bigint — keep the type
+            F.size("_grams").cast("bigint").alias("n_sh"),
+            "_grams",
+        )
+        .persist()
+    )
+    sh = doc_tbl.select(
+        "doc_id", "n_sh", F.explode("_grams").alias("shingle")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
+    return (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.max(F.col("a.n_sh")).alias("n_a"),
+            F.max(F.col("b.n_sh")).alias("n_b"),
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -90,7 +90,8 @@ def psi_quantile_bins(
         F.array_distinct(
             F.percentile_approx(col, F.array(*[F.lit(p) for p in probs]), 100)
         ).alias("_edges")
-    )
+    ).persist()  # one-row edge table rides TWO crossJoins (baseline +
+    # current bucketing) — persist so the quantile pass runs once (r19)
 
     def bucketed(df: DataFrame) -> DataFrame:
         return (

@@ -169,7 +169,10 @@ def robust_outlier_report(
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("median")
     )
-    with_med = df.join(med, group_col)
+    # feeds the MAD pass AND the outlier count — persist so the fact
+    # scan + median join run once (r19, guide §5; same shape as the
+    # histogram scale path's deviation persist)
+    with_med = df.join(med, group_col).persist()
     mad = with_med.groupBy(group_col).agg(
         F.expr(f"percentile(abs({value_col} - median), 0.5)").alias("mad"),
         F.first("median").alias("median"),

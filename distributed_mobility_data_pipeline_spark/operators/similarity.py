@@ -976,7 +976,8 @@ def embedding_drift_hist(
         cosed.select(status.alias("status"), bin_expr.alias("bin"))
         .groupBy("status", "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
+    ).persist()  # ≤ n_bins + 3 rows; referenced by the output AND the
+    # zero-fill anti-join — persist so the id join runs once
     # the three presence buckets are part of the report contract even
     # when empty (n=0 rows); re-add any the aggregation dropped
     always = j.sparkSession.range(1).selectExpr(

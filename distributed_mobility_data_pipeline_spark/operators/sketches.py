@@ -129,7 +129,8 @@ def rolling_distinct_exact(
     activity = events.select(
         F.col(key_col).alias("_k"),
         F.date_trunc("day", F.col(ts_col)).alias("_d"),
-    ).distinct()
+    ).distinct().persist()  # two consumers (day list + range join) —
+    # persist so the event scan + distinct run once (r19, guide §5)
     days = activity.select("_d").distinct().withColumnRenamed("_d", "_day")
     joined = F.broadcast(days).join(
         activity,

@@ -298,31 +298,48 @@ def contamination_overlap(
     shingles (small side) broadcast against the corpus shingle table,
     overlap counted from the join, containment = overlap / benchmark
     shingle count. Same scale shape as the LSH dedup
-    (dedup_llm.shingles)."""
-    from distributed_mobility_data_pipeline_spark.operators.dedup_llm import shingles
+    (dedup_llm.shingles).
 
-    sh = shingles(docs, n)
-    bench = sh.filter(F.col("doc_id") < bench_max_id).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
+    r19 (guide §2.4): each benchmark doc's shingle count is
+    ``size(_grams)`` of the array-domain gram table — a map-side column
+    riding the broadcast rows into the overlap aggregation (constant
+    per group, picked with max) — so the separate bench_sizes groupBy
+    and the post-aggregation join are gone, and the shingle lineage is
+    computed once per side instead of three times."""
+    from distributed_mobility_data_pipeline_spark.operators.dedup_llm import (
+        _minhash_doc_table,
     )
-    corpus = sh.filter(F.col("doc_id") >= bench_max_id)
-    bench_sizes = bench.groupBy("bench_id").agg(
-        F.count(F.lit(1)).alias("bench_total")
+
+    doc_tbl = _minhash_doc_table(docs, n, n_perm=0).select(
+        "doc_id",
+        F.size("_grams").cast("bigint").alias("_n_sh"),
+        "_grams",
     )
-    overlap = (
+    bench = doc_tbl.filter(F.col("doc_id") < bench_max_id).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("_n_sh").alias("_bench_total"),
+        F.explode("_grams").alias("shingle"),
+    )
+    corpus = doc_tbl.filter(F.col("doc_id") >= bench_max_id).select(
+        "doc_id", F.explode("_grams").alias("shingle")
+    )
+    return (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.max("_bench_total").alias("bench_total"),
+        )
         .filter(F.col("n_shared") >= min_overlap)
-    )
-    return overlap.join(F.broadcast(bench_sizes), "bench_id").select(
-        "doc_id",
-        "bench_id",
-        "n_shared",
-        "bench_total",
-        (F.col("n_shared").cast("double") / F.col("bench_total")).alias(
-            "containment"
-        ),
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            "bench_total",
+            (F.col("n_shared").cast("double") / F.col("bench_total")).alias(
+                "containment"
+            ),
+        )
     )
 
 
@@ -418,7 +435,11 @@ def token_rarity(docs: DataFrame, rare_df: int = 2) -> DataFrame:
     against again. All integer arithmetic until the final division —
     deterministic across engines with no transcendentals."""
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the df rollup AND the final join — persist so the token
+    # explode + first aggregation run once (r19, guide §5)
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df_tbl, "token")
@@ -453,7 +474,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     from pyspark.sql import Window
 
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the df rollup AND the scored join — persist (r19, §5)
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     # df from the tf table (distinct (doc, token) rows per token): the
     # raw token stream is shuffled once, not twice
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -590,11 +614,15 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     pass over raw text. The per-doc sum accumulates in decimal(28,8)
     (order-insensitive, the functions/exact.py idiom) so the distributed
     sum is bit-identical to the single-threaded oracle."""
+    # tf feeds the token totals, the grand total AND the final join —
+    # persist so the token explode + first aggregation run once (r19,
+    # guide §5); this is the materialized intermediate the docstring
+    # promises ("aggregated ONCE into the per-(doc, token) tf table")
     tf = (
         docs.select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).persist()
     totals = tf.groupBy("token").agg(F.sum("tf").alias("c_tok"))
     grand = totals.agg(F.sum("c_tok").alias("n_total"))
     term = (
@@ -642,17 +670,20 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:
             ),
         ),
     ).otherwise(F.array())
+    # bi feeds the bigram total and the filtered join; uni feeds the
+    # unigram total and BOTH word joins — persist each so the explode +
+    # count passes run once instead of 2-3× (r19, guide §5)
     bi = (
         toks.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-    )
+    ).persist()
     uni = (
         docs.select(F.explode(_tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c_tok"))
-    )
+    ).persist()
     n_bi = bi.agg(F.sum("c_xy").alias("n_bigrams"))
     n_uni = uni.agg(F.sum("c_tok").alias("n_unigrams"))
     pmi = F.log(

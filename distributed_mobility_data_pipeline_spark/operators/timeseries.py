@@ -95,7 +95,9 @@ def gap_stats(
     (bucket_index - run_index is constant within a run), all inside the
     per-series partition — no global sort.
     """
-    filled = resample_ffill(df, series_col, ts_col, step=step)
+    # grid-sized (series × buckets); feeds the run detection AND the
+    # totals — persist so the resample pipeline runs once (r19, §5)
+    filled = resample_ffill(df, series_col, ts_col, step=step).persist()
     w = Window.partitionBy(series_col).orderBy("hour_ts")
     runs = (
         filled.withColumn("_rn", F.row_number().over(w))

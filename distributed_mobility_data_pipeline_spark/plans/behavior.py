@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from distributed_mobility_data_pipeline_spark.operators import behavior
-from distributed_mobility_data_pipeline_spark.streaming.events import sessionize_batch
+from distributed_mobility_data_pipeline_spark.streaming.events import (
+    session_start_flags,
+)
 
 
 def user_insights(
@@ -34,12 +36,17 @@ def user_insights(
     """
     ent = behavior.type_entropy(events)
 
+    # session stats straight from the start flags (r19, guide §2.4):
+    # per user, sum(_new) == the session count (each session has exactly
+    # one flagged first event) and count(*) == total session events, so
+    # the per-(user, session) rollup + regroup the old form paid is one
+    # aggregation now
     sess = (
-        sessionize_batch(events, session_gap_minutes)
+        session_start_flags(events, session_gap_minutes)
         .groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-            F.sum("n_events").cast("bigint").alias("_sess_events"),
+            F.sum("_new").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("_sess_events"),
         )
         .withColumn(
             "events_per_session",
@@ -57,11 +64,15 @@ def user_insights(
         "user_id", *[f"reached_{s}" for s in stages]
     )
 
-    asof = events.agg(F.max(F.to_date("ts")).alias("_asof"))
+    # as-of derives from the per-user maxima (max of per-group maxima
+    # == the global max) instead of its own event scan (r19, guide §2.4
+    # — same move as behavior.rfm_scores_hist)
+    last = events.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("_last")
+    ).persist()  # user-sized; feeds both the as-of agg and the join
+    asof = last.agg(F.max("_last").alias("_asof"))
     recency = (
-        events.groupBy("user_id")
-        .agg(F.max(F.to_date("ts")).alias("_last"))
-        .crossJoin(F.broadcast(asof))
+        last.crossJoin(F.broadcast(asof))
         .select(
             "user_id",
             F.datediff(F.col("_asof"), F.col("_last"))

@@ -144,10 +144,14 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
-def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Batch sessionization via lag + cumulative session ids (the
-    window-function equivalent of session_window, SURVEY §2.10 /
-    'Sessionization' pattern) — oracle-checkable in plain SQL."""
+def session_start_flags(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Events + a ``_new`` column flagging each session's first event
+    (gap > ``gap_minutes`` from the previous event of the same user).
+    The shared first half of sessionization: one (user_id) window pass.
+    Exposed so per-user session STATS (count / events-per-session) can
+    aggregate straight from the flags — ``sum(_new)`` per user equals
+    the session count — without the intermediate per-session rollup
+    (r19, guide §2.4: plans/behavior.user_insights saves an exchange)."""
     from pyspark.sql import Window
 
     # defensive: unix_micros requires TimestampType; NTZ input (µs parquet
@@ -164,7 +168,16 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us),
         1,
     ).otherwise(0)
-    df = events.withColumn("_new", new_sess).withColumn(
+    return events.withColumn("_new", new_sess)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization via lag + cumulative session ids (the
+    window-function equivalent of session_window, SURVEY §2.10 /
+    'Sessionization' pattern) — oracle-checkable in plain SQL."""
+    from pyspark.sql import Window
+
+    df = session_start_flags(events, gap_minutes).withColumn(
         "session_seq",
         F.sum("_new").over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -48,6 +48,54 @@ def test_rolling_distinct_exact_broadcasts_day_list(spark, sf_dir):
     assert "BroadcastNestedLoopJoin Inner BuildLeft" in plan, plan[:2000]
 
 
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_minhash_signatures_are_map_only(spark, sf_dir):
+    """r19: signatures moved into the per-document array domain —
+    array_min over affine-permuted hash arrays replaced the
+    explode → groupBy(doc_id) shuffle. Pin the zero-exchange shape so a
+    later edit can't silently reintroduce the shingle-table shuffle."""
+    import re
+
+    qs = entrymod.queries()
+    plan = _formatted_plan(spark, qs["dedup_docs_minhash_sig"](spark, sf_dir))
+    assert not re.search(r"\(\d+\) Exchange", plan), plan[:2000]
+
+
+def test_prototype_confusion_has_no_corpus_window(spark, sf_dir):
+    """r19: the per-vector argmax runs as an array argmin over a
+    one-row broadcast prototype table — the corpus is never exploded
+    |labels|-fold nor shuffled+sorted by vec_id. Pin the no-Window
+    shape (the remaining exchanges are the tiny centroid aggregation
+    and the final confusion count)."""
+    import re
+
+    qs = entrymod.queries()
+    plan = _formatted_plan(spark, qs["sim_prototype_confusion"](spark, sf_dir))
+    assert not re.search(r"\(\d+\) Window", plan), plan[:2000]
+
+
+def test_embedding_drift_single_aggregation(spark, sf_dir):
+    """r19: the drift report is ONE aggregation over the full-outer id
+    join (plus a summary-sized zero-fill) — the four per-status
+    branches each recomputed the join before (12 scans). The driver
+    query's INPUT shape contributes three scans (the old snapshot + the
+    union-built new snapshot); pin that the join lineage itself is not
+    duplicated beyond that."""
+    import re
+
+    qs = entrymod.queries()
+    plan = _formatted_plan(spark, qs["sim_embedding_drift"](spark, sf_dir))
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 3, f"{scans} parquet scans:\n{plan[:2000]}"
+
+
 def test_no_cartesian_or_rowwise_python(spark, sf_dir):
     qs = entrymod.queries()
     offenders: dict[str, str] = {}
