@@ -60,18 +60,18 @@ AUDITS = {
     "scale_row_diff": "keyed drill-down after checksum_diff: ONE full-outer equi-join on the key, null-safe column compares map-side",
     "pipeline_corpus_health": "per-source dashboard: every per-doc signal is a column expression, ONE corpus scan (test-pinned), output source-cardinality-sized",
     "dedup_docs_winnow_spans": "span forensics: the overlap-filtered pair table equi-joins positioned fingerprints twice on (doc, hash) — candidate-bounded",
-    "sim_embedding_drift": "snapshot drift: one full-outer equi-join on the id, fixed-point cosines binned to <=n_bins+2 rows — no pairwise anything",
+    "sim_embedding_drift": "snapshot drift: one full-outer equi-join on the id, ONE (status, bin) aggregation covers matched/added/removed/null (r19: was four join recomputes) — no pairwise anything",
     "agg_contribution_analysis": "root-cause delta decomposition: ONE conditional-agg scan to dim-sized rows, one-row total broadcast back; global rank window over the bounded dim table",
     "quality_k_anonymity": "k-anonymity risk list: ONE hash aggregation on the QI columns, sub-k filter keeps only the risk surface",
     "agg_product_type_profit": "Q9 shape: three broadcast dims + one fact-fact join, LIKE pushed to the part scan, decimal-exact profit sums",
     "agg_min_cost_supplier": "Q2 shape: correlated per-part MIN as a window over the derived cost relation; all dims broadcast",
     "agg_promotion_suppliers": "Q20 shape: nested semi-join chain — qualifying (supplier, part) aggregate drives a left-semi on supplier",
     "clean_winsorize_hist": "scale-path winsorize: cutoffs from the <=20-row-per-group histogram (no per-group percentile buffer), broadcast back, map-side clamp",
-    "quality_robust_outliers_hist": "scale-path median/MAD: two bounded histogram passes (broadcast median between them), no per-group percentile buffer",
-    "behavior_rfm_hist": "scale-path RFM: three bounded histogram-cutoff tables broadcast back, map-side scoring — the global ntile sort eliminated",
+    "quality_robust_outliers_hist": "scale-path median/MAD: two bounded histogram passes (broadcast median between them), deviations persisted for the MAD + outlier-count consumers (r19: 9 fact scans -> 2), no per-group percentile buffer",
+    "behavior_rfm_hist": "scale-path RFM: per-customer rollup persisted (ONE fact scan, r19 — was 14), as-of derived from it; three bounded histogram-cutoff tables broadcast back, map-side scoring — the global ntile sort eliminated",
     "ts_cusum_alarms": "CUSUM via the reflected-walk identity: cumsum minus clamped running min — two window passes over the day-level rollup, no sequential recursion",
     "text_winnow_fingerprints": "winnowing: map-only kgram explode, ONE per-doc window pass for the rightmost-min selection, distinct — no joins",
-    "dedup_docs_winnow": "passage dup pairs from a fingerprint EQUI-join (never all-pairs); boilerplate fingerprints dropped by the max_df semi-join first",
+    "dedup_docs_winnow": "passage dup pairs generated from df-capped per-hash doc arrays (ONE groupBy(fp_hash), never a self-join/all-pairs); array-domain map-only fingerprinting; capped groups persisted once for sizes + pairs",
     "text_token_rarity": "corpus stats from the tf table: raw token stream exploded+aggregated once",
     "text_tfidf_top_terms": "df derived from tf (one explode pass); per-doc top-k via WindowGroupLimit",
     "stream_corpus_dedup": "fingerprint dedup: one exchange on the 32-byte hash",
@@ -102,16 +102,16 @@ AUDITS = {
     "stream_static_enrich": "customer dimension broadcast onto the event stream; aggregate state = one row per (segment, type)",
     "stream_stream_conversions": "interval self-join stays an equi-join on user_id with a post-join range filter, not a nested loop",
     "ts_resample_ffill": "grid exploded map-side from the per-series bounds table; fill window partitioned per series, no global sort",
-    "graph_pagerank": "per iteration: rank-onto-edges equi-join + one groupBy(dst) with map-side partial sums; loop-invariant tables persisted; rank lineage localCheckpoint-cut every 5 rounds (8x at 10 iterations, SCALE_NOTES)",
+    "graph_pagerank": "per iteration: ONE exchange — zero-seeded groupBy(dst) with map-side partial sums replaces the old groupBy + nodes left-join; rank table is the SHUFFLE_HASH build side so the persisted edge table is never re-sorted; iteration 1's constant rank inlined; rank lineage localCheckpoint-cut every 5 rounds",
     "join_point_in_time": "PIT = equi-join on the entity key + interval filter; candidates per probe bounded by that key's version count",
     "ml_freq_itemsets": "FPGrowth: parallel FP-trees per partition, no Apriori candidate blowup; baskets from one distinct+collect_set pass",
     "scale_checksum_diff": "replica diff joins two K-row checksum summaries; each data table scanned exactly once",
     "win_ewma_demand": "per-key ordered frame feeds the dyadic weighted fold; one shuffle on the series key",
     "sim_hard_negatives": "broadcast anchors x corpus; label filter runs before the per-anchor top-k window",
-    "sim_prototype_confusion": "|labels|-row centroid table broadcast; corpus scanned once; per-vector argmax window",
+    "sim_prototype_confusion": "one-row prototype ARRAY broadcast; per-vector argmax is a map-side array argmin (no corpus window/exchange, r19); only the confusion count shuffles",
     "sim_cross_contamination": "benchmark side broadcast onto one training-corpus scan; threshold filter before the argmax window",
     "quality_robust_outliers": "two exact percentile passes + one counting pass, all grouped by the monitoring dimension; medians broadcast back",
-    "pipeline_user_insights": "four user-keyed branches (entropy, sessions, milestones, recency) joined on user_id; the one broadcast is the one-row as-of scalar",
+    "pipeline_user_insights": "four user-keyed branches joined on user_id; session stats aggregate straight off the start flags (no per-session rollup, r19); as-of derives from the persisted per-user maxima",
     "behavior_transition_matrix": "lag window per user, one grouped count; row-share window over the k x k matrix, not events",
     "agg_rolling_distinct_exact": "deliberate BroadcastNestedLoopJoin: the BOUNDED day list (one row/day) broadcasts, reduced activity streams — small-scale oracle twin only; the sketch variant is the production path (plan-guard pinned)",
     "agg_revenue_gini": "rank window partitions by nation; final arithmetic over the 25-row per-group aggregate",
