@@ -727,20 +727,43 @@ def rfm_scores_hist(
     )
     qs = [float(i) / n_tiles for i in range(1, n_tiles)]
 
-    def _cutoffs(col: str, lo: float, hi: float):
+    # The three dimensions' cutoffs fold into ONE one-row broadcast
+    # (r19, guide §2.4): tagging each dimension's (q, value_q) rows and
+    # collecting the three sorted arrays in a single aggregation
+    # replaces three separate broadcast-build jobs + crossJoins with
+    # one. Each dimension's inversion math is untouched, so the arrays
+    # are element-identical to the old per-dimension builds
+    # (collect_list skips the other dimensions' NULLed rows; array_sort
+    # over (q, value_q) structs orders by q ascending as before).
+    def _cut_rows(col: str, lo: float, hi: float, tag: str):
         hist = sketches.binned_value_histograms(per, [], col, lo, hi, n_bins)
-        return (
-            sketches.quantiles_from_histograms(hist, [], qs, lo, hi, n_bins)
-            .agg(F.collect_list(F.struct("q", "value_q")).alias("_cl"))
-            .select(
-                F.array_sort("_cl").alias("_cl")  # by q ascending
-            )
-            .select(F.transform("_cl", lambda s: s["value_q"]).alias("cuts"))
+        return sketches.quantiles_from_histograms(
+            hist, [], qs, lo, hi, n_bins
+        ).select(F.lit(tag).alias("_dim"), "q", "value_q")
+
+    def _dim_arr(tag: str):
+        return F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_dim") == tag, F.struct("q", "value_q")
+                    )
+                )
+            ),
+            lambda s: s["value_q"],
         )
 
-    r_cuts = _cutoffs("recency_days", *r_range).withColumnRenamed("cuts", "_rc")
-    f_cuts = _cutoffs("frequency", *f_range).withColumnRenamed("cuts", "_fc")
-    m_cuts = _cutoffs("monetary", *m_range).withColumnRenamed("cuts", "_mc")
+    cuts = (
+        _cut_rows("recency_days", *r_range, "r")
+        .unionByName(_cut_rows("frequency", *f_range, "f"))
+        .unionByName(_cut_rows("monetary", *m_range, "m"))
+        .groupBy()
+        .agg(
+            _dim_arr("r").alias("_rc"),
+            _dim_arr("f").alias("_fc"),
+            _dim_arr("m").alias("_mc"),
+        )
+    )
 
     def _score_above(value_col: str, cuts_col: str):
         # 1 + number of cutoffs strictly below the value
@@ -761,9 +784,7 @@ def rfm_scores_hist(
         ).cast("int")
 
     scored = (
-        per.crossJoin(F.broadcast(r_cuts))
-        .crossJoin(F.broadcast(f_cuts))
-        .crossJoin(F.broadcast(m_cuts))
+        per.crossJoin(F.broadcast(cuts))
         .select(
             # same key name as rfm_scores, so joins written against the
             # exact form keep working on substitution

@@ -32,6 +32,13 @@ def parse_args(args: list[str]) -> tuple[str, dict[str, str]]:
     sf_dir = "/root/testdata/sf0.01"
     if args and "=" not in args[0]:
         sf_dir = args.pop(0)
+        if not os.path.isdir(sf_dir):
+            # a mistyped conf missing its '=value' must not be silently
+            # consumed as the data dir (ADVICE r18)
+            raise ValueError(
+                f"first argument {sf_dir!r} is neither a k=v conf nor an "
+                "existing sf directory"
+            )
     for a in args:
         if "=" not in a:
             raise ValueError(f"axis conf {a!r} is not a k=v pair")
@@ -47,14 +54,22 @@ def main() -> int:
     for k, v in conf.items():
         got = spark.conf.get(k, None)
         print(f"axis conf {k} = {got}")
-        if got != v:
-            print(f"FATAL: axis conf {k} did not take (got {got!r})", file=sys.stderr)
+        # Spark may normalize values (boolean case, size suffixes) —
+        # compare case-insensitively and only WARN on residual
+        # mismatch, printing both values (ADVICE r18: a normalized
+        # echo must not abort a sweep whose conf actually took)
+        if got is None:
+            print(f"FATAL: axis conf {k} did not take (got None)", file=sys.stderr)
             return 2
+        if str(got).strip().lower() != v.strip().lower():
+            print(
+                f"WARNING: axis conf {k} echoed {got!r} (asked {v!r}) — "
+                "possibly normalized; verify manually",
+                file=sys.stderr,
+            )
     import verify_local
 
-    verify_local.SF_DIR = sf_dir
-    sys.argv = [sys.argv[0], sf_dir]
-    return verify_local.main()
+    return verify_local.main(sf_dir=sf_dir, only=())
 
 
 if __name__ == "__main__":

@@ -49,11 +49,17 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
-def main():
+def main(sf_dir: str | None = None, only: set[str] | None = None):
+    """Run the sweep. ``sf_dir``/``only`` may be passed explicitly
+    (tools/axis_sweep.py does) — the argv fallback serves direct CLI
+    use (ADVICE r18: explicit params beat monkeypatching SF_DIR)."""
     import __spark_entry__ as entrymod
     from distributed_mobility_data_pipeline_spark.session import get_spark
 
-    only = set(sys.argv[2:])
+    global SF_DIR
+    if sf_dir is not None:
+        SF_DIR = sf_dir
+    only = set(sys.argv[2:]) if only is None else set(only)
     spark = get_spark("verify_local")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
