@@ -363,7 +363,17 @@ def dup_labels(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = docs.select(
+    # Iterate ONLY over the pair-graph members (r19, guide §2.3 —
+    # shuffle fewer bytes): a doc with no candidate pair is a singleton
+    # whose label provably never changes (no neighbors → step_label =
+    # label = doc_id forever) and no other doc's label can reference it
+    # (edges only mention pair members). The candidate graph is sparse
+    # relative to the corpus, so every per-iteration join, checkpoint
+    # and convergence count shrinks from |docs| to |pair members|;
+    # singletons rejoin once at the end with label = doc_id — the exact
+    # rows the old full-corpus iteration produced for them.
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("label")
     ).localCheckpoint(eager=False)
     for _ in range(max_iters):
@@ -405,7 +415,14 @@ def dup_labels(
         labels = mat.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    singletons = (
+        docs.select("doc_id")
+        .join(nodes, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    return labels.unionByName(singletons).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
 
 
 def dup_clusters(
