@@ -46,7 +46,7 @@ AUDITS = {
     "agg_sole_return_suppliers": "EXISTS+NOT EXISTS decorrelated to one per-order aggregate pass",
     "agg_market_share": "Q8: role-playing nation broadcast twice; only lineitem-orders + final groupBy shuffle",
     "drift_psi_quantile_bins": "quantile edges computed in-plan (percentile_approx one-row broadcast), no driver action",
-    "dedup_docs_clusters": "LSH-fed components: last label-propagation step over checkpointed edges, equi-joins only",
+    "dedup_docs_clusters": "LSH-fed components: label-propagation rounds run over the PAIR-GRAPH MEMBERS only (r19 — singletons provably fixed, rejoined once at the end); last step over checkpointed edges, equi-joins only",
     "text_chunk_documents": "chunking is map-only: zero exchanges, posexplode in whole-stage codegen",
     "text_redact_pii": "regex scrub is map-only: zero exchanges",
     "text_contamination": "benchmark shingles broadcast; overlap from an equi-join, never all-pairs",
@@ -55,8 +55,8 @@ AUDITS = {
     "sim_ivf_ann": "cell assignment is a literal-centroid expression: no KMeans fit, no assignment shuffle",
     "agg_quantile_rollup_hist": "mergeable quantiles: one raw scan into daily bin counts; merge, CDF window, and q-join all run over <=20-row-per-group summaries",
     "agg_rolling_quantile_hist": "trailing-window quantiles from the persisted daily histograms: grid densify (days x <=20 bins, broadcast), per-bin RANGE window, per-day CDF inversion — raw events scanned once",
-    "dedup_docs_winnow_clusters": "winnow pairs feed the same pointer-doubling components as LSH/Jaccard pairs — equi-joins only",
-    "sample_cluster_safe_split": "leakage-safe split: pointer-doubling components give the cluster key; split is a map-side hash filter after one doc->cluster join",
+    "dedup_docs_winnow_clusters": "winnow pairs feed the same pointer-doubling components as LSH/Jaccard pairs — iteration over pair members only (r19), equi-joins only",
+    "sample_cluster_safe_split": "leakage-safe split: pointer-doubling components (pair-member-only iteration, r19) give the cluster key; split is a map-side hash filter after one doc->cluster join",
     "scale_row_diff": "keyed drill-down after checksum_diff: ONE full-outer equi-join on the key, null-safe column compares map-side",
     "pipeline_corpus_health": "per-source dashboard: every per-doc signal is a column expression, ONE corpus scan (test-pinned), output source-cardinality-sized",
     "dedup_docs_winnow_spans": "span forensics: the overlap-filtered pair table equi-joins positioned fingerprints twice on (doc, hash) — candidate-bounded",
