@@ -1870,8 +1870,10 @@ def _ivf_ann_fixed_oracle_sql(n_probe: int = 4, k: int = 3) -> str:
        F.lit(sum(x*x)/2)), ties → larger cell (Spark's array_max over
        (score, cell) structs);
     2. probe ranking — per query, cells by fixed-point dot(q,c) −
-       fixed-point dot(c,c)/2 (ivf_ann computes cc with _dot, NOT the
-       Python literal), ties → smaller cell, top n_probe;
+       fixed-point dot(c,c)/2 (ivf_ann's _probe_cells_frag emits the
+       QUANTIZED half-self-dot literal — floor(x·x·1e12) fold / 2 —
+       bit-equal to _norm2_sql/2 here, r20), ties → smaller cell,
+       top n_probe;
     3. within-cell cosine — shared fixed-point dot / (qn·cn), rank by
        cos_sim DESC, vid ASC, top k."""
     cents = sim_ops.fixed_ivf_centroids(64)
@@ -2013,8 +2015,10 @@ def _ivfpq_ann_fixed_oracle_sql(n_probe: int = 4, k: int = 3) -> str:
     2. PQ encode of the whole corpus — shared _pq_encode_cte (argmax
        per subspace, ties → larger code), exactly encode_pq(assigned);
     3. probe ranking — per query, cells by fixed-point dot(q,c) −
-       fixed-point dot(c,c)/2 (ivfpq_ann computes cc with _dot, NOT
-       the Python literal), ties → smaller cell, top n_probe;
+       fixed-point dot(c,c)/2 (ivfpq_ann's _probe_cells_frag emits the
+       QUANTIZED half-self-dot literal — floor(x·x·1e12) fold / 2 —
+       bit-equal to _norm2_sql/2 here, r20), ties → smaller cell,
+       top n_probe;
     4. ADC scoring over probed cells only — approx dot summed in the
        same left-to-right subspace order as _pq_approx_dot; rank by
        approx_dot DESC, vid ASC, top k."""

@@ -16,6 +16,8 @@ the stock API.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -327,12 +329,27 @@ def _probe_cells_frag(
     window exchange. ``array_sort`` over ``(-score, cell)`` structs is
     lexicographic ascending = score desc, cell asc — exactly the old
     ``row_number().orderBy(score.desc(), cell) <= n_probe`` selection
-    (double negation is sign-flip exact)."""
+    (double negation is sign-flip exact).
+
+    ``half_cc`` here is the FIXED-POINT self-dot — the centroid folded
+    through the same floor(x·x·1e12) quantization ``_dot_frag`` applies
+    — halved, computed driver-side over the literal centroid (every
+    intermediate stays < 2^53, so the Python arithmetic is the exact
+    IEEE-754 sequence the SQL form would run). The DuckDB oracles rank
+    probes with ``_dot_sql(q,c) − _norm2_sql(c)/2``; emitting the same
+    quantized value keeps probe scores BIT-IDENTICAL across engines, so
+    a near-tie between two cells can never flip the probe set on one
+    side only (r20, ADVICE r19: the r19 SQL-text rework briefly emitted
+    the plain Python float ``sum(x·x)/2`` here, a ~3e-11 divergence).
+    The cell-ASSIGNMENT stage (assign_ivf_cells) deliberately keeps the
+    plain-float literal — its oracle twin embeds that same literal."""
     cent_sql = "array(" + ",".join(
         "named_struct('cell',{cell},'centroid',array({cent}),'half_cc',{hcc})".format(
             cell=int(cell),
             cent=",".join(_sql_d(x) for x in c),
-            hcc=_sql_d(sum(x * x for x in c) / 2.0),
+            hcc=_sql_d(
+                sum(math.floor(x * x * 1.0e12) for x in c) / 1.0e12 / 2.0
+            ),
         )
         for cell, c in centroids
     ) + ")"

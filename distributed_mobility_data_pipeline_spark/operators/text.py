@@ -39,23 +39,47 @@ def normalize_text(col: str = "text") -> Column:
 
 def doc_stats(docs: DataFrame) -> DataFrame:
     """Per-document stats: chars, tokens, distinct tokens,
-    type-token ratio, mean token length."""
-    toks = _tokens()
-    n_tok = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    total_tok_chars = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return docs.select(
+    type-token ratio, mean token length.
+
+    Three-stage projection (r20, guide §4): the token array is
+    materialized ONCE, then each per-array stat (size, distinct size,
+    summed token length) ONCE, then the ratios read the stat COLUMNS —
+    the inlined form re-evaluated ``split(trim(text))`` up to 6× per
+    row and ``array_distinct`` twice, because lambda subtrees are
+    invisible to codegen subexpression elimination and CollapseProject
+    keeps multi-referenced non-cheap aliases staged. Same staged-token
+    fix as language_id/quality_parts (r19); values are bit-identical —
+    identical expressions, evaluated once."""
+    staged = docs.select(
         "doc_id",
         "lang",
         F.length("text").alias("n_chars_actual"),
-        n_tok.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
-        (n_distinct.cast("double") / n_tok).alias("type_token_ratio"),
-        (total_tok_chars.cast("double") / n_tok).alias("mean_token_len"),
+        _tokens().alias("_toks"),
+    )
+    toks = F.col("_toks")
+    counted = staged.select(
+        "doc_id",
+        "lang",
+        "n_chars_actual",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_tok_chars"),
+    )
+    n_tok = F.col("n_tokens")
+    return counted.select(
+        "doc_id",
+        "lang",
+        "n_chars_actual",
+        "n_tokens",
+        "n_distinct_tokens",
+        (F.col("n_distinct_tokens").cast("double") / n_tok).alias(
+            "type_token_ratio"
+        ),
+        (F.col("_tok_chars").cast("double") / n_tok).alias("mean_token_len"),
     )
 
 

@@ -96,6 +96,19 @@ def test_embedding_drift_single_aggregation(spark, sf_dir):
     assert scans <= 3, f"{scans} parquet scans:\n{plan[:2000]}"
 
 
+def test_doc_stats_tokenizes_once(spark, sf_dir):
+    """r20: doc_stats stages the token array (then the per-array
+    stats) in their own projections, so ``split(trim(text))`` — and
+    ``array_distinct`` — evaluate exactly once per row. The inlined
+    form re-evaluated the split up to 6× per row (lambda subtrees are
+    invisible to codegen subexpression elimination). Pin the
+    one-tokenization shape for this headline query."""
+    qs = entrymod.queries()
+    plan = _formatted_plan(spark, qs["text_doc_stats"](spark, sf_dir))
+    assert plan.count("split(trim") == 1, plan[:2000]
+    assert plan.count("array_distinct") == 1, plan[:2000]
+
+
 def test_no_cartesian_or_rowwise_python(spark, sf_dir):
     qs = entrymod.queries()
     offenders: dict[str, str] = {}
