@@ -256,6 +256,29 @@ def _canary_min2(spark):
     return min(samples) if samples else None
 
 
+def _detect_persist_warmed(spark, qs, names: list[str]) -> list[str]:
+    """Names whose executed plan reads a CacheManager entry
+    (InMemoryTableScan / InMemoryRelation) — i.e. whose warm repeats
+    are persist-warmed (VERDICT r19 #5). Pure plan inspection: builds
+    each query once more WITHOUT executing it, after all timed passes,
+    so timings are untouched. Best-effort — a detection failure must
+    never affect the artifact beyond omitting that name."""
+    warmed: list[str] = []
+    for name in names:
+        try:
+            plan = (
+                qs[name](spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            if "InMemoryTableScan" in plan or "InMemoryRelation" in plan:
+                warmed.append(name)
+        except Exception:  # noqa: BLE001 — bench must always emit JSON
+            continue
+    return warmed
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
@@ -324,6 +347,16 @@ def main() -> None:
     extended, ext_runs, ext_spread, ext_flaky, ext_passes = _run_warm_median(
         spark, qs, ext_names, errors_ext, canary=canary
     )
+    # Warm-median interpretability (VERDICT r19 #5, additions-only):
+    # operators with internal multi-consumer `persist()` calls leave
+    # their intermediate cached after pass 1 (CacheManager matches the
+    # re-built identical plan), so passes 2-3 measure "intermediate
+    # already hot" for those queries. Not cross-run caching — every
+    # cold pass and fresh JVM pays full cost — but warm medians for the
+    # queries listed here warm more than page cache. Detected from the
+    # executed plan AFTER all timed passes (construction only; nothing
+    # here executes inside a timed region).
+    persist_warmed = _detect_persist_warmed(spark, qs, names + ext_names)
     total = round(sum(timings.values()), 3)
     # per-pass-normalized warm total: median over passes of
     # pass_total / that pass's own canary — immune to drift BETWEEN
@@ -420,6 +453,12 @@ def main() -> None:
         "extended_degraded_passes": ext_passes["degraded_passes"],
         "extended_pass_n_common": ext_passes["n_common"],
         "n_errors_extended": len(errors_ext),
+        # queries whose warm repeats re-read an internal persist()'s
+        # cache blocks (r20, VERDICT r19 #5 — additions-only field;
+        # detection is post-measurement plan inspection, see
+        # _detect_persist_warmed). Cross-round consumers: these warm
+        # medians measure "multi-consumer intermediate already hot".
+        "persist_warmed": persist_warmed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if warm_flaky:

@@ -262,12 +262,22 @@ def minhash_lsh_pairs(
     ContextCleaner once the returned DataFrame is unreferenced (the
     lazy API has no safe point to unpersist explicitly).
 
-    Two deliberate physical choices:
+    Three deliberate physical choices:
     - the band bucket key is the RAW struct of ``band_size`` minhash
       values, not a hash of them — equality on 4 bigints is the same
       partition as equality on sha256(concat) but skips the string
       concat + crypto hash per band and shuffles 32 bytes instead of a
       64-char string;
+    - candidate pairs come from ONE groupBy(bkey) with in-array pair
+      generation (r20, guide §2.4/§3 — the winnow shape): the sorted
+      per-bucket doc array emits its C(d, 2) ordered pairs map-side,
+      replacing the banded table's self-join, which shuffled and
+      sort-merged both sides of the same table just to rediscover the
+      bucket grouping. doc_ids are unique within a bucket, so the
+      sorted-array (i < j) pairs are EXACTLY the old
+      ``a.doc_id < b.doc_id`` join output; singleton buckets (the vast
+      majority) now drop before the pair exchange instead of flowing
+      through the join;
     - exact-Jaccard verification carries each doc's (distinct) shingle
       set as an array (element order is irrelevant to
       ``array_intersect``) into the candidate pair and intersects
@@ -290,14 +300,24 @@ def minhash_lsh_pairs(
     banded = doc_tbl.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bkey")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(b, F.col("a.bkey") == F.col("b.bkey"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    buckets = (
+        banded.groupBy("bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_docs"))
+        .filter(F.size("_docs") >= 2)
+    )
+    ds = F.col("_docs")
+    pairs_expr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    candidates = (
+        buckets.select(F.explode(pairs_expr).alias("_p"))
+        .select("_p.*")
         .distinct()
     )
     # Exact Jaccard on CANDIDATES ONLY — this is the whole point of LSH:
@@ -410,7 +430,15 @@ def dup_labels(
         # Checkpoint BEFORE the convergence count: both the count and the
         # next iteration then read the materialized result instead of
         # re-running this iteration's joins (which would double the work).
-        mat = updated.localCheckpoint(eager=True)
+        # LAZY checkpoint (r20, guide §5): the convergence count is the
+        # iteration's first action, so it computes the joins AND
+        # populates the checkpoint blocks in ONE job — the eager form
+        # ran a dedicated materialization job and then a second job for
+        # the count, i.e. two driver-synchronous barriers per iteration
+        # where one suffices. Lineage is still cut: the count's pass
+        # persists every partition of the checkpointed RDD, and the
+        # next iteration reads those blocks.
+        mat = updated.localCheckpoint(eager=False)
         changed = mat.filter(F.col("new_label") != F.col("label")).count()
         labels = mat.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:

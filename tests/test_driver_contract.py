@@ -147,6 +147,36 @@ def test_bench_final_line_fits_tail_capture():
         assert parsed2["n_warm_flaky"] == len(bench.HEADLINE)
         assert parsed2["n_extended_flaky"] == len(bench.EXTENDED)
 
+    # r20 (VERDICT r19 #5): persist_warmed is detail-only — it can list
+    # dozens of names and must not crowd the compact tail budget
+    marked = dict(payload)
+    marked["persist_warmed"] = list(bench.HEADLINE) + list(bench.EXTENDED)
+    assert "persist_warmed" not in json.loads(bench._compact_line(marked))
+
+
+def test_detect_persist_warmed_flags_cached_plans(spark, sf_dir):
+    """r20 (VERDICT r19 #5): the post-measurement detector must flag a
+    query whose plan reads CacheManager blocks and pass over one that
+    does not — and never raise on a broken query."""
+    import bench
+
+    cached = spark.range(10).persist()
+    try:
+        fake_qs = {
+            "with_persist": lambda s, d: cached.selectExpr("id * 2 AS v"),
+            # range(20), not range(10): CacheManager substitutes the
+            # cache into ANY matching analyzed plan, so an identical
+            # range(10) is legitimately flagged as cache-reading
+            "plain": lambda s, d: s.range(20).selectExpr("id * 2 AS v"),
+            "broken": lambda s, d: (_ for _ in ()).throw(ValueError("x")),
+        }
+        warmed = bench._detect_persist_warmed(
+            spark, fake_qs, ["with_persist", "plain", "broken"]
+        )
+        assert warmed == ["with_persist"]
+    finally:
+        cached.unpersist()
+
 
 def test_bench_degraded_pass_exclusion(monkeypatch):
     # VERDICT r09 #2: a systematically slow pass (host contention) must

@@ -30,7 +30,7 @@ AUDITS = {
     "agg_top_k_global": "global top-k compiles to TakeOrderedAndProject",
     "agg_local_supplier_volume": "multi-way join mixes broadcast + shuffle sides",
     "win_rolling_rows": "single exchange feeds all window frames",
-    "dedup_docs_minhash_lsh": "LSH pipeline: candidates via equi-join, no cross join",
+    "dedup_docs_minhash_lsh": "LSH pipeline: candidates from ONE groupBy(bkey) with in-array pair generation (r20 — no band-table self-join, singleton buckets dropped pre-exchange), no cross join",
     "join_asof_orders_events": "as-of join = union + window, no nested-loop join",
     "join_range_bucketed": "range predicate became a hash join on (key, bucket)",
     "agg_small_quantity_orders": "correlated scalar subquery decorrelated to an aggregate join",
