@@ -727,16 +727,65 @@ def rfm_scores_hist(
     )
     qs = [float(i) / n_tiles for i in range(1, n_tiles)]
 
+    # ONE histogram pass over the cached rollup (r20, guide §2.4 —
+    # VERDICT r19 #6): each customer row explodes into its three
+    # (dimension, bin) memberships and one groupBy counts all three
+    # 40-bin histograms together, so the rollup cache is scanned once
+    # where the three per-dimension binned_value_histograms calls
+    # scanned it three times (at a billion customers: two full
+    # customer-table passes saved). Bin math is copied literal-for-
+    # literal from binned_value_histograms — per-dimension lo/width
+    # stay Python literals inside each struct, and the bin-NULL filter
+    # reproduces its isNotNull row drop — so the per-dimension (bin, n)
+    # row sets are identical. The fused table (≤ 3 × n_bins rows) is
+    # persisted: the three inversions below each filter it by tag
+    # instead of re-running the pass.
+    def _dim_bins(col: str, lo: float, hi: float, tag: str):
+        width = (hi - lo) / n_bins
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
+            ),
+        ).cast("bigint")
+        return F.struct(F.lit(tag).alias("_dim"), b.alias("bin"))
+
+    fused_hist = (
+        per.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        _dim_bins("recency_days", *r_range, "r"),
+                        _dim_bins("frequency", *f_range, "f"),
+                        _dim_bins("monetary", *m_range, "m"),
+                    ),
+                    # a NULL bin means a NULL value: binned_value_
+                    # histograms drops those rows pre-group; lo/width
+                    # are literals, so bin is NULL iff the value is
+                    lambda s: s["bin"].isNotNull(),
+                )
+            ).alias("_db")
+        )
+        .select("_db.*")
+        .groupBy("_dim", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+
     # The three dimensions' cutoffs fold into ONE one-row broadcast
     # (r19, guide §2.4): tagging each dimension's (q, value_q) rows and
     # collecting the three sorted arrays in a single aggregation
     # replaces three separate broadcast-build jobs + crossJoins with
-    # one. Each dimension's inversion math is untouched, so the arrays
-    # are element-identical to the old per-dimension builds
+    # one. Each dimension's inversion math is untouched — the literal
+    # lo/width edges keep quantiles_from_histograms' SQL-text hash
+    # contract (r20: fusing the EDGES into data would have traded the
+    # bit-pinned literal arithmetic for column arithmetic) — so the
+    # arrays are element-identical to the old per-dimension builds
     # (collect_list skips the other dimensions' NULLed rows; array_sort
     # over (q, value_q) structs orders by q ascending as before).
-    def _cut_rows(col: str, lo: float, hi: float, tag: str):
-        hist = sketches.binned_value_histograms(per, [], col, lo, hi, n_bins)
+    def _cut_rows(lo: float, hi: float, tag: str):
+        hist = fused_hist.filter(F.col("_dim") == tag).select("bin", "n")
         return sketches.quantiles_from_histograms(
             hist, [], qs, lo, hi, n_bins
         ).select(F.lit(tag).alias("_dim"), "q", "value_q")
@@ -754,9 +803,9 @@ def rfm_scores_hist(
         )
 
     cuts = (
-        _cut_rows("recency_days", *r_range, "r")
-        .unionByName(_cut_rows("frequency", *f_range, "f"))
-        .unionByName(_cut_rows("monetary", *m_range, "m"))
+        _cut_rows(*r_range, "r")
+        .unionByName(_cut_rows(*f_range, "f"))
+        .unionByName(_cut_rows(*m_range, "m"))
         .groupBy()
         .agg(
             _dim_arr("r").alias("_rc"),

@@ -169,6 +169,89 @@ def _clusters_eager(spark):
     )
 
 
+def _rfm_old(spark):
+    """r19 shape: three per-dimension binned_value_histograms passes
+    over the cached rollup (the pre-r20 rfm_scores_hist), rebuilt here
+    inline; everything else identical."""
+    from distributed_mobility_data_pipeline_spark.operators import sketches
+
+    orders = entrymod._t(spark, SF_DIR, "orders")
+    customer_col, date_col, amount_col = "o_custkey", "o_orderdate", "o_totalprice"
+    n_tiles, n_bins = 4, 40
+    r_range, f_range, m_range = (0.0, 4000.0), (0.0, 100.0), (0.0, 10_000_000.0)
+    per0 = (
+        orders.groupBy(customer_col)
+        .agg(
+            F.max(date_col).alias("last_order_date"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col(amount_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .persist()
+    )
+    asof = per0.agg(F.max("last_order_date").alias("_asof"))
+    per = per0.crossJoin(F.broadcast(asof)).withColumn(
+        "recency_days",
+        F.datediff(F.col("_asof"), F.col("last_order_date")).cast("double"),
+    )
+    qs = [float(i) / n_tiles for i in range(1, n_tiles)]
+
+    def _cut_rows(col, lo, hi, tag):
+        hist = sketches.binned_value_histograms(per, [], col, lo, hi, n_bins)
+        return sketches.quantiles_from_histograms(
+            hist, [], qs, lo, hi, n_bins
+        ).select(F.lit(tag).alias("_dim"), "q", "value_q")
+
+    def _dim_arr(tag):
+        return F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_dim") == tag, F.struct("q", "value_q"))
+                )
+            ),
+            lambda s: s["value_q"],
+        )
+
+    cuts = (
+        _cut_rows("recency_days", *r_range, "r")
+        .unionByName(_cut_rows("frequency", *f_range, "f"))
+        .unionByName(_cut_rows("monetary", *m_range, "m"))
+        .groupBy()
+        .agg(
+            _dim_arr("r").alias("_rc"),
+            _dim_arr("f").alias("_fc"),
+            _dim_arr("m").alias("_mc"),
+        )
+    )
+
+    def _score_above(value_col, cuts_col):
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(cuts_col), lambda c: c < F.col(value_col)))
+        ).cast("int")
+
+    def _score_below(value_col, cuts_col):
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(cuts_col), lambda c: c > F.col(value_col)))
+        ).cast("int")
+
+    scored = per.crossJoin(F.broadcast(cuts)).select(
+        F.col(customer_col).alias("custkey"),
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+        _score_below("recency_days", "_rc").alias("r_score"),
+        _score_above("frequency", "_fc").alias("f_score"),
+        _score_above("monetary", "_mc").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
 EXPERIMENTS = {
     # name: (variant_a_label, build_a, variant_b_label, build_b)
     "lsh": (
@@ -202,6 +285,15 @@ EXPERIMENTS = {
             entrymod._t(s, SF_DIR, "supplier"),
             entrymod._t(s, SF_DIR, "part"),
         ),
+    ),
+    "rfm": (
+        "three_hist_r19",
+        _rfm_old,
+        "fused_hist_r20",
+        lambda s: __import__(
+            "distributed_mobility_data_pipeline_spark.operators.behavior",
+            fromlist=["behavior"],
+        ).rfm_scores_hist(entrymod._t(s, SF_DIR, "orders")),
     ),
     "clusters": (
         "eager_ckpt_r19",

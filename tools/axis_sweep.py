@@ -45,8 +45,38 @@ def parse_args(args: list[str]) -> tuple[str, dict[str, str]]:
     return sf_dir, dict(a.split("=", 1) for a in args)
 
 
+_SIZE_SUFFIXES = {
+    "k": 1024, "kb": 1024,
+    "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3,
+    "t": 1024**4, "tb": 1024**4,
+    "b": 1,
+}
+
+
+def _normalize_conf_value(v: str) -> str:
+    """Canonicalize the value forms Spark is known to normalize in its
+    conf echo — boolean case ('True' → 'true') and byte-size suffixes
+    ('1g' → '1073741824b' → the byte count) — so the echo check compares
+    semantics, not spelling. Anything unrecognized passes through
+    lowercased/stripped."""
+    s = str(v).strip().lower()
+    if s in ("true", "false"):
+        return s
+    for suffix in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suffix):
+            num = s[: -len(suffix)]
+            if num.isdigit():
+                return str(int(num) * _SIZE_SUFFIXES[suffix])
+    if s.isdigit():
+        return s
+    return s
+
+
 def main() -> int:
-    sf_dir, conf = parse_args(sys.argv[1:])
+    argv = [a for a in sys.argv[1:] if a != "--lenient"]
+    lenient = "--lenient" in sys.argv[1:]
+    sf_dir, conf = parse_args(argv)
     if not conf:
         print("no axis configs given; refusing to run a default sweep", file=sys.stderr)
         return 2
@@ -54,19 +84,23 @@ def main() -> int:
     for k, v in conf.items():
         got = spark.conf.get(k, None)
         print(f"axis conf {k} = {got}")
-        # Spark may normalize values (boolean case, size suffixes) —
-        # compare case-insensitively and only WARN on residual
-        # mismatch, printing both values (ADVICE r18: a normalized
-        # echo must not abort a sweep whose conf actually took)
         if got is None:
             print(f"FATAL: axis conf {k} did not take (got None)", file=sys.stderr)
             return 2
-        if str(got).strip().lower() != v.strip().lower():
-            print(
-                f"WARNING: axis conf {k} echoed {got!r} (asked {v!r}) — "
-                "possibly normalized; verify manually",
-                file=sys.stderr,
-            )
+        # Spark normalizes value SPELLING (boolean case, size suffixes);
+        # normalize both sides and abort on a residual SEMANTIC mismatch
+        # — e.g. a static/immutable conf echoing its old stored value —
+        # which means the sweep would attribute results to a
+        # configuration that never applied (ADVICE r19: the r18 warn-
+        # always downgrade let exactly that slip). --lenient restores
+        # warn-only for deliberate experiments with echo-rewriting confs.
+        if _normalize_conf_value(got) != _normalize_conf_value(v):
+            msg = f"axis conf {k} echoed {got!r} (asked {v!r}) — semantic mismatch"
+            if lenient:
+                print(f"WARNING: {msg} (--lenient)", file=sys.stderr)
+            else:
+                print(f"FATAL: {msg}; pass --lenient to proceed anyway", file=sys.stderr)
+                return 2
     import verify_local
 
     return verify_local.main(sf_dir=sf_dir, only=())
