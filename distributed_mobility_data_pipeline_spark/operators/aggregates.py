@@ -352,7 +352,18 @@ def local_supplier_volume(
     region_name: str,
 ) -> DataFrame:
     """TPC-H Q5 shape: 6-way join (two broadcast dims + shuffle chain)
-    where customer and supplier must share a nation; revenue per nation."""
+    where customer and supplier must share a nation; revenue per nation.
+
+    The customer and supplier sides are pre-filtered with a broadcast
+    LEFT SEMI join on the region's nation list BEFORE the join chain
+    (r20, guide §3.2 — reduce the big side before shuffling it): the
+    final broadcast-nations join plus the c_nationkey == s_nationkey
+    condition mean only rows from the region's nations can survive, so
+    the semi-joins drop the same rows the chain would — but ~(1 −
+    1/|regions|) of the customer table now never enters the
+    orders⋈customer exchange, and everything downstream of it (the
+    composite-key supplier join input) shrinks by the same factor. Row
+    set identical ⇒ the decimal revenue sums are bit-identical."""
     one = F.lit(1).cast("decimal(18,6)")
     revenue = dec("l_extendedprice") * (one - dec("l_discount"))
     nations = (
@@ -362,15 +373,28 @@ def local_supplier_volume(
         )
         .select("n_nationkey", "n_name")
     )
+    nation_keys = nations.select("n_nationkey")
+    customer_f = customer.join(
+        F.broadcast(nation_keys),
+        customer.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
+    supplier_f = supplier.join(
+        F.broadcast(nation_keys),
+        supplier.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(customer_f, orders.o_custkey == customer_f.c_custkey)
         .join(
-            supplier,
-            (lineitem.l_suppkey == supplier.s_suppkey)
-            & (customer.c_nationkey == supplier.s_nationkey),
+            supplier_f,
+            (lineitem.l_suppkey == supplier_f.s_suppkey)
+            & (customer_f.c_nationkey == supplier_f.s_nationkey),
         )
-        .join(F.broadcast(nations), supplier.s_nationkey == F.col("n_nationkey"))
+        .join(
+            F.broadcast(nations), supplier_f.s_nationkey == F.col("n_nationkey")
+        )
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
@@ -975,8 +999,26 @@ def min_cost_supplier(
         F.broadcast(region.filter(F.col("r_name") == region_name)),
         F.col("n_regionkey") == F.col("r_regionkey"),
     ).select("n_nationkey", "n_name")
+    # Pre-filter the fact side BEFORE the (partkey, suppkey) aggregation
+    # (r20, guide §3.2/§2.3 — shuffle fewer bytes): the p_size predicate
+    # keeps ~1/50 of parts, and per-key MIN commutes with filtering on
+    # the grouping key, so joining the broadcast filtered part list
+    # first and aggregating the survivors produces exactly the rows the
+    # old aggregate-then-join computed — while the aggregation exchange
+    # carries only matching lineitem rows instead of the whole fact
+    # table. The same broadcast relation is reused as the p_brand
+    # payload (it rides through the aggregation as a grouping column's
+    # 1:1 attribute — each partkey has ONE brand — via a post-agg
+    # rejoin, kept broadcast).
+    sized_parts = part.filter(F.col("p_size") == size).select(
+        "p_partkey", "p_brand"
+    )
     cost = (
-        lineitem.groupBy(
+        lineitem.join(
+            F.broadcast(sized_parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
         )
@@ -988,11 +1030,7 @@ def min_cost_supplier(
     )
     offers = (
         cost.join(
-            F.broadcast(
-                part.filter(F.col("p_size") == size).select(
-                    "p_partkey", "p_brand"
-                )
-            ),
+            F.broadcast(sized_parts),
             F.col("partkey") == F.col("p_partkey"),
         )
         .join(

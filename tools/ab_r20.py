@@ -252,6 +252,81 @@ def _rfm_old(spark):
     )
 
 
+def _min_cost_old(spark):
+    """r19 shape: aggregate ALL of lineitem to (partkey, suppkey) before
+    the selective p_size broadcast join."""
+    from pyspark.sql import Window
+
+    part = entrymod._t(spark, SF_DIR, "part")
+    supplier = entrymod._t(spark, SF_DIR, "supplier")
+    nation = entrymod._t(spark, SF_DIR, "nation")
+    region = entrymod._t(spark, SF_DIR, "region")
+    lineitem = entrymod._t(spark, SF_DIR, "lineitem")
+    nr = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cost = lineitem.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    offers = (
+        cost.join(
+            F.broadcast(
+                part.filter(F.col("p_size") == 5).select("p_partkey", "p_brand")
+            ),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        offers.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            F.col("partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "unit_cost",
+        )
+    )
+
+
+def _q5_old(spark):
+    """r19 shape: no customer/supplier nation pre-filter."""
+    from distributed_mobility_data_pipeline_spark.functions.exact import dec
+
+    region = entrymod._t(spark, SF_DIR, "region")
+    nation = entrymod._t(spark, SF_DIR, "nation")
+    customer = entrymod._t(spark, SF_DIR, "customer")
+    orders = entrymod._t(spark, SF_DIR, "orders")
+    lineitem = entrymod._t(spark, SF_DIR, "lineitem")
+    supplier = entrymod._t(spark, SF_DIR, "supplier")
+    one = F.lit(1).cast("decimal(18,6)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nations), supplier.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
 EXPERIMENTS = {
     # name: (variant_a_label, build_a, variant_b_label, build_b)
     "lsh": (
@@ -284,6 +359,32 @@ EXPERIMENTS = {
             entrymod._t(s, SF_DIR, "customer"),
             entrymod._t(s, SF_DIR, "supplier"),
             entrymod._t(s, SF_DIR, "part"),
+        ),
+    ),
+    "mincost": (
+        "agg_first_r19",
+        _min_cost_old,
+        "prefiltered_r20",
+        lambda s: agg_ops.min_cost_supplier(
+            entrymod._t(s, SF_DIR, "part"),
+            entrymod._t(s, SF_DIR, "supplier"),
+            entrymod._t(s, SF_DIR, "nation"),
+            entrymod._t(s, SF_DIR, "region"),
+            entrymod._t(s, SF_DIR, "lineitem"),
+        ),
+    ),
+    "q5": (
+        "unfiltered_r19",
+        _q5_old,
+        "semifiltered_r20",
+        lambda s: agg_ops.local_supplier_volume(
+            entrymod._t(s, SF_DIR, "region"),
+            entrymod._t(s, SF_DIR, "nation"),
+            entrymod._t(s, SF_DIR, "customer"),
+            entrymod._t(s, SF_DIR, "orders"),
+            entrymod._t(s, SF_DIR, "lineitem"),
+            entrymod._t(s, SF_DIR, "supplier"),
+            "ASIA",
         ),
     ),
     "rfm": (

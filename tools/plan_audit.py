@@ -28,7 +28,7 @@ AUDITS = {
     ),
     "dedup_keep_latest": "WindowGroupLimit pushes rank<=1 below the shuffle",
     "agg_top_k_global": "global top-k compiles to TakeOrderedAndProject",
-    "agg_local_supplier_volume": "multi-way join mixes broadcast + shuffle sides",
+    "agg_local_supplier_volume": "multi-way join mixes broadcast + shuffle sides; customer/supplier pre-filtered by broadcast semi-join on the region's nations before the chain (r20)",
     "win_rolling_rows": "single exchange feeds all window frames",
     "dedup_docs_minhash_lsh": "LSH pipeline: candidates from ONE groupBy(bkey) with in-array pair generation (r20 — no band-table self-join, singleton buckets dropped pre-exchange), no cross join",
     "join_asof_orders_events": "as-of join = union + window, no nested-loop join",
@@ -64,11 +64,11 @@ AUDITS = {
     "agg_contribution_analysis": "root-cause delta decomposition: ONE conditional-agg scan to dim-sized rows, one-row total broadcast back; global rank window over the bounded dim table",
     "quality_k_anonymity": "k-anonymity risk list: ONE hash aggregation on the QI columns, sub-k filter keeps only the risk surface",
     "agg_product_type_profit": "Q9 shape: three broadcast dims + one fact-fact join, LIKE pushed to the part scan, decimal-exact profit sums",
-    "agg_min_cost_supplier": "Q2 shape: correlated per-part MIN as a window over the derived cost relation; all dims broadcast",
+    "agg_min_cost_supplier": "Q2 shape: correlated per-part MIN as a window over the derived cost relation; all dims broadcast; fact pre-filtered by the broadcast p_size part list BEFORE the (part,supp) aggregation (r20 — exchange rows ~1/50)",
     "agg_promotion_suppliers": "Q20 shape: nested semi-join chain — qualifying (supplier, part) aggregate drives a left-semi on supplier",
     "clean_winsorize_hist": "scale-path winsorize: cutoffs from the <=20-row-per-group histogram (no per-group percentile buffer), broadcast back, map-side clamp",
     "quality_robust_outliers_hist": "scale-path median/MAD: two bounded histogram passes (broadcast median between them), deviations persisted for the MAD + outlier-count consumers (r19: 9 fact scans -> 2), no per-group percentile buffer",
-    "behavior_rfm_hist": "scale-path RFM: per-customer rollup persisted (ONE fact scan, r19 — was 14), as-of derived from it; three bounded histogram-cutoff tables broadcast back, map-side scoring — the global ntile sort eliminated",
+    "behavior_rfm_hist": "scale-path RFM: per-customer rollup persisted (ONE fact scan, r19 — was 14), as-of derived from it; ONE fused histogram pass counts all three dimensions (r20 — was three rollup scans), literal-edge inversions fold into a single one-row cutoff broadcast, map-side scoring — the global ntile sort eliminated",
     "ts_cusum_alarms": "CUSUM via the reflected-walk identity: cumsum minus clamped running min — two window passes over the day-level rollup, no sequential recursion",
     "text_winnow_fingerprints": "winnowing: map-only kgram explode, ONE per-doc window pass for the rightmost-min selection, distinct — no joins",
     "dedup_docs_winnow": "passage dup pairs generated from df-capped per-hash doc arrays (ONE groupBy(fp_hash), never a self-join/all-pairs); array-domain map-only fingerprinting; capped groups persisted once for sizes + pairs",
