@@ -69,6 +69,16 @@ def train_demand_models(features: DataFrame) -> DataFrame:
     """M4+M6+M7: fit RF / GBT / LR on the demand feature table, evaluate
     RMSE/MAE/R² on a seeded 80/20 split, return a metrics table with the
     best model flagged (min RMSE)."""
+    # NO persists in this path — measured and REVERTED (r20): the
+    # demand feature lineage carries exchanges, and wrapping any part of
+    # it in a cache changes the executed physical layout (AQE treats
+    # cached fragments differently), which shifts the per-partition
+    # seeded sampling of randomSplit AND tree training — a pre-split
+    # data.persist() and a post-split train/test persist each moved
+    # every demand metric and flipped is_best (full-row diff,
+    # tools/ml_value_check_r20.py). The classifier twin below keeps its
+    # persists because its exchange-free lineage is layout-stable under
+    # caching (values verified identical).
     data = _prepare_demand(features)
     prep = preprocessing_pipeline(
         ["event_type"],
@@ -123,16 +133,22 @@ def train_category_classifier(events: DataFrame) -> DataFrame:
     )
     prep = preprocessing_pipeline(["event_type"], ["hour", "dow"]).fit(data)
     vec = prep.transform(data)
-    train, test = vec.randomSplit([0.8, 0.2], seed=SEED)
+    # same persist-the-fit-input move as train_demand_models (r20,
+    # guide §5): the RF fit's internal jobs and the four evaluator
+    # passes otherwise re-run the event scan + feature pipeline each
+    # time; eager function ⇒ explicit unpersist at the end
+    train, test = (d.persist() for d in vec.randomSplit([0.8, 0.2], seed=SEED))
     clf = RandomForestClassifier(
         numTrees=50, maxDepth=8, seed=SEED, labelCol="bin_label"
     )
-    pred = clf.fit(train).transform(test)
+    pred = clf.fit(train).transform(test).persist()
     rows = []
     for m in ("accuracy", "f1", "weightedPrecision", "weightedRecall"):
         v = MulticlassClassificationEvaluator(
             labelCol="bin_label", predictionCol="prediction", metricName=m
         ).evaluate(pred)
         rows.append((m, v))
+    for d in (train, test, pred):
+        d.unpersist()
     spark = events.sparkSession
     return spark.createDataFrame(rows, "metric string, value double")
