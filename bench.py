@@ -259,7 +259,7 @@ def _canary_min2(spark):
 def _detect_persist_warmed(spark, qs, names: list[str]) -> list[str]:
     """Names whose executed plan reads a CacheManager entry
     (InMemoryTableScan / InMemoryRelation) — i.e. whose warm repeats
-    are persist-warmed (VERDICT r19 #5). Pure plan inspection: builds
+    are persist-warmed (VERDICT r19 #7). Pure plan inspection: builds
     each query once more WITHOUT executing it, after all timed passes,
     so timings are untouched. Best-effort — a detection failure must
     never affect the artifact beyond omitting that name."""
@@ -347,7 +347,7 @@ def main() -> None:
     extended, ext_runs, ext_spread, ext_flaky, ext_passes = _run_warm_median(
         spark, qs, ext_names, errors_ext, canary=canary
     )
-    # Warm-median interpretability (VERDICT r19 #5, additions-only):
+    # Warm-median interpretability (VERDICT r19 #7, additions-only):
     # operators with internal multi-consumer `persist()` calls leave
     # their intermediate cached after pass 1 (CacheManager matches the
     # re-built identical plan), so passes 2-3 measure "intermediate
@@ -454,7 +454,7 @@ def main() -> None:
         "extended_pass_n_common": ext_passes["n_common"],
         "n_errors_extended": len(errors_ext),
         # queries whose warm repeats re-read an internal persist()'s
-        # cache blocks (r20, VERDICT r19 #5 — additions-only field;
+        # cache blocks (r20, VERDICT r19 #7 — additions-only field;
         # detection is post-measurement plan inspection, see
         # _detect_persist_warmed). Cross-round consumers: these warm
         # medians measure "multi-consumer intermediate already hot".

@@ -147,7 +147,7 @@ def test_bench_final_line_fits_tail_capture():
         assert parsed2["n_warm_flaky"] == len(bench.HEADLINE)
         assert parsed2["n_extended_flaky"] == len(bench.EXTENDED)
 
-    # r20 (VERDICT r19 #5): persist_warmed is detail-only — it can list
+    # r20 (VERDICT r19 #7): persist_warmed is detail-only — it can list
     # dozens of names and must not crowd the compact tail budget
     marked = dict(payload)
     marked["persist_warmed"] = list(bench.HEADLINE) + list(bench.EXTENDED)
@@ -155,7 +155,7 @@ def test_bench_final_line_fits_tail_capture():
 
 
 def test_detect_persist_warmed_flags_cached_plans(spark, sf_dir):
-    """r20 (VERDICT r19 #5): the post-measurement detector must flag a
+    """r20 (VERDICT r19 #7): the post-measurement detector must flag a
     query whose plan reads CacheManager blocks and pass over one that
     does not — and never raise on a broken query."""
     import bench
